@@ -1,0 +1,70 @@
+"""Benchmark harness (driver contract): run every benchable registered
+query at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS], print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is materialized with a noop-format write — full plan execution,
+nothing collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from featurestore_for_joycastle_java_spark import get_spark, registry
+
+registry.load_catalog()
+
+from featurestore_for_joycastle_java_spark.registry import BENCH_SKIP, QUERIES
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        app_name="featurestore-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session startup
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    names = [n for n in sorted(QUERIES) if n not in BENCH_SKIP]
+    timings: dict[str, float] = {}
+    t_suite = time.monotonic()
+    for name in names:
+        t0 = time.monotonic()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+    total = round(time.monotonic() - t_suite, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(names),
+                "skipped": sorted(BENCH_SKIP),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Sources & sinks: fixture parquet loaders, format round-trips, Kafka, JDBC.
+
+The reference's only source is a Kafka topic drained from offset 0
+(ConsumerMultiThread.java:89-110) and its only sink is batched JDBC inserts
+into per-event-type SQLite tables (CMT:163-201). Spark-first equivalents
+live here; parquet/csv/json/orc scans are added per SURVEY.md §2.2 (the
+reference has none, but the engine needs them — fixtures are parquet).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from featurestore_for_joycastle_java_spark.schemas import TABLE_NAMES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scan → column pruning and predicate
+    pushdown are free once the caller selects/filters (Catalyst pushes them
+    into the scan; verify with .explain → PushedFilters/ReadSchema).
+
+    ``events.ts`` is parquet timestamp[ns]; Spark 4 reads it (via the
+    nanosAsLong legacy conf set in the session factory) as long nanos, so we
+    convert to a microsecond timestamp here — schema-level fixup, no data
+    shuffle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All fixture tables keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every fixture table as a SQL temp view (for spark.sql paths)."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+# --- Generic format scans (SURVEY.md §2.2 row 1) ---
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Uniform reader over parquet/csv/json/orc. An explicit schema skips
+    inference (a full extra scan at 100 TB — always pass one in production)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).load(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", partition_by: list[str] | None = None, **options) -> None:
+    """Uniform writer. ``partition_by`` gives hive-style layout so downstream
+    scans get partition pruning on those keys."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    writer.options(**options).save(path)
+
+
+# --- Kafka source (reference op #1, CMT:46-57/89-102) ---
+
+
+def kafka_batch_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+) -> DataFrame:
+    """Bounded replay of a whole topic — the reference's "seek to 0, poll
+    until empty" (CMT:93-110) as a batch read. Returns raw key/value binary;
+    callers parse with from_json. Not exercised in tests (no broker in the
+    container); the file-based events fixture stands in."""
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+    )
+
+
+def kafka_stream_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming variant; ``maxOffsetsPerTrigger`` bounds a micro-batch the
+    way the reference's max.poll.records=1000 did (CMT:52)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
+
+
+# --- JDBC sink (reference op #12, CMT:163-201) ---
+
+
+def jdbc_batched_sink(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 1000,
+    num_partitions: int | None = None,
+    **properties,
+) -> None:
+    """Spark's JDBC writer does exactly the reference's prepared-statement
+    batching (CMT:174-188): per-partition transactions, ``batchsize`` rows
+    per executeBatch (reference BATCH_SIZE=1000, CMT:35). ``num_partitions``
+    bounds concurrent connections the way the Hikari pool max=4 did
+    (CMT:62)."""
+    if num_partitions:
+        df = df.coalesce(num_partitions)
+    props = {"batchsize": str(batchsize), **{k: str(v) for k, v in properties.items()}}
+    df.write.jdbc(url, table, mode=mode, properties=props)

@@ -1,0 +1,124 @@
+"""Pipeline-semantics unit tests for the reference-parity ingest path
+(SURVEY.md §5 test plan, item 2): regex-extraction cases, completeness
+filter incl. null-valued fields (defect D3 semantics), gating (critical
+semantics note on CMT:117), and no-tail-loss (defect D2 regression)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row, functions as F
+
+from featurestore_for_joycastle_java_spark.operators.ingest import (
+    demux_tables,
+    ingest_pipeline,
+)
+from featurestore_for_joycastle_java_spark.schemas import EVENT_FIELDS
+
+
+def _event(**overrides):
+    base = {
+        "EventID": "e1",
+        "PlayerID": "p1",
+        "EventTimestamp": "2024-01-01T00:00:00",
+        "EventType": "InAppPurchase",
+        "EventDetails": "4.99 USD",
+        "DeviceType": "ios",
+        "Location": "US",
+    }
+    base.update(overrides)
+    return base
+
+
+def _raw_df(spark, events):
+    return spark.createDataFrame(
+        [Row(value=json.dumps(e)) for e in events]
+    )
+
+
+def test_decimal_preferred_over_integer(spark):
+    # "4.99 USD" -> 4.99, not 4 (alternation order at same start, CMT:121)
+    out = ingest_pipeline(_raw_df(spark, [_event(EventDetails="4.99 USD")])).collect()
+    assert out[0]["EventValue"] == 4.99
+
+
+def test_integer_extraction(spark):
+    out = ingest_pipeline(_raw_df(spark, [_event(EventDetails="level 7")])).collect()
+    assert out[0]["EventValue"] == 7.0
+
+
+def test_first_match_wins(spark):
+    # "2 items 4.99" -> 2 (first match position wins over later decimal)
+    out = ingest_pipeline(
+        _raw_df(spark, [_event(EventDetails="2 items 4.99")])
+    ).collect()
+    assert out[0]["EventValue"] == 2.0
+
+
+def test_no_digits_keeps_row_null_value(spark):
+    # no-match branch (CMT:124): row survives, no extracted value
+    out = ingest_pipeline(
+        _raw_df(spark, [_event(EventDetails="no digits here")])
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["EventValue"] is None
+    assert out[0]["EventDetails"] == "no digits here"
+
+
+def test_non_extract_type_not_extracted_but_kept(spark):
+    # CMT:117 gates extraction, NOT survival: click rows still land
+    out = ingest_pipeline(_raw_df(spark, [_event(EventType="click")])).collect()
+    assert len(out) == 1
+    assert out[0]["EventValue"] is None
+
+
+def test_missing_field_dropped(spark):
+    e = _event()
+    del e["Location"]
+    assert ingest_pipeline(_raw_df(spark, [e])).count() == 0
+
+
+def test_null_field_dropped(spark):
+    # defect D3: present-but-null NPE'd in the reference; here it's dropped
+    assert ingest_pipeline(_raw_df(spark, [_event(Location=None)])).count() == 0
+
+
+def test_extra_fields_ignored(spark):
+    out = ingest_pipeline(_raw_df(spark, [_event(Unexpected="x")]))
+    assert out.columns == EVENT_FIELDS + ["EventValue"]
+    assert out.count() == 1
+
+
+def test_demux_routing(spark):
+    events = [
+        _event(EventID=f"e{i}", EventType=t)
+        for i, t in enumerate(["InAppPurchase", "SessionEnd", "click", "click"])
+    ]
+    dwd = ingest_pipeline(_raw_df(spark, events))
+    tables = demux_tables(dwd)
+    assert set(tables) == {"InAppPurchase", "SessionEnd", "click"}
+    assert tables["click"].count() == 2
+
+
+def test_no_tail_loss(spark, tmp_path):
+    # defect D2 regression: reference dropped up to BATCH_SIZE-1 tail rows
+    # per type; whole-DataFrame write must lose nothing.
+    events = [_event(EventID=f"e{i}") for i in range(37)]
+    dwd = ingest_pipeline(_raw_df(spark, events))
+    out = str(tmp_path / "dwd")
+    dwd.write.partitionBy("EventType").parquet(out)
+    assert spark.read.parquet(out).count() == 37
+
+
+def test_fixture_ingest_value_passthrough(spark, sf_dir):
+    # non-extract fixture types keep their original `value`
+    from featurestore_for_joycastle_java_spark.operators.ingest import fixture_ingest
+    from featurestore_for_joycastle_java_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = fixture_ingest(events)
+    mismatch = out.filter(
+        (~F.col("event_type").isin("purchase", "signup"))
+        & (F.col("event_value") != F.col("value"))
+    )
+    assert mismatch.count() == 0
