@@ -45,8 +45,8 @@ def ingest_dwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT event_type,
        COUNT(*) AS n_rows,
-       ROUND(SUM(event_value), 2) AS sum_event_value,
-       ROUND(AVG(event_value), 4) AS avg_event_value
+       CAST(SUM(CAST(event_value AS DECIMAL(23,6))) AS DOUBLE) AS sum_event_value,
+       CAST(SUM(CAST(event_value AS DECIMAL(23,6))) AS DOUBLE) / COUNT(*) AS avg_event_value
 FROM ({_INGEST_SQL})
 GROUP BY event_type
 """,
@@ -57,10 +57,12 @@ def ingest_demux_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQLite tables would see, plus value totals. Partial (map-side) agg +
     final agg; one shuffle on the 5-value event_type key."""
     dwd = fixture_ingest(load_table(spark, sf_dir, "events"))
+    dsum = F.sum(F.col("event_value").cast("decimal(23,6)")).cast("double")
+    n = F.count(F.lit(1))
     return dwd.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("event_value"), 2).alias("sum_event_value"),
-        F.round(F.avg("event_value"), 4).alias("avg_event_value"),
+        n.alias("n_rows"),
+        dsum.alias("sum_event_value"),
+        (dsum / n).alias("avg_event_value"),
     )
 
 

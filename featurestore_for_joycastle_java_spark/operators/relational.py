@@ -1,0 +1,76 @@
+"""Relational operator surface (SURVEY.md §2.2) — reusable composites.
+
+Plain joins/aggregations/sorts ARE the DataFrame API; this module only adds
+the composites worth naming. Everything stays declarative so Catalyst gets
+the whole plan (pushdown, pruning, join strategy selection, AQE).
+
+Scale notes baked into each helper's design:
+- per-group top-k avoids a global sort: window + filter = one shuffle on
+  the partition key, then a local sort per partition;
+- small-dimension joins take an explicit ``broadcast`` hint so a 100 TB
+  fact side never shuffles for a kilobyte dimension;
+- rolling time windows use a numeric range frame (epoch seconds) — Spark's
+  rangeBetween needs a numeric sort key, and epoch seconds keep DuckDB
+  oracle parity exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number window + filter.
+
+    One shuffle (on ``partition_by``), no global sort. Callers MUST make
+    ``order_by`` a total order (add a unique tiebreak column) or row_number
+    is nondeterministic under ties.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Join with an explicit broadcast hint on the dimension side — the
+    fact side never shuffles. Use only for genuinely small dims (fits in
+    every executor); for borderline sizes let AQE decide instead."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def rolling_time_window(
+    df: DataFrame,
+    partition_by: list[str],
+    ts_col: str,
+    window_seconds: int,
+    aggs: dict[str, Column],
+    epoch_col: str = "_epoch_s",
+) -> DataFrame:
+    """Rolling event-time window per entity (e.g. 7-day spend per user) —
+    the feature-store staple. Range frame over epoch seconds: peers with
+    the same second get identical frame results (deterministic).
+
+    State/shuffle envelope at scale: one shuffle on ``partition_by``; each
+    partition sorts locally by time. Skewed entities (one user = billions
+    of rows) would need pre-bucketing by (entity, time-bucket); at that
+    point switch to the streaming path (streaming/windows)."""
+    with_epoch = df.withColumn(epoch_col, F.unix_timestamp(F.col(ts_col)))
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(epoch_col)
+        .rangeBetween(-window_seconds, 0)
+    )
+    out = with_epoch.select(
+        "*", *[expr.over(w).alias(name) for name, expr in aggs.items()]
+    )
+    return out.drop(epoch_col)

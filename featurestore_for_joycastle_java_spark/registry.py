@@ -31,6 +31,7 @@ _CATALOG_MODULES = [
     "ingest",
     "relational",
     "windows",
+    "scalars",
     "asof",
     "dedup",
     "text",

@@ -28,4 +28,5 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return SF_SMOKE
+    # override with SPARK_GRAFT_ORACLE_SF_DIR to run parity at sf0.01
+    return SF_ORACLE

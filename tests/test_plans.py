@@ -1,0 +1,69 @@
+"""Physical-plan quality gates — correctness isn't enough at 100 TB.
+
+Asserts the plans we'd want on a 1000-executor cluster: filters pushed to
+the parquet scan, columns pruned, small dims broadcast, top-N planned as
+TakeOrderedAndProject (not a global sort), whole-stage codegen present.
+"""
+
+from __future__ import annotations
+
+from featurestore_for_joycastle_java_spark import registry
+
+registry.load_catalog()
+
+from featurestore_for_joycastle_java_spark.registry import QUERIES
+
+import contextlib
+import io
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_project_pushdown")
+    assert "PushedFilters" in plan
+    # both predicates pushed
+    assert "l_quantity" in plan.split("PushedFilters")[1].split("\n")[0]
+    assert "l_returnflag" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_project_pushdown")
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    # only needed columns read: 3 projected + 2 filter cols
+    for col in ["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_returnflag"]:
+        assert col in read_schema
+    for col in ["l_partkey", "l_shipdate", "l_tax", "l_comment"]:
+        assert col not in read_schema
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q5_revenue")
+    assert "BroadcastHashJoin" in plan, "dims should broadcast, not shuffle"
+
+
+def test_topn_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_limit_topn")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ingest_stays_in_codegen(spark, sf_dir):
+    # regex extract + filter + projection must all run inside whole-stage
+    # codegen (no Python, no row-at-a-time eval)
+    plan = plan_of(spark, sf_dir, "ingest_dwd")
+    assert "codegen id" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_no_cartesian_in_joins(spark, sf_dir):
+    # every equi-join query must plan hash/merge joins, never cartesian
+    for name in ["tpch_q3_shipping", "tpch_q5_revenue", "join_left_outer", "join_semi", "join_anti"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
