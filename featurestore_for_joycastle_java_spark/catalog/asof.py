@@ -1,0 +1,167 @@
+"""Feature-store composite queries (SURVEY.md §7.2 M3): point-in-time
+joins, sessionization, daily feature backfill."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from featurestore_for_joycastle_java_spark.operators.asof import (
+    asof_join,
+    sessionize,
+)
+from featurestore_for_joycastle_java_spark.registry import query
+from featurestore_for_joycastle_java_spark.sources import load_table
+
+
+@query(
+    "asof_backward_purchase_click",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       c.event_id AS click_event_id,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts)
+""",
+)
+def asof_backward_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (backward): for every purchase, the user's most
+    recent prior-or-simultaneous click — 'the feature value known at event
+    time', leakage-free. Union+window plan: one shuffle on user_id (see
+    operators.asof for the 100 TB notes). Joined on epoch microseconds so
+    both engines compare identical integers."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros(F.col("ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("value").alias("click_value"),
+        "t_us",
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="t_us",
+        right_ts="t_us",
+        right_cols=["click_event_id", "click_value"],
+        direction="backward",
+    )
+    return out.select("event_id", "user_id", "click_event_id", "click_value")
+
+
+@query(
+    "asof_forward_click_purchase",
+    oracle="""
+SELECT c.event_id,
+       c.user_id,
+       p.event_id AS next_purchase_id,
+       p.value AS next_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND epoch_us(c.ts) <= epoch_us(p.ts)
+""",
+)
+def asof_forward_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of forward: for every click, the user's next purchase (label
+    generation for conversion models — 'what happened after')."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros(F.col("ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "t_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("next_purchase_id"),
+        "user_id",
+        F.col("value").alias("next_purchase_value"),
+        "t_us",
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="t_us",
+        right_ts="t_us",
+        right_cols=["next_purchase_id", "next_purchase_value"],
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_purchase_id", "next_purchase_value")
+
+
+@query(
+    "sessionize_users",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id,
+           CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS epoch_s
+    FROM events),
+flagged AS (
+    SELECT user_id, event_id, epoch_s,
+           CASE WHEN epoch_s - LAG(epoch_s) OVER w > 1800 THEN 1 ELSE 0 END
+               AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s)),
+sessions AS (
+    SELECT user_id, event_id, epoch_s,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(MAX(epoch_s) - MIN(epoch_s) AS BIGINT) AS duration_s
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-session rollup —
+    lag + running-sum windows, then one agg; all integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize(ev, ["user_id"], "ts", gap_seconds=1800)
+    epoch = F.unix_timestamp("ts")
+    return (
+        sessions.withColumn("epoch_s", epoch)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("epoch_s") - F.min("epoch_s")).alias("duration_s"),
+        )
+    )
+
+
+@query(
+    "feature_daily_user",
+    oracle="""
+SELECT user_id,
+       strftime(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS spend,
+       COUNT(DISTINCT event_type) AS n_event_types
+FROM events
+GROUP BY user_id, DATE_TRUNC('day', ts)
+""",
+)
+def feature_daily_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user feature backfill: the partition-parallel recompute
+    shape — group by (entity, day); in production lands via
+    write.partitionBy(day) so any day range can be recomputed
+    independently and readers prune on day."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("spend"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+    )

@@ -101,12 +101,12 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id,
        ROUND(SUM(value) OVER (
            PARTITION BY user_id
-           ORDER BY CAST(date_part('epoch', ts) AS BIGINT)
+           ORDER BY CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)
            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2)
            AS spend_7d,
        CAST(COUNT(*) OVER (
            PARTITION BY user_id
-           ORDER BY CAST(date_part('epoch', ts) AS BIGINT)
+           ORDER BY CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)
            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT)
            AS n_events_7d
 FROM events
