@@ -1,0 +1,131 @@
+"""Deduplication queries over documents/embeddings (north-star §2.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from featurestore_for_joycastle_java_spark.operators import dedup as D
+from featurestore_for_joycastle_java_spark.registry import query
+from featurestore_for_joycastle_java_spark.sources import load_table
+
+_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+_TOKSET = "list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))"
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+SELECT {_FP} AS fp,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY fp
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint — keeper id +
+    copy count per identical normalized text."""
+    return D.exact_dedup_groups(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle=f"""
+SELECT doc_id, source
+FROM (SELECT doc_id, source,
+             MIN(doc_id) OVER (PARTITION BY {_FP}) AS keep_id
+      FROM documents)
+WHERE doc_id = keep_id
+""",
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the deterministic min-id row per content group
+    (dropDuplicates keeps an arbitrary winner; this doesn't)."""
+    return D.exact_dedup(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "source")
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_TOKSET} AS toks
+    FROM documents WHERE source = 'src0')
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       ROUND(CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (LEN(a.toks) + LEN(b.toks) - LEN(list_intersect(a.toks, b.toks))),
+             6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE ROUND(CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (LEN(a.toks) + LEN(b.toks) - LEN(list_intersect(a.toks, b.toks))), 6)
+      >= 0.6
+""",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs within one source — the
+    inverted-index self-join (explode → equi-join on token → pair counts).
+    Bounded scope on purpose: this is the verification tool; the corpus-
+    wide path is MinHash LSH below. Threshold applied on the 6dp-rounded
+    value so the pair SET matches the oracle exactly."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    return D.token_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+
+
+@query(
+    "dedup_minhash_lsh",
+    # MinHash values are seeded-Spark-specific — no cross-engine oracle;
+    # recall vs exact Jaccard is asserted in tests/test_dedup.py.
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates over 3-token shingles — the 100 TB
+    dedup path (banded equal-hash join, near-linear)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", max_jaccard_distance=0.4)
+
+
+@query(
+    "dedup_simhash_pairs",
+    # xxhash64-based SimHash is engine-local — rows-only check; semantics
+    # verified against a pure-Python reference in tests/test_dedup.py.
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding near-dup candidates (hamming ≤ 3 of 64 bits),
+    verified pairs only — fully Catalyst (explode + 64 bit-vote aggs +
+    band join + bit_count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings)
+SELECT a.vec_id AS id_a,
+       b.vec_id AS id_b,
+       ROUND(list_inner_product(a.v, b.v)
+             / (SQRT(list_inner_product(a.v, a.v))
+                * SQRT(list_inner_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_inner_product(a.v, b.v)
+      / (SQRT(list_inner_product(a.v, a.v))
+         * SQRT(list_inner_product(b.v, b.v))), 6) >= 0.4
+""",
+    bench=False,  # exact all-pairs: the oracle for the LSH path, not a bench query
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs ≥ 0.4) — the
+    correctness anchor for LSH similarity. zip_with+aggregate cosine is
+    bit-identical to DuckDB list_inner_product (verified empirically),
+    so the oracle is exact."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(e, threshold=0.4)

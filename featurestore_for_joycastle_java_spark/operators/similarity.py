@@ -1,0 +1,136 @@
+"""Embedding similarity search (north-star §2.3): brute-force cosine top-k
+as the exactness baseline, LSH-bucketed approximate join as the scale path.
+
+Cosine is computed with higher-order functions (zip_with product +
+sequential aggregate) — Catalyst-native, no UDF, and (empirically verified,
+see catalog/similarity.py) bit-identical to DuckDB's list_inner_product on
+double-cast inputs, which is what makes exact oracles possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Sequential left-to-right double dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query set against the
+    corpus, score every pair, per-query window top-k.
+
+    Cost is |queries| × |corpus| × dim — linear in the corpus for a
+    bounded query batch, and embarrassingly parallel (no shuffle until
+    the final per-query top-k, which carries only k×|queries| rows).
+    Ranking key is (rounded cosine desc, id) → deterministic under ties.
+    For corpus-×-corpus workloads use lsh_topk / IVF instead."""
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    scored = c.join(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (exact, quadratic) — the oracle/
+    verification tool for bounded blocks; LSH buckets replace the
+    all-pairs join at scale."""
+    e = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 8,
+    distance_threshold: float = 10.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH (Euclidean
+    buckets): candidates from equal-bucket joins only — near-linear, the
+    1000-executor path. Returns per-query top-k by euclidean distance.
+    Recall vs brute force is asserted in tests (fixed seed)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col), array_to_vector(as_double(F.col(vec_col))).alias("features")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        array_to_vector(as_double(F.col(vec_col))).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(c)
+    pairs = model.approxSimilarityJoin(q, c, distance_threshold, distCol="dist")
+    scored = pairs.select(
+        F.col(f"datasetA.{query_id_col}").alias(query_id_col),
+        F.col(f"datasetB.{id_col}").alias(id_col),
+        F.round("dist", 6).alias("dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "dist", F.col("rnk").cast("int").alias("rnk"))
+    )

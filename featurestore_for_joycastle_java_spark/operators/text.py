@@ -1,0 +1,101 @@
+"""Text-analysis operators for LLM-data pipelines (north-star §2.3):
+tokenization, statistics, quality scoring, language-ID heuristic, document
+fingerprinting, shingling.
+
+Everything is a Catalyst expression (split / higher-order functions /
+regexp / md5) — zero Python in the row path, so the whole battery runs
+inside whole-stage codegen and scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+#: Deliberately small: the point is the *operator shape* (set-membership
+#: scoring entirely in expressions), not linguistic accuracy.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"],
+    "fr": ["le", "la", "les", "et", "un", "une", "des", "du", "en", "est"],
+    "es": ["el", "los", "las", "y", "una", "del", "que", "por", "con", "para"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "von", "mit", "zu", "im"],
+}
+
+#: CJK unified ideographs — Java regex syntax (DuckDB RE2 spells the same
+#: class as [\x{4e00}-\x{9fff}]).
+_ZH_CLASS = "[一-鿿]"
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(col), " "), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    n_punct = F.length(F.regexp_replace(col, r"[^.,!?;:'\"()-]", ""))
+    return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(F.lit(0.0))
+
+
+def stopword_hits(col: Column, stopwords: list[str]) -> Column:
+    """How many tokens are in the stopword set (with repeats)."""
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(col), lambda x: F.array_contains(arr, x)))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: length credit + stopword-presence credit
+    - punctuation-spam penalty. Deterministic double arithmetic."""
+    n_tok = token_count(col)
+    length_credit = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_ratio = F.when(
+        n_tok > 0, stopword_hits(col, LANG_STOPWORDS["en"]) / n_tok
+    ).otherwise(F.lit(0.0))
+    stop_credit = F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * length_credit
+        + F.lit(0.3) * stop_credit
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio(col)),
+        6,
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Language-ID heuristic: CJK script check first, then argmax of
+    stopword-profile hits with a fixed priority order (en > fr > es > de)
+    on ties — deterministic by construction."""
+    scores = {lang: stopword_hits(col, sw) for lang, sw in LANG_STOPWORDS.items()}
+    return (
+        F.when(col.rlike(_ZH_CLASS), F.lit("zh"))
+        .when(
+            (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"]),
+            F.lit("en"),
+        )
+        .when((scores["fr"] >= scores["es"]) & (scores["fr"] >= scores["de"]), F.lit("fr"))
+        .when(scores["es"] >= scores["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+    md5 (not xxhash64) so any engine reproduces it — the exact-dedup key."""
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (the MinHash/Jaccard input). Built from
+    sequence+transform+slice — no explode needed until the caller wants
+    an inverted index."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )

@@ -1,0 +1,90 @@
+"""Semantic tests for dedup operators: determinism, duplicate detection,
+LSH recall vs exact Jaccard (the correctness anchor for the scale path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from featurestore_for_joycastle_java_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+    token_jaccard_pairs,
+)
+from featurestore_for_joycastle_java_spark.operators.text import shingles, tokens
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs(spark, ["a b c", "x y", "a  b   c", "A B C"])  # 0,2,3 identical after norm
+    out = exact_dedup(df, "doc_id", "text").collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [0, 1]
+
+
+def test_simhash_identical_texts_equal(spark):
+    df = _docs(spark, ["spark makes plans", "spark makes plans", "other words here"])
+    sh = {r.id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert sh[0] == sh[1]
+    assert sh[0] != sh[2]
+
+
+def test_simhash_pairs_find_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, [base, base, "completely different content tokens entirely unrelated"])
+    pairs = simhash_near_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1)}
+    assert pairs[0].hamming == 0
+
+
+def test_token_jaccard_exact_values(spark):
+    df = _docs(spark, ["a b c d", "a b c e", "x y z w"])
+    pairs = token_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    vals = {(p.id_a, p.id_b): p.jaccard for p in pairs}
+    # |{a,b,c}| / |{a,b,c,d,e}| = 3/5
+    assert vals == {(0, 1): 0.6}
+
+
+def test_minhash_recall_vs_exact_shingle_jaccard(spark, sf_dir):
+    """MinHash LSH (jaccard_dist<=0.4) must recover ≥90% of truly-near
+    pairs (true shingle-jaccard ≥ 0.8) — the recall contract that makes
+    it a valid stand-in for exact dedup at scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    exact = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    )
+    truth = {(r.id_a, r.id_b) for r in exact}
+    assert truth, "fixture should contain near-duplicate documents"
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"recall {recall} over {len(truth)} true pairs"
+
+
+def test_minhash_deterministic_across_runs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    p1 = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text").collect()))
+    p2 = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text").collect()))
+    assert p1 == p2

@@ -1,0 +1,63 @@
+"""Semantic tests for similarity search: brute-force exactness properties
+and LSH recall against the brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from featurestore_for_joycastle_java_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+
+def _corpus(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries(e, n=10):
+    return e.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_self_is_top1(spark, sf_dir):
+    e = _corpus(spark, sf_dir)
+    top = brute_force_topk(e, _queries(e), k=1).collect()
+    for r in top:
+        assert r.vec_id == r.query_id, "a vector's nearest neighbor is itself"
+        assert r.cos_sim == 1.0
+
+
+def test_topk_sorted_and_complete(spark, sf_dir):
+    e = _corpus(spark, sf_dir)
+    rows = brute_force_topk(e, _queries(e), k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rs) == 5
+
+
+def test_lsh_recall_at_5(spark, sf_dir):
+    """LSH top-5 (euclidean) must recover most of the brute-force top-5
+    (cosine ≡ euclidean ranking on unit-norm embeddings)."""
+    e = _corpus(spark, sf_dir)
+    q = _queries(e)
+    exact = brute_force_topk(e, q, k=5).collect()
+    approx = lsh_topk(e, q, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(truth[qid] & got.get(qid, set())) / len(truth[qid]) for qid in truth
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= 0.6, f"avg recall@5 {avg_recall}"
