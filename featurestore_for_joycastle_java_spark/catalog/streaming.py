@@ -1,0 +1,128 @@
+"""Streaming queries (SURVEY.md §2.2 streaming row + M4): each runs a real
+Structured Streaming query (availableNow drain — the reference's
+consume-until-empty, CMT:104-110) into a memory sink, then returns the
+result as a batch DataFrame so the driver can oracle-check it against
+DuckDB. Batch/stream equivalence IS the check."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from featurestore_for_joycastle_java_spark import streaming as ST
+from featurestore_for_joycastle_java_spark.registry import query
+
+
+def _run(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFrame:
+    name = "st_" + uuid.uuid4().hex[:12]
+    ST.drain_to_memory(stream_df, name, output_mode=mode)
+    return spark.table(name)
+
+
+@query(
+    "stream_drain_demux_counts",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_drain_demux_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole job as a stream: drain the topic stand-in with
+    availableNow, demux-count per event type. Equivalent to the batch
+    ingest by construction — no tail loss (defect D2 fixed)."""
+    src = ST.file_stream_source(spark, sf_dir)
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("sum_value"),
+    )
+    return _run(spark, agg, "complete")
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle="""
+SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+""",
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1-hour windows per event type (streaming),
+    rendered for the batch oracle (window start as string)."""
+    src = ST.file_stream_source(spark, sf_dir)
+    agg = ST.tumbling_counts(src, window="1 hour", watermark="2 hours")
+    out = _run(spark, agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t_us FROM events),
+flagged AS (
+    SELECT user_id, t_us,
+           CASE WHEN t_us - LAG(t_us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+               AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+sessions AS (
+    SELECT user_id, t_us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged)
+SELECT user_id,
+       CAST(MIN(t_us) AS BIGINT) AS session_start_us,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) per user. Oracle replays the
+    merge with a lag/cumsum over epoch-µs; note session_window's half-open
+    [ts, ts+gap) means a gap of EXACTLY 30:00.000000 starts a new session
+    — hence `>=` in the oracle, unlike batch sessionize's `>`."""
+    src = ST.file_stream_source(spark, sf_dir)
+    agg = ST.session_counts(src, gap="30 minutes", watermark="2 hours")
+    out = _run(spark, agg, "complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        "n_events",
+    )
+
+
+@query(
+    "stream_dedup_counts",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on
+    (user_id, event_type)) — one surviving row per pair, counted per type.
+    Bounded state: pairs age out an hour past the watermark."""
+    src = ST.file_stream_source(spark, sf_dir)
+    deduped = ST.dedup_within_watermark(
+        src, ["user_id", "event_type"], watermark="1 hour"
+    )
+    out = _run(spark, deduped, "append")
+    return out.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_users")
+    )

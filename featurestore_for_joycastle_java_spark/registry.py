@@ -36,6 +36,8 @@ _CATALOG_MODULES = [
     "dedup",
     "text",
     "similarity",
+    "streaming",
+    "multimodal",
 ]
 
 

