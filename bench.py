@@ -39,6 +39,9 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     names = [n for n in sorted(QUERIES) if n not in BENCH_SKIP]
     timings: dict[str, float] = {}

