@@ -38,6 +38,7 @@ _CATALOG_MODULES = [
     "similarity",
     "streaming",
     "multimodal",
+    "extras",
 ]
 
 
