@@ -77,12 +77,15 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    # MinHash values are seeded-Spark-specific — no cross-engine oracle;
-    # recall vs exact Jaccard is asserted in tests/test_dedup.py.
+    # Candidate generation is probabilistic (recall <1 near the threshold)
+    # so no exact cross-engine oracle; candidate recall + exact-verify
+    # semantics are asserted in tests/test_dedup.py.
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup candidates over 3-token shingles — the 100 TB
-    dedup path (banded equal-hash join, near-linear)."""
+    """Catalyst-native MinHash LSH over 3-token shingles — the 100 TB
+    dedup path: 128-perm xxhash64 signatures (one explode + one agg),
+    banded equal-hash candidate join (near-linear), exact shingle-Jaccard
+    verify on candidates only. Seedless → bit-identical across runs."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, "doc_id", "text", max_jaccard_distance=0.4)
 

