@@ -1,0 +1,178 @@
+"""Advanced surface: SQL subqueries (scalar / correlated EXISTS / IN /
+NOT IN), exact percentiles, skew-salted joins, Python UDTFs, and IVF
+approximate nearest-neighbor — SURVEY.md §2.2 completions plus the ANN
+scale path next to LSH."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from featurestore_for_joycastle_java_spark.operators.relational import salted_join
+from featurestore_for_joycastle_java_spark.operators.similarity import ivf_topk
+from featurestore_for_joycastle_java_spark.registry import query
+from featurestore_for_joycastle_java_spark.sources import load_table
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+_SCALAR_SUBQ = """
+SELECT c_custkey, c_acctbal,
+       ROUND((SELECT AVG(c_acctbal) FROM customer), 6) AS avg_bal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+"""
+
+
+@query("subquery_scalar", oracle=_SCALAR_SUBQ)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in both projection and predicate —
+    Catalyst plans it as a one-row subquery broadcast, the fact scan stays
+    single-pass. Identical ANSI text runs on both engines."""
+    _views(spark, sf_dir, "customer")
+    return spark.sql(_SCALAR_SUBQ)
+
+
+_EXISTS_SUBQ = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+                    AND l.l_quantity >= 49)
+"""
+
+
+@query("subquery_exists", oracle=_EXISTS_SUBQ)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — Catalyst decorrelates to a
+    left-semi + left-anti join (verify with .explain); no per-row
+    re-execution of the inner query at any scale."""
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_EXISTS_SUBQ)
+
+
+_IN_SUBQ = """
+SELECT 'in' AS op, COUNT(*) AS n
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT 'not_in' AS op, COUNT(*) AS n
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+@query("subquery_in_notin", oracle=_IN_SUBQ)
+def subquery_in_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries, including NOT IN's three-valued-logic
+    behavior (a NULL in the subquery empties the NOT IN result — both
+    engines implement it; o_custkey is non-null here so counts add up)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_IN_SUBQ)
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+       ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50_qty,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+       ROUND(median(l_extendedprice), 6) AS median_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear-interpolation continuous quantiles) and
+    median per group. Exact percentile needs the group's values together
+    — one shuffle on the group key; at 100 TB prefer approx_percentile
+    (see agg_approx_distinct for the sketch-side check)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+    )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+WITH dim AS (
+    SELECT event_type, COUNT(*) AS type_total
+    FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, d.type_total
+FROM events e JOIN dim d USING (event_type)
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: events' event_type distribution is heavily skewed
+    (a handful of hot keys), so the fact key is salted ×16 and the dim
+    replicated — row-identical to the plain join (the oracle IS the plain
+    join), but no single reducer owns a hot key."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    return salted_join(
+        ev, dim, on=["event_type"], n_salt=16, salt_source="event_id"
+    ).select("event_id", "event_type", "type_total")
+
+
+@query(
+    "udtf_token_hist",
+    oracle="""
+SELECT doc_id, tok, n
+FROM (SELECT doc_id, tok, COUNT(*) AS n
+      FROM (SELECT doc_id,
+                   UNNEST(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS tok
+            FROM documents WHERE doc_id < 200)
+      GROUP BY doc_id, tok)
+""",
+)
+def udtf_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 3.5+): per-document token histogram via
+    a lateral table function. UDTFs run row-at-a-time in Python — kept off
+    the hot path by bounding the input; the production-scale equivalent is
+    the pure-Catalyst explode in text_token_freq (same oracle family)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, n long")
+    class TokenHist:
+        def eval(self, text: str):
+            from collections import Counter
+
+            counts = Counter(t for t in (text or "").lower().split(" ") if t)
+            for tok, n in sorted(counts.items()):
+                yield tok, n
+
+    spark.udtf.register("token_hist", TokenHist)
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok, t.n
+        FROM documents d, LATERAL token_hist(d.text) t
+        WHERE d.doc_id < 200
+        """
+    )
+
+
+@query(
+    "sim_ivf_topk",
+    # IVF is approximate (probed cells only) — no cross-engine oracle;
+    # recall vs brute force asserted in tests/test_similarity.py.
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for a 10-query batch: nearest-centroid cell
+    assignment + n_probe-cell search — the partition-pruned ANN path (LSH
+    being the other; both deterministic here)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, queries, k=5, n_centroids=16, n_probe=4)

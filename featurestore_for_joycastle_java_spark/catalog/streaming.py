@@ -107,6 +107,34 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_windows",
+    oracle="""
+WITH b AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS bkt FROM events),
+w AS (
+    SELECT UNNEST([bkt, bkt - INTERVAL '30 minutes']) AS ws FROM b)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events
+FROM w
+GROUP BY ws
+""",
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding windows (1 h window / 30 min slide) — each
+    event lands in exactly 2 overlapping windows; the oracle replays that
+    by unnesting both 30-min-aligned window starts per event."""
+    src = ST.file_stream_source(spark, sf_dir)
+    agg = ST.sliding_counts(src, window="1 hour", slide="30 minutes")
+    out = _run(spark, agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "n_events",
+    )
+
+
+@query(
     "stream_dedup_counts",
     oracle="""
 SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users

@@ -48,6 +48,40 @@ def broadcast_join(
     return fact.join(F.broadcast(dim), on, how)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salt: int = 16,
+    how: str = "inner",
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot fact key over ``n_salt``
+    shuffle partitions by appending a deterministic salt (xxhash64 of
+    ``salt_source``, a high-cardinality fact column), and replicate the
+    dim side ×``n_salt`` so every salted fact row still finds its match.
+
+    Result is row-identical to ``fact.join(dim, on, how)`` — only the
+    physical shuffle distribution changes. Use when BOTH sides are too big
+    to broadcast AND fact keys are skewed (one key ≫ others would pin a
+    single reducer); AQE's skew-join split handles sort-merge skew
+    automatically, but salting also fixes skewed hash aggregations and
+    works under any join strategy. Supports inner/left joins (dim
+    replication breaks right/full semantics — every dim row would appear
+    n_salt times unmatched)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt_source is None:
+        raise ValueError("salt_source (a high-cardinality fact column) is required")
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salt)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return salted_fact.join(salted_dim, [*on, "__salt"], how).drop("__salt")
+
+
 def rolling_time_window(
     df: DataFrame,
     partition_by: list[str],

@@ -39,6 +39,7 @@ _CATALOG_MODULES = [
     "streaming",
     "multimodal",
     "extras",
+    "advanced",
 ]
 
 

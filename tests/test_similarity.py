@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from featurestore_for_joycastle_java_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -61,3 +62,25 @@ def test_lsh_recall_at_5(spark, sf_dir):
     ]
     avg_recall = sum(recalls) / len(recalls)
     assert avg_recall >= 0.6, f"avg recall@5 {avg_recall}"
+
+
+def test_ivf_recall_at_5(spark, sf_dir):
+    """IVF (probe 4 of 16 cells) must recover most of the brute-force
+    top-5, and be deterministic across runs."""
+    e = _corpus(spark, sf_dir)
+    q = _queries(e)
+    exact = brute_force_topk(e, q, k=5).collect()
+    approx = ivf_topk(e, q, k=5, n_centroids=16, n_probe=4).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(truth[qid] & got.get(qid, set())) / len(truth[qid]) for qid in truth
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= 0.6, f"avg recall@5 {avg_recall}"
+    again = sorted(map(tuple, ivf_topk(e, q, k=5).collect()))
+    assert again == sorted(map(tuple, approx))
