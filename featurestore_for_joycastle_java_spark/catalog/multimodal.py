@@ -33,12 +33,48 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_decode_features",
-    # The decode stage is a (stubbed) Python codec over mapInPandas —
-    # inherently non-SQL; determinism is asserted in tests/test_multimodal.py.
-    bench=True,
+    # The decode stand-in is md5-derived, so the oracle replays the exact
+    # byte arithmetic from the hex digest — the mapInPandas stage gets a
+    # full value-hash check, not just a rows-only count.
+    oracle="""
+SELECT doc_id,
+       CAST(64 + (('0x' || substr(md5(text), 1, 2))::INT % 192) AS INT) AS width,
+       CAST(64 + (('0x' || substr(md5(text), 3, 2))::INT % 192) AS INT) AS height,
+       CAST(1 + (('0x' || substr(md5(text), 5, 2))::INT % 4) AS INT) AS n_channels,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS blob_len,
+       ROUND((('0x' || substr(md5(text), 9, 8))::BIGINT) / 4294967295.0, 6)
+           AS feat_mean
+FROM documents
+""",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal pipeline shape: attach blob → Arrow-batched
     mapInPandas decode/feature-extract → typed rows."""
     d = M.attach_blob(load_table(spark, sf_dir, "documents"))
     return M.fake_decode_features(d)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH f AS (
+    SELECT doc_id, text,
+           GREATEST(CAST(FLOOR(OCTET_LENGTH(ENCODE(text)) / 4.0) AS INT), 1)
+               AS frame_len
+    FROM documents)
+SELECT doc_id,
+       CAST(frame_no AS INT) AS frame_no,
+       substr(text, frame_no * frame_len + 1, frame_len)
+           AS frame_bytes_preview
+FROM f, UNNEST([0, 1, 2, 3]) AS u(frame_no)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: posexplode each blob into 4 frame
+    slices — the blob→rows fan-out shape with frame indexes preserved."""
+    d = M.attach_blob(load_table(spark, sf_dir, "documents"))
+    return M.frame_sample_plan(d, n_frames=4).select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        "frame_bytes_preview",
+    )

@@ -135,6 +135,33 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals carried in explicit group state. Each batch
+    emits the updated totals; the drain keeps the final emission per user
+    (n_events is monotone), which must equal the batch aggregate."""
+    from pyspark.sql import Window
+
+    src = ST.file_stream_source(spark, sf_dir)
+    out = _run(spark, ST.stateful_user_totals(src), "append")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
+
+
+@query(
     "stream_dedup_counts",
     oracle="""
 SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users

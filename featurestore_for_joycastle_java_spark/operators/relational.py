@@ -48,6 +48,30 @@ def broadcast_join(
     return fact.join(F.broadcast(dim), on, how)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table: rows are
+    hash-distributed into ``n_buckets`` files per partition by
+    ``bucket_cols``.
+
+    Two tables bucketed identically on their join key co-locate: the join
+    plans with NO Exchange on either side (asserted in tests/test_plans.
+    py) — at 100 TB that's the entire shuffle of the larger fact table
+    saved on every subsequent join, amortizing the one-time bucketed
+    write. ``sort_cols`` additionally pre-sorts within buckets so
+    sort-merge joins skip their sort step."""
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

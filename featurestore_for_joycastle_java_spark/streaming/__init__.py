@@ -160,6 +160,46 @@ def session_counts(
     )
 
 
+def stateful_user_totals(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum) carried across micro-batches in explicit group
+    state — the arbitrary-stateful-processing escape hatch for logic
+    watermarked windows can't express.
+
+    Emits the updated running totals for every group seen in a batch
+    (append mode). State is two scalars per active user — at 100 TB the
+    envelope is #distinct-users × ~32 bytes; add a state timeout to age
+    out idle users on unbounded streams."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "sum_value": [round(s, 4)],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_within_watermark(
     stream_df: DataFrame,
     keys: list[str],

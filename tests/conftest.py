@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 
 import pytest
 
@@ -21,6 +22,11 @@ def spark():
         app_name="featurestore-tests",
         master="local[8]",
         shuffle_partitions=8,
+        # saveAsTable targets (bucketed-join tests) land in a tempdir,
+        # never the repo
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="fs_warehouse_")
+        },
     )
     yield s
     s.stop()

@@ -67,3 +67,58 @@ def test_no_cartesian_in_joins(spark, sf_dir):
     for name in ["tpch_q3_shipping", "tpch_q5_revenue", "join_left_outer", "join_semi", "join_anti"]:
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed identically on the join key must join with no
+    Exchange (shuffle) on either side — the co-located-join contract that
+    saves the fact-table shuffle at 100 TB."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from featurestore_for_joycastle_java_spark.operators.relational import (
+        write_bucketed,
+    )
+    from featurestore_for_joycastle_java_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    joined = (
+        spark.table("b_orders")
+        .join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # force the big-big strategy (tiny fixtures would broadcast and prove
+    # nothing about the 100 TB shape)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        # no shuffle anywhere: bucketing satisfies the join distribution
+        # AND the groupBy-on-bucket-key distribution
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # and the result matches the plain (shuffling) join
+        expected = (
+            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
