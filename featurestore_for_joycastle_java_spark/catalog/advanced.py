@@ -176,3 +176,113 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(e, queries, k=5, n_centroids=16, n_probe=4)
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+SELECT c_nationkey, metric, val
+FROM (SELECT c_nationkey,
+             CAST(COUNT(*) AS DOUBLE) AS n_cust,
+             ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(23,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_bal,
+             MAX(c_acctbal) AS max_bal
+      FROM customer GROUP BY c_nationkey)
+UNPIVOT (val FOR metric IN (n_cust, avg_bal, max_bal))
+""",
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt): per-nation metrics melted to
+    (key, metric, value) rows — pivot's inverse, a pure projection
+    (no shuffle beyond the feeding agg)."""
+    wide = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(23,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+    return wide.unpivot(
+        ["c_nationkey"], ["n_cust", "avg_bal", "max_bal"], "metric", "val"
+    )
+
+
+@query(
+    "split_train_test",
+    oracle="""
+SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM (SELECT doc_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 AS bucket
+            FROM documents))
+GROUP BY split
+""",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by content-addressed
+    hash bucket (md5 of the id) — the training-pipeline staple: stable
+    under reruns, re-shards, and cluster-size changes, no stored split
+    table, and portable across engines (unlike seeded sample())."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        d.select(F.col("doc_id"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+@query(
+    "feature_latest_snapshot",
+    oracle="""
+SELECT user_id,
+       epoch_us(ts) AS last_ts_us,
+       value AS last_value,
+       event_type AS last_event_type
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+""",
+)
+def feature_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-value-per-entity snapshot (the online-store materialization
+    path): one window shuffle on the entity key, deterministic tiebreak
+    on (ts, event_id). At 100 TB this is the incremental-merge candidate;
+    the full-recompute form here is the correctness anchor."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("value").alias("last_value"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
