@@ -164,8 +164,49 @@ def udtf_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_ivf_topk",
-    # IVF is approximate (probed cells only) — no cross-engine oracle;
-    # recall vs brute force asserted in tests/test_similarity.py.
+    # IVF here is deterministic end-to-end (fixed centroids, no engine-
+    # specific hashing), so unlike LSH the oracle can replay the whole
+    # index: cell assignment, n_probe probing, exact top-k — approximate
+    # vs brute force, exact vs this definition.
+    oracle="""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings),
+cents AS (
+    SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+assigned AS (
+    SELECT vec_id, cent_id, v FROM (
+        SELECT e.vec_id, c.cent_id, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_inner_product(e.v, c.cv)
+                   / (SQRT(list_inner_product(e.v, e.v))
+                      * SQRT(list_inner_product(c.cv, c.cv))) DESC,
+                   c.cent_id) AS rn
+        FROM e CROSS JOIN cents c)
+    WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+probes AS (
+    SELECT query_id, cent_id, qv FROM (
+        SELECT q.query_id, c.cent_id, q.qv,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   list_inner_product(q.qv, c.cv)
+                   / (SQRT(list_inner_product(q.qv, q.qv))
+                      * SQRT(list_inner_product(c.cv, c.cv))) DESC,
+                   c.cent_id) AS rn
+        FROM q CROSS JOIN cents c)
+    WHERE rn <= 4),
+scored AS (
+    SELECT p.query_id, a.vec_id,
+           ROUND(list_inner_product(p.qv, a.v)
+                 / (SQRT(list_inner_product(p.qv, p.qv))
+                    * SQRT(list_inner_product(a.v, a.v))), 6) AS cos_sim
+    FROM probes p JOIN assigned a USING (cent_id))
+SELECT query_id, vec_id, cos_sim, rnk
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+""",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 for a 10-query batch: nearest-centroid cell

@@ -165,3 +165,66 @@ def feature_daily_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_type").alias("n_event_types"),
         )
     )
+
+
+@query(
+    "feature_gap_fill",
+    oracle="""
+WITH bounds AS (
+    SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+users AS (SELECT DISTINCT user_id FROM events),
+spine AS (
+    SELECT user_id,
+           CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM users, bounds),
+daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS spend
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+       COALESCE(d.spend, 0) AS spend,
+       COALESCE(LAST_VALUE(d.spend IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS ffill_spend
+FROM spine s LEFT JOIN daily d USING (user_id, day)
+""",
+)
+def feature_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily feature matrix: per-user date spine (sequence+explode
+    over the global range) left-joined to daily purchase spend, gaps
+    forward-filled with last(ignorenulls) — the training-data export
+    shape. The spine is generated, never materialized as input; the
+    window shuffles once on user_id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    bounds = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day.alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("spend")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("spend", F.lit(0.0)).alias("spend"),
+            F.coalesce(
+                F.last("spend", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("ffill_spend"),
+        )
+    )

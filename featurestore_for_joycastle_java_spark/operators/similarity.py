@@ -132,10 +132,43 @@ def ivf_topk(
             F.col("__rn") <= n
         )
 
-    assigned = nearest_cells(c, id_col, "__cv", 1).select(id_col, "cent_id", "__cv")
+    # assignment with ZERO shuffle: the centroid set rides along as one
+    # broadcast row holding a sorted array of (cent_id, vector, norm)
+    # structs, and the argmax runs as a per-row HOF fold — no explode, no
+    # window, no groupBy. (A window over the corpus×n_centroids expansion
+    # would shuffle+sort n_centroids× the corpus.) Ties: the fold keeps
+    # the FIRST max in cent_id order — highest cosine, lowest cent_id.
+    cents_row = (
+        cents.select(
+            F.struct(
+                F.col("cent_id"), F.col("__mv"), l2_norm(F.col("__mv")).alias("__mn")
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("__cents"))
+    )
+    with_norm = c.withColumn("__cn", l2_norm(F.col("__cv")))
+    init = F.struct(
+        F.lit(-2.0).alias("cs"), F.lit(None).cast("long").alias("cent_id")
+    )
+
+    def fold(acc, cent):
+        cs = dot(F.col("__cv"), cent["__mv"]) / (F.col("__cn") * cent["__mn"])
+        return F.when(
+            cs > acc["cs"], F.struct(cs.alias("cs"), cent["cent_id"].alias("cent_id"))
+        ).otherwise(acc)
+
+    assigned = (
+        with_norm.join(F.broadcast(cents_row))
+        .select(
+            id_col,
+            "__cv",
+            F.aggregate("__cents", init, fold)["cent_id"].alias("cent_id"),
+        )
+    )
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
     )
+    # the probe side is the (small) query batch — a window is fine here
     probes = nearest_cells(q, query_id_col, "__qv", n_probe).select(
         query_id_col, "cent_id", "__qv"
     )
