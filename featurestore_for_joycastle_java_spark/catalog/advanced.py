@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from featurestore_for_joycastle_java_spark.operators.relational import salted_join
+from featurestore_for_joycastle_java_spark.operators.relational import exact_sum, salted_join
 from featurestore_for_joycastle_java_spark.operators.similarity import ivf_topk
 from featurestore_for_joycastle_java_spark.registry import query
 from featurestore_for_joycastle_java_spark.sources import load_table
@@ -242,8 +242,7 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_cust"),
             F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(23,6)")).cast("double")
-                / F.count(F.lit(1)),
+                exact_sum(F.col("c_acctbal")) / F.count(F.lit(1)),
                 6,
             ).alias("avg_bal"),
             F.max("c_acctbal").alias("max_bal"),

@@ -9,6 +9,7 @@ from featurestore_for_joycastle_java_spark.operators.asof import (
     asof_join,
     sessionize,
 )
+from featurestore_for_joycastle_java_spark.operators.relational import exact_sum
 from featurestore_for_joycastle_java_spark.registry import query
 from featurestore_for_joycastle_java_spark.sources import load_table
 
@@ -161,7 +162,7 @@ def feature_daily_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("spend"),
+            exact_sum(F.col("value")).alias("spend"),
             F.countDistinct("event_type").alias("n_event_types"),
         )
     )
@@ -209,7 +210,7 @@ def feature_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", day.alias("day"))
         .agg(
-            F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("spend")
+            exact_sum(F.col("value")).alias("spend")
         )
     )
     w = (

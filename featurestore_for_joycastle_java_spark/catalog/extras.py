@@ -11,6 +11,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from featurestore_for_joycastle_java_spark.operators.relational import exact_sum
 from featurestore_for_joycastle_java_spark.operators.text import tokens
 from featurestore_for_joycastle_java_spark.registry import query
 from featurestore_for_joycastle_java_spark.sources import load_table, read_any, write_any
@@ -40,9 +41,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_supp"),
-            F.sum(F.col("s_acctbal").cast("decimal(23,6)"))
-            .cast("double")
-            .alias("total_bal"),
+            exact_sum(F.col("s_acctbal")).alias("total_bal"),
         )
     )
     return nation.join(
@@ -260,9 +259,7 @@ def formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = back.agg(
             F.lit(fmt).alias("fmt"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast("decimal(23,6)"))
-            .cast("double")
-            .alias("sum_qty"),
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
             F.countDistinct("l_returnflag").alias("n_flags"),
         ).select("fmt", "n_rows", "sum_qty", "n_flags")
         out = agg if out is None else out.unionAll(agg)

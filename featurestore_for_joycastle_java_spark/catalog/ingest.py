@@ -9,6 +9,7 @@ from featurestore_for_joycastle_java_spark.operators.ingest import (
     FIXTURE_EVENT_FIELDS,
     fixture_ingest,
 )
+from featurestore_for_joycastle_java_spark.operators.relational import exact_sum
 from featurestore_for_joycastle_java_spark.registry import query
 from featurestore_for_joycastle_java_spark.sources import load_table
 
@@ -57,7 +58,7 @@ def ingest_demux_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQLite tables would see, plus value totals. Partial (map-side) agg +
     final agg; one shuffle on the 5-value event_type key."""
     dwd = fixture_ingest(load_table(spark, sf_dir, "events"))
-    dsum = F.sum(F.col("event_value").cast("decimal(23,6)")).cast("double")
+    dsum = exact_sum(F.col("event_value"))
     n = F.count(F.lit(1))
     return dwd.groupBy("event_type").agg(
         n.alias("n_rows"),

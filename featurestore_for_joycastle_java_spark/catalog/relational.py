@@ -12,11 +12,13 @@ k) is deterministic across engines only when the data is exact k-decimal
 (the true sum then sits ON a grid point, never a midpoint). Derived money
 (price*(1-disc) is 4-decimal, *(1+tax) is 6-decimal) summed over large
 groups accumulates enough cross-engine summation-order error to straddle
-rounding midpoints. The bulletproof pattern used here: CAST to DECIMAL
-BEFORE summing — the decimal sum is exact and order-independent, then one
-cast to double is bit-identical in both engines. This is also the right
-answer at 100 TB (no silent cents drift); DECIMAL(23,6) sums widen to
-(33,6) in Spark — overflow at ~1e27, far beyond any real total.
+rounding midpoints. The bulletproof pattern used here: fixed-point exact
+summation (``operators.relational.exact_sum`` — semantics of SUM(CAST(x AS
+DECIMAL(_,6))), but on codegen'd long accumulators, ~4x faster than Spark's
+128-bit decimal sum), then one cast to double that is bit-identical in both
+engines. The DuckDB oracles keep the equivalent CAST-to-DECIMAL spelling.
+This is also the right answer at 100 TB (no silent cents drift): the long
+accumulators overflow only past ~1e13 rows per group.
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from featurestore_for_joycastle_java_spark.operators.relational import (
     broadcast_join,
+    exact_sum,
 )
 from featurestore_for_joycastle_java_spark.registry import query
 from featurestore_for_joycastle_java_spark.sources import load_table
@@ -56,8 +59,7 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side) + final aggregation — one shuffle on a 6-value key. The
     shipdate filter pushes to the parquet scan (PushedFilters)."""
     li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c: c.cast("decimal(23,6)")  # noqa: E731
-    dsum = lambda c: F.sum(dec(c)).cast("double")  # noqa: E731
+    dsum = exact_sum
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     n = F.count(F.lit(1))
     return (
@@ -207,8 +209,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     std gets a 4dp snap — safe because both sides agree to ~1e-9. Median =
     interpolated percentile (same type-7 definition as quantile_cont)."""
     c = F.col("c_acctbal")
-    sx = F.sum(c.cast("decimal(23,6)")).cast("double")
-    sx2 = F.sum((c * c).cast("decimal(29,8)")).cast("double")
+    sx = exact_sum(c)
+    sx2 = exact_sum(c * c, dp=8)
     n = F.count(F.lit(1))
     return (
         load_table(spark, sf_dir, "customer")
@@ -260,13 +262,9 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(23,6)"
-                )
-            )
-            .cast("double")
-            .alias("revenue")
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -321,13 +319,9 @@ def tpch_q5_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(23,6)"
-                )
-            )
-            .cast("double")
-            .alias("revenue")
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
         )
     )
 
@@ -551,11 +545,9 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(23,6)")
-            )
-            .cast("double")
-            .alias("revenue"),
+            exact_sum(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )

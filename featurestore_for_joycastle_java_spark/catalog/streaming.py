@@ -6,17 +6,38 @@ DuckDB. Batch/stream equivalence IS the check."""
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from featurestore_for_joycastle_java_spark import streaming as ST
+from featurestore_for_joycastle_java_spark.operators.relational import exact_sum
 from featurestore_for_joycastle_java_spark.registry import query
 
 
 def _run(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFrame:
+    """Drain a stream to a memory sink and return it as a batch DataFrame.
+
+    Stateful streaming cost scales with shuffle partitions — every partition
+    gets its own state-store instance (and, for applyInPandasWithState, its
+    own Python worker), and unlike batch shuffles AQE cannot coalesce them
+    because the partitioning is pinned by the state store. Draining the
+    small fixture across the session's 32 partitions spends 4x longer on
+    store/worker setup than on data, so streaming drains run at a narrower
+    width (default 8, env-tunable). On a real cluster size this to
+    state-volume / executor-memory, not to the batch shuffle width.
+    """
     name = "st_" + uuid.uuid4().hex[:12]
-    ST.drain_to_memory(stream_df, name, output_mode=mode)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
+    )
+    try:
+        ST.drain_to_memory(stream_df, name, output_mode=mode)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -37,7 +58,7 @@ def stream_drain_demux_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = ST.file_stream_source(spark, sf_dir)
     agg = src.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("sum_value"),
+        exact_sum(F.col("value")).alias("sum_value"),
     )
     return _run(spark, agg, "complete")
 

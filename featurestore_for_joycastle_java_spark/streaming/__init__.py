@@ -29,6 +29,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from featurestore_for_joycastle_java_spark.operators.relational import exact_sum
+
 from featurestore_for_joycastle_java_spark.schemas import EVENTS
 
 
@@ -122,7 +124,7 @@ def tumbling_counts(
         .groupBy(F.window(F.col(ts_col), window), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("sum_value"),
+            exact_sum(F.col("value")).alias("sum_value"),
         )
     )
 
