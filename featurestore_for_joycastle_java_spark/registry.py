@@ -40,6 +40,8 @@ _CATALOG_MODULES = [
     "multimodal",
     "extras",
     "advanced",
+    "tpch",
+    "training",
 ]
 
 
