@@ -229,3 +229,55 @@ def feature_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ffill_spend"),
         )
     )
+
+
+@query(
+    "feature_rollup_multires",
+    oracle="""
+WITH e AS (
+    SELECT event_type, value,
+           DATE_TRUNC('hour', ts)  AS h,
+           DATE_TRUNC('day', ts)   AS d,
+           DATE_TRUNC('month', ts) AS m
+    FROM events)
+SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+            WHEN GROUPING(d) = 0 THEN 'day'
+            ELSE 'month' END AS resolution,
+       strftime(COALESCE(h, d, m), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS sum_value
+FROM e
+GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (m, event_type))
+""",
+)
+def feature_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour/day/month continuous
+    aggregates of the event stream in ONE grouping-sets pass — one scan,
+    one shuffle, partial aggregation shared across resolutions (vs three
+    separate jobs re-reading the fact table). GROUPING() disambiguates the
+    levels; the bucket column carries whichever truncation is live.
+
+    At 100 TB this is the precomputed-rollup pattern: land the output
+    partitioned by (resolution, month(bucket)) and dashboards prune to one
+    resolution's partitions."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("v_events_rollup")
+    return spark.sql(
+        """
+        WITH e AS (
+            SELECT event_type, value,
+                   DATE_TRUNC('hour', ts)  AS h,
+                   DATE_TRUNC('day', ts)   AS d,
+                   DATE_TRUNC('month', ts) AS m
+            FROM v_events_rollup)
+        SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                    WHEN GROUPING(d) = 0 THEN 'day'
+                    ELSE 'month' END AS resolution,
+               DATE_FORMAT(COALESCE(h, d, m), 'yyyy-MM-dd HH:mm:ss') AS bucket,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS sum_value
+        FROM e
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (m, event_type))
+        """
+    )

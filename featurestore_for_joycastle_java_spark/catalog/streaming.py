@@ -202,3 +202,44 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_distinct_users")
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT p.user_id,
+       p.event_id AS p_event_id,
+       c.event_id AS c_event_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+  AND c.event_type = 'click'
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases joined to the
+    clicks that follow them within an hour (attribution-window shape).
+    With an availableNow drain both sides land in one micro-batch, so the
+    result provably equals the batch interval join — which is exactly
+    what the oracle runs."""
+    p = ST.file_stream_source(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ST.file_stream_source(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = ST.stream_stream_interval_join(
+        p, c, "user_id", "c_user_id", "p_ts", "c_ts", within="1 hour"
+    )
+    out = _run(spark, j, "append")
+    return out.select("user_id", "p_event_id", "c_event_id")

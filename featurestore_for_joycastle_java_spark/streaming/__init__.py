@@ -213,3 +213,35 @@ def dedup_within_watermark(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right events joined to left
+    events with the same key where ``left_ts <= right_ts <= left_ts +
+    within``. Column names must already be distinct across the two sides
+    (rename before calling).
+
+    Both sides carry watermarks and the join condition bounds event time
+    in both directions, so each side's buffered state is freed once the
+    other side's watermark passes the interval — state is
+    O(rate x (within + watermark)) per side, never unbounded. This is the
+    streaming shape of the as-of/range join family: at 100 TB/day the
+    join shuffles both streams on the key once per micro-batch."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    return lw.join(
+        rw,
+        F.expr(
+            f"{left_key} = {right_key} AND {right_ts} >= {left_ts} "
+            f"AND {right_ts} <= {left_ts} + interval {within}"
+        ),
+    )
