@@ -41,6 +41,7 @@ _CATALOG_MODULES = [
     "extras",
     "advanced",
     "tpch",
+    "tpch3",
     "training",
 ]
 
