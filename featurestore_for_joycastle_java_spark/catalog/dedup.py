@@ -132,3 +132,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(e, threshold=0.4)
+
+
+@query(
+    "dedup_cc_clusters",
+    oracle=f"""
+WITH RECURSIVE
+t AS (
+    SELECT doc_id, {_TOKSET} AS toks
+    FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE ROUND(CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (LEN(a.toks) + LEN(b.toks) - LEN(list_intersect(a.toks, b.toks))), 6)
+          >= 0.6),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+    SELECT doc_id AS node, doc_id AS comp FROM t
+    UNION
+    SELECT e.dst AS node, r.comp AS comp
+    FROM reach r JOIN edges e ON e.src = r.node),
+cc AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY 1)
+SELECT doc_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+FROM cc
+""",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: exact Jaccard edges (≥0.6,
+    three sources) fed into iterative min-label propagation — the step a
+    real corpus dedup needs between candidate pairs and "keep one doc per
+    group". The oracle computes the same fixpoint via a recursive CTE;
+    both converge to the unique min-reachable-id labeling, so the match
+    is exact despite completely different algorithms. Isolated docs form
+    singleton clusters (n_members = 1)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    edges = D.token_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    cc = D.connected_components(docs, edges, id_col="doc_id")
+    from pyspark.sql import Window
+
+    return cc.withColumn(
+        "n_members",
+        F.count(F.lit(1)).over(Window.partitionBy("component")),
+    )

@@ -295,3 +295,58 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", dist.alias("jaccard_dist"))
         .filter(F.col("jaccard_dist") <= max_jaccard_distance)
     )
+
+
+# --- Connected components (near-dup clusters) -------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Group near-dup PAIRS into dedup CLUSTERS: connected components by
+    iterative min-label propagation. Each node starts labeled with its own
+    id; every round each node takes the min label over itself and its
+    neighbors; fixpoint = every node labeled with the min id reachable in
+    its component.
+
+    ``edges`` is (id_a, id_b) undirected (extra columns ignored); isolated
+    nodes keep their own id as the component. Output: (id_col, component).
+
+    Scale design: one shuffle-join + one groupBy per round, each O(|E|);
+    rounds = graph diameter, which for near-dup graphs is tiny (clusters
+    are dense cliques-ish, diameter ~2-4). ``localCheckpoint`` truncates
+    the growing lineage each round so plan size stays constant; the only
+    driver-side value per round is the 1-row convergence count. The loop
+    is control flow, not data flow — the per-round work is fully
+    distributed (this is GraphFrames' CC shape without the dependency)."""
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    comp = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(comp, sym.src == comp.node)
+            .select(F.col("dst").alias("node"), "comp")
+        )
+        new_comp = (
+            comp.union(nbr_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp.select(F.col("node").alias(id_col), F.col("comp").alias("component"))
