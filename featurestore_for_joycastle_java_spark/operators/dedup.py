@@ -315,19 +315,29 @@ def connected_components(
     ``edges`` is (id_a, id_b) undirected (extra columns ignored); isolated
     nodes keep their own id as the component. Output: (id_col, component).
 
-    Scale design: one shuffle-join + one groupBy per round, each O(|E|);
-    rounds = graph diameter, which for near-dup graphs is tiny (clusters
-    are dense cliques-ish, diameter ~2-4). ``localCheckpoint`` truncates
-    the growing lineage each round so plan size stays constant; the only
-    driver-side value per round is the 1-row convergence count. The loop
-    is control flow, not data flow — the per-round work is fully
-    distributed (this is GraphFrames' CC shape without the dependency)."""
-    sym = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    comp = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    Scale design: the (usually expensive) candidate-pair plan behind
+    ``edges`` is materialized ONCE via ``localCheckpoint`` — without it,
+    lazy evaluation re-runs that whole plan every round. The label loop
+    runs only over nodes that appear in some edge (isolated nodes can
+    never change label; they are stitched back at the end with their own
+    id), so per-round cost is one shuffle-join + one groupBy over O(|E|),
+    not O(|V|); rounds = graph diameter, which for near-dup graphs is
+    tiny (clusters are dense cliques-ish, diameter ~2-4).
+    ``localCheckpoint`` also truncates the growing lineage each round so
+    plan size stays constant; the only driver-side value per round is the
+    1-row convergence count. The loop is control flow, not data flow —
+    the per-round work is fully distributed (this is GraphFrames' CC
+    shape without the dependency)."""
+    half = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    comp = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         nbr_min = (
             sym.join(comp, sym.src == comp.node)
@@ -349,4 +359,11 @@ def connected_components(
         comp = new_comp
         if changed == 0:
             break
-    return comp.select(F.col("node").alias(id_col), F.col("comp").alias("component"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("comp", F.col("node")).alias("component"),
+        )
+    )
