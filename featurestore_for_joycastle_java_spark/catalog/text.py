@@ -113,6 +113,104 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer (GPT-2 style, simplified): a token is an optionally
+# space-prefixed letter run, digit run, or punctuation run, else a whitespace
+# run. Deliberately lookahead-free so Java regex (Spark) and RE2 (DuckDB)
+# produce identical leftmost-first matches.
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=f"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+           AS INT) AS n_pieces,
+       CAST(LEN(list_filter(
+               regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'),
+               x -> NOT regexp_matches(x, '^\\s+$')))
+           AS INT) AS n_word_pieces,
+       CAST(LEN({_TOKS}) AS INT) AS n_ws_tokens
+FROM documents
+""",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north star: "whitespace + a BPE-ish
+    regex"): a GPT-2-style pre-tokenizer regex (letter/digit/punct runs
+    with optional leading space) next to plain whitespace tokens. All in
+    codegen — ``regexp_extract_all`` + higher-order ``filter``, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(
+            F.filter(pieces, lambda x: ~x.rlike(r"^\s+$"))
+        ).alias("n_word_pieces"),
+        T.token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY 1, 2),
+dfq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+    FROM tf t JOIN dfq d USING (term) CROSS JOIN n),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+    FROM scored)
+SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rk <= 5
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document. Plan shape for scale: tf is one
+    map-side-combined groupBy on (doc, term); df is a second combine on
+    term; the corpus size joins in as a broadcast 1-row aggregate (no
+    driver-side count()); ranking is a bounded per-doc window. Ordering
+    is on the ROUNDED score with a term tie-break so both engines pick
+    the identical top-5 set."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .drop("rk")
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""
