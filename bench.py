@@ -43,10 +43,11 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
-    for t in ("region", "events"):
-        load_table(spark, sf_dir, t).write.format("noop").mode(
-            "overwrite"
-        ).save()
+    for f in sorted(os.listdir(sf_dir)):
+        if f.endswith(".parquet"):
+            load_table(spark, sf_dir, f[: -len(".parquet")]).write.format(
+                "noop"
+            ).mode("overwrite").save()
 
     names = [n for n in sorted(QUERIES) if n not in BENCH_SKIP]
     timings: dict[str, float] = {}

@@ -231,3 +231,80 @@ def train_zscore_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((c - mean) / std, 6).alias("z_acctbal"),
         )
     )
+
+
+@query(
+    "train_source_mix",
+    oracle="""
+SELECT doc_id, source, bucket
+FROM (SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 AS bucket,
+             CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 80
+                         WHEN 'src2' THEN 60 WHEN 'src3' THEN 40
+                         WHEN 'src4' THEN 20 ELSE 10 END AS rate
+      FROM documents)
+WHERE bucket < rate
+""",
+)
+def train_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing — the pretraining-mix staple: sample each
+    source at its own rate (here src0..src4 at 100/80/60/40/20%, long
+    tail at 10%) with a content-addressed md5 bucket, so the mix is
+    deterministic across reruns, re-shards, and engines (no seeded
+    sample()). Narrow per-row expressions only — no shuffle at all, and
+    the rate table is a literal CASE, so at 100 TB this is a pure scan
+    whose output size is the weighted sum of the inputs."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("source") == "src0", 100)
+        .when(F.col("source") == "src1", 80)
+        .when(F.col("source") == "src2", 60)
+        .when(F.col("source") == "src3", 40)
+        .when(F.col("source") == "src4", 20)
+        .otherwise(10)
+    )
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .drop("rate")
+    )
+
+
+@query(
+    "train_dataset_card",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN(list_filter(str_split(lower(text), ' '), x -> x <> '')))
+           AS BIGINT) AS total_tokens,
+       CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       ROUND(CAST(SUM(LEN(list_filter(str_split(lower(text), ' '),
+                                      x -> x <> ''))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_tokens
+FROM documents
+GROUP BY source
+""",
+)
+def train_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-composition card: per-source doc/token/byte totals and
+    language coverage — the report every corpus release ships with. One
+    map-side-combined groupBy on the (low-cardinality) source key; token
+    counts are codegen HOFs, so the scan stays JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.sum(F.octet_length("text").cast("long")).alias("total_bytes"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.sum(n_tok).cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_tokens"
+        ),
+    )
