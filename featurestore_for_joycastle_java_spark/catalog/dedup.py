@@ -181,3 +181,36 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.count(F.lit(1)).over(Window.partitionBy("component")),
     )
+
+
+@query(
+    "dedup_pipeline_lsh",
+    # LSH candidate recall is engine-specific (seedless but not SQL-
+    # expressible) — driver records the rows-only check; determinism and
+    # cluster sanity are pinned by tests/test_dedup.py.
+)
+def dedup_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale dedup pipeline END-TO-END: MinHash-LSH candidate
+    pairs (near-linear, exact-verified) → connected-components clustering
+    → survivor retention. Survivor = longest doc per cluster (quality
+    heuristic), min doc_id tie-break — both deterministic, so reruns and
+    engines agree on the exact keep/purge sets. Every stage is the scale
+    path: banded LSH instead of all-pairs, diameter-bounded label
+    propagation instead of a driver-side union-find, one window over the
+    clustered docs for retention."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", max_jaccard_distance=0.4
+    )
+    cc = D.connected_components(docs, pairs, id_col="doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(cc, "doc_id")
+        .withColumn("is_survivor", F.row_number().over(w) == 1)
+        .select("doc_id", "component", "source", "is_survivor")
+    )

@@ -88,3 +88,42 @@ def test_minhash_deterministic_across_runs(spark, sf_dir):
     p1 = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text").collect()))
     p2 = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text").collect()))
     assert p1 == p2
+
+
+def test_connected_components_isolated_and_chain(spark):
+    from featurestore_for_joycastle_java_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(6)], ["doc_id"]
+    )
+    # chain 0-1-2, pair 3-4, isolated 5
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5)}
+
+
+def test_dedup_pipeline_lsh_sane_and_deterministic(spark):
+    from featurestore_for_joycastle_java_spark.catalog.dedup import (
+        dedup_pipeline_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    a = dedup_pipeline_lsh(spark, sf).collect()
+    # every doc appears exactly once
+    assert len(a) == n_docs
+    # exactly one survivor per cluster
+    per_comp: dict = {}
+    for r in a:
+        per_comp.setdefault(r["component"], []).append(r["is_survivor"])
+    assert all(sum(v) == 1 for v in per_comp.values())
+    # deterministic across runs (seedless hashing + explicit tie-breaks)
+    b = dedup_pipeline_lsh(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
