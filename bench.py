@@ -59,16 +59,37 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
     total = round(time.monotonic() - t_suite, 3)
 
+    # Full per-query map goes to a file; the one printed line stays compact
+    # (the driver captures a bounded amount of stdout — r1's 108-entry line
+    # got tail-truncated to "parsed": null).
+    full = {
+        "metric": "bench_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(names),
+        "skipped": sorted(BENCH_SKIP),
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "bench_suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": slowest,
+                "sf": full["sf"],
                 "n_queries": len(names),
-                "skipped": sorted(BENCH_SKIP),
+                "full": "bench_queries.json",
             }
         )
     )

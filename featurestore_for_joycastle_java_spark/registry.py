@@ -27,22 +27,30 @@ ORACLES: dict[str, str] = {}
 BENCH_SKIP: set[str] = set()
 
 #: Catalog modules; each registers its queries at import time.
+#:
+#: ORDER MATTERS for the driver: its correctness file records the first 50
+#: registered queries only. Round 1 verified the first 50 (ingest through
+#: text_lang_id); those stay protected by tests/test_oracle_parity.py, so
+#: round 2 rotates the then-unverified modules (streaming, similarity,
+#: multimodal, training, extras, advanced, tpch, tpch3) plus this round's
+#: new queries (round2) to the front for fresh driver verdicts.
 _CATALOG_MODULES = [
+    "round2",
+    "streaming",
+    "similarity",
+    "multimodal",
+    "training",
+    "extras",
+    "advanced",
+    "tpch",
+    "tpch3",
+    "text",
+    "dedup",
     "ingest",
     "relational",
     "windows",
     "scalars",
     "asof",
-    "dedup",
-    "text",
-    "similarity",
-    "streaming",
-    "multimodal",
-    "extras",
-    "advanced",
-    "tpch",
-    "tpch3",
-    "training",
 ]
 
 
