@@ -41,46 +41,76 @@ def punct_ratio(col: Column) -> Column:
     return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(F.lit(0.0))
 
 
+def _bind_tokens(col: Column, build) -> Column:
+    """Tokenize ``col`` ONCE and apply ``build(token_array)``.
+
+    Catalyst does no common-subexpression elimination across HOF lambda
+    boundaries (same trap documented in ``shingles``): a scorer that
+    references ``tokens(col)`` k times re-tokenizes the document k times.
+    Routing through a single-element ``transform`` lambda pins the token
+    array to one evaluation per row, whatever ``build`` does with it."""
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
+
+
+def _hits_in(tk: Column, stopwords: list[str]) -> Column:
+    """Stopword hits (with repeats) over an already-bound token array."""
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tk, lambda x: F.array_contains(arr, x)))
+
+
 def stopword_hits(col: Column, stopwords: list[str]) -> Column:
     """How many tokens are in the stopword set (with repeats)."""
-    arr = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(F.filter(tokens(col), lambda x: F.array_contains(arr, x)))
+    return _hits_in(tokens(col), stopwords)
 
 
 def quality_score(col: Column) -> Column:
     """Heuristic quality in [0,1]: length credit + stopword-presence credit
-    - punctuation-spam penalty. Deterministic double arithmetic."""
-    n_tok = token_count(col)
-    length_credit = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    stop_ratio = F.when(
-        n_tok > 0, stopword_hits(col, LANG_STOPWORDS["en"]) / n_tok
-    ).otherwise(F.lit(0.0))
-    stop_credit = F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
-    return F.round(
-        F.lit(0.5) * length_credit
-        + F.lit(0.3) * stop_credit
-        + F.lit(0.2) * (F.lit(1.0) - punct_ratio(col)),
-        6,
-    )
+    - punctuation-spam penalty. Deterministic double arithmetic. The token
+    array is bound once (see ``_bind_tokens``) so the tokenizer runs once
+    per row, not once per sub-score."""
+
+    def build(tk: Column) -> Column:
+        n_tok = F.size(tk)
+        length_credit = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        stop_ratio = F.when(
+            n_tok > 0, _hits_in(tk, LANG_STOPWORDS["en"]) / n_tok
+        ).otherwise(F.lit(0.0))
+        stop_credit = F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+        return F.round(
+            F.lit(0.5) * length_credit
+            + F.lit(0.3) * stop_credit
+            + F.lit(0.2) * (F.lit(1.0) - punct_ratio(col)),
+            6,
+        )
+
+    return _bind_tokens(col, build)
 
 
 def lang_id(col: Column) -> Column:
     """Language-ID heuristic: CJK script check first, then argmax of
     stopword-profile hits with a fixed priority order (en > fr > es > de)
-    on ties — deterministic by construction."""
-    scores = {lang: stopword_hits(col, sw) for lang, sw in LANG_STOPWORDS.items()}
-    return (
-        F.when(col.rlike(_ZH_CLASS), F.lit("zh"))
-        .when(
-            (scores["en"] >= scores["fr"])
-            & (scores["en"] >= scores["es"])
-            & (scores["en"] >= scores["de"]),
-            F.lit("en"),
+    on ties — deterministic by construction. All four profiles score the
+    same bound token array (one tokenize per row, not four)."""
+
+    def build(tk: Column) -> Column:
+        scores = {lang: _hits_in(tk, sw) for lang, sw in LANG_STOPWORDS.items()}
+        return (
+            F.when(col.rlike(_ZH_CLASS), F.lit("zh"))
+            .when(
+                (scores["en"] >= scores["fr"])
+                & (scores["en"] >= scores["es"])
+                & (scores["en"] >= scores["de"]),
+                F.lit("en"),
+            )
+            .when(
+                (scores["fr"] >= scores["es"]) & (scores["fr"] >= scores["de"]),
+                F.lit("fr"),
+            )
+            .when(scores["es"] >= scores["de"], F.lit("es"))
+            .otherwise(F.lit("de"))
         )
-        .when((scores["fr"] >= scores["es"]) & (scores["fr"] >= scores["de"]), F.lit("fr"))
-        .when(scores["es"] >= scores["de"], F.lit("es"))
-        .otherwise(F.lit("de"))
-    )
+
+    return _bind_tokens(col, build)
 
 
 def fingerprint(col: Column) -> Column:
