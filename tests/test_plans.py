@@ -122,3 +122,15 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_scalable_rank_window_is_partitioned(spark, sf_dir):
+    # the scale-safe rank twin must run its fact-table window hash-
+    # partitioned on the range bucket; only the tiny frames (32 bucket
+    # counts, 25 distinct nations) may see a SinglePartition window
+    plan = plan_of(spark, sf_dir, "window_rank_scalable")
+    assert "hashpartitioning(_bucket" in plan, (
+        "fact-table row_number window should be partitioned by range bucket"
+    )
+    # offsets come back via broadcast, not another shuffle of the fact
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,93 @@
+"""Unit semantics for the scale-safe rank operators (operators/ranks.py).
+
+The oracle-parity suite pins window_rank_scalable against DuckDB at
+sf0.001/0.01, but both fixtures have row counts divisible by 4 — these
+micro-tests cover the uneven-tile branch, constant-value bucketing, and
+agreement with Spark's own one-task window functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from featurestore_for_joycastle_java_spark.operators.ranks import (
+    dense_rank_low_card,
+    global_row_number,
+    ntile_from_rank,
+)
+
+
+def _ranked(spark, rows, n_buckets=4):
+    df = spark.createDataFrame(rows, "id int, v double")
+    return global_row_number(
+        df, "v", ["id"], out_col="rn", n_buckets=n_buckets
+    )
+
+
+def test_global_row_number_matches_window(spark):
+    rows = [(i, float((i * 7919) % 97)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    got = {
+        r["id"]: r["rn"]
+        for r in _ranked(spark, rows, n_buckets=8).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_all_equal_values(spark):
+    # span == 0: every row lands in bucket 0 and tiebreak orders them
+    rows = [(i, 5.0) for i in range(10)]
+    got = sorted(
+        (r["id"], r["rn"]) for r in _ranked(spark, rows).collect()
+    )
+    assert got == [(i, i + 1) for i in range(10)]
+
+
+def test_ntile_uneven(spark):
+    # n=10, t=4 -> NTILE sizes 3,3,2,2 (first n%t tiles get the extra row)
+    rows = [(i, float(i)) for i in range(10)]
+    out = _ranked(spark, rows).select(
+        "id", ntile_from_rank(F.col("rn"), F.col("_n_total"), 4).alias("t")
+    )
+    got = {r["id"]: r["t"] for r in out.collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 3, 7: 3, 8: 4, 9: 4}
+
+
+def test_ntile_matches_spark_many_shapes(spark):
+    for n, t in [(7, 4), (13, 5), (4, 4), (3, 4), (97, 8)]:
+        rows = [(i, float((i * 31) % 41)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id int, v double")
+        want = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", F.ntile(t).over(Window.orderBy("v", "id")).alias("t")
+            ).collect()
+        }
+        out = _ranked(spark, rows).select(
+            "id",
+            ntile_from_rank(F.col("rn"), F.col("_n_total"), t).alias("t"),
+        )
+        got = {r["id"]: r["t"] for r in out.collect()}
+        assert got == want, f"ntile mismatch at n={n} t={t}"
+
+
+def test_dense_rank_low_card(spark):
+    rows = [(i, float(i % 3) * 10) for i in range(9)]
+    df = spark.createDataFrame(rows, "id int, k double")
+    want = {
+        r["id"]: r["dr"]
+        for r in df.withColumn(
+            "dr", F.dense_rank().over(Window.orderBy("k"))
+        ).collect()
+    }
+    got = {
+        r["id"]: r["dr"]
+        for r in dense_rank_low_card(df, "k", "dr").collect()
+    }
+    assert got == want
