@@ -63,3 +63,98 @@ def window_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rk / n).alias("bal_cume_dist"),
         "nation_rank",
     )
+
+
+@query(
+    "agg_approx_distinct_bounded",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-error check for the HLL path (r1's ``agg_approx_distinct``
+    was rows-only): per event type, |approx - exact| / exact must stay
+    within 5% (2.5x the rsd=0.02 sketch bound; measured max 0.4% at
+    sf0.1). The oracle asserts the bound by construction — if the sketch
+    drifts past 5% the boolean flips and the value-hash fails. Exact count
+    rides along so the row is still anchored to real data."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+    )
+
+
+@query(
+    "dedup_pipeline_exact",
+    oracle="""
+WITH RECURSIVE
+t AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '')) AS toks
+    FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE ROUND(CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (LEN(a.toks) + LEN(b.toks) - LEN(list_intersect(a.toks, b.toks))), 6)
+          >= 0.6),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+    SELECT doc_id AS node, doc_id AS comp FROM t
+    UNION
+    SELECT e.dst AS node, r.comp AS comp
+    FROM reach r JOIN edges e ON e.src = r.node),
+cc AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY 1)
+SELECT d.doc_id, cc.component, d.source,
+       (ROW_NUMBER() OVER (PARTITION BY cc.component
+                           ORDER BY d.n_chars DESC, d.doc_id) = 1)
+           AS is_survivor
+FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+""",
+)
+def dedup_pipeline_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline with a FULL oracle (r1's
+    ``dedup_pipeline_lsh`` is rows-only because LSH candidate recall is
+    engine-local): exact-Jaccard edges (>= 0.6, three sources) -> min-label
+    connected components -> survivor retention (longest doc per cluster,
+    min doc_id tiebreak). Same clustering + retention code path as the LSH
+    pipeline, so the stages LSH can't oracle-check get their exact check
+    here; the oracle replays every stage as a recursive CTE + window."""
+    from featurestore_for_joycastle_java_spark.operators import dedup as D
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    edges = D.token_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    cc = D.connected_components(docs, edges, id_col="doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(cc, "doc_id")
+        .withColumn("is_survivor", F.row_number().over(w) == 1)
+        .select("doc_id", "component", "source", "is_survivor")
+    )
