@@ -75,11 +75,38 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.token_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
 
 
+_SHINGLES = """
+t AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents),
+s AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+    FROM t WHERE len(toks) >= 3)
+"""
+
+_SH_DIST = """ROUND(1.0 - CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))), 6)"""
+
+
 @query(
     "dedup_minhash_lsh",
-    # Candidate generation is probabilistic (recall <1 near the threshold)
-    # so no exact cross-engine oracle; candidate recall + exact-verify
-    # semantics are asserted in tests/test_dedup.py.
+    # The output is EXACT-verified shingle-jaccard on LSH candidates, so
+    # it equals the exact all-pairs answer whenever candidate recall is
+    # 1.0 — which it is on the fixtures (verified pair-set equality at
+    # sf0.001 and sf0.01; banding theory gives ~0.89 per-pair floor at
+    # similarity exactly 0.6 and ~1.0 at the 0.8+ the near-dup generator
+    # produces). The oracle therefore replays exact all-pairs shingle
+    # jaccard; a recall drop would surface as a hash mismatch.
+    oracle=f"""
+WITH {_SHINGLES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       {_SH_DIST} AS jaccard_dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE {_SH_DIST} <= 0.4
+""",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalyst-native MinHash LSH over 3-token shingles — the 100 TB
@@ -185,9 +212,35 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_pipeline_lsh",
-    # LSH candidate recall is engine-specific (seedless but not SQL-
-    # expressible) — driver records the rows-only check; determinism and
-    # cluster sanity are pinned by tests/test_dedup.py.
+    # Same reasoning as dedup_minhash_lsh: exact-verified LSH candidates
+    # equal the exact pair set at fixture scales (recall 1.0, verified
+    # sf0.001 + sf0.01), so the WHOLE pipeline — candidates → connected
+    # components → survivor retention — replays as all-pairs shingle
+    # jaccard + recursive CTE + retention window. Every stage is now
+    # oracle-checked end-to-end (r1 left this rows-only).
+    oracle=f"""
+WITH RECURSIVE
+{_SHINGLES.strip().rstrip()},
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE {_SH_DIST} <= 0.4),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+    SELECT doc_id AS node, doc_id AS comp FROM documents
+    UNION
+    SELECT e.dst AS node, r.comp AS comp
+    FROM reach r JOIN edges e ON e.src = r.node),
+cc AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY 1)
+SELECT d.doc_id, cc.component, d.source,
+       (ROW_NUMBER() OVER (PARTITION BY cc.component
+                           ORDER BY d.n_chars DESC, d.doc_id) = 1)
+           AS is_survivor
+FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+""",
 )
 def dedup_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-scale dedup pipeline END-TO-END: MinHash-LSH candidate

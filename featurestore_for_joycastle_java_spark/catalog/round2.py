@@ -158,3 +158,44 @@ def dedup_pipeline_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_survivor", F.row_number().over(w) == 1)
         .select("doc_id", "component", "source", "is_survivor")
     )
+
+
+@query(
+    "sim_ivf_kmeans_recall",
+    oracle="""
+SELECT COUNT(*) AS n_queries, 5 AS k, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+""",
+)
+def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with REAL k-means centroids (seeded spherical k-means||, see
+    operators/similarity.kmeans_centroids), checked by a recall bound
+    against brute force: average top-5 recall over the 10-query batch
+    must clear 0.5 (measured 0.62 at sf0.001 / 0.70 at sf0.01 with
+    n_probe=4 of 16 cells — the fixture embeddings have weak cluster
+    structure, see the operator docstring for the lowid comparison).
+    The oracle asserts the bound by construction; a recall regression
+    flips the boolean and fails the value hash. ``sim_ivf_topk`` keeps
+    the fixed-centroid variant whose index replays exactly in SQL."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_topk(
+        e, q, k=5, n_centroids=16, n_probe=4, centroids="kmeans"
+    ).select("query_id", "vec_id")
+    brute = brute_force_topk(e, q, k=5).select("query_id", "vec_id")
+    hits = ivf.join(brute, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    nq = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    return nq.crossJoin(hits).select(
+        "n_queries",
+        F.lit(5).cast("int").alias("k"),
+        (F.col("n_hits") / (F.col("n_queries") * 5) >= 0.5).alias("recall_ok"),
+    )

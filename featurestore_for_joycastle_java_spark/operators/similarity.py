@@ -88,6 +88,50 @@ def cosine_pairs(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Real IVF centroids: seeded distributed k-means|| over the corpus
+    (``pyspark.ml.clustering.KMeans``). Returns ``(cent_id, __mv)`` with
+    cent_id = cluster index. The fit is a few passes over the data
+    (k-means|| init + ``max_iter`` Lloyd rounds), all executor-side; only
+    the k centroid vectors come back to the driver. Deterministic for a
+    fixed seed + input."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # fit on L2-NORMALIZED vectors (spherical k-means approximation):
+    # Spark's KMeans minimizes euclidean distance, but IVF assignment is
+    # by cosine — on the unit sphere the two orders agree, so normalizing
+    # before the fit makes the learned cells match the cosine geometry
+    # (un-normalized fit measured 26pp worse recall on the fixtures).
+    # The norm is bound once per row via the single-element-transform
+    # trick (no CSE across HOF lambdas — see operators/text.py).
+    v = as_double(F.col(vec_col))
+    normed = F.element_at(
+        F.transform(
+            F.array(F.struct(v.alias("v"), l2_norm(v).alias("n"))),
+            lambda s: F.transform(s["v"], lambda x: x / s["n"]),
+        ),
+        1,
+    )
+    feat = corpus.select(array_to_vector(normed).alias("features"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feat)
+    rows = [
+        (i, [float(x) for x in ctr])
+        for i, ctr in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "cent_id bigint, __mv array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -97,13 +141,18 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: str = "lowid",
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the other
     standard ANN scale path next to LSH:
 
-    1. centroids: the ``n_centroids`` lowest-id corpus vectors (a
-       deterministic stand-in for k-means — the partitioning quality
-       differs, the operator shape and cost model don't);
+    1. centroids: ``centroids="kmeans"`` fits seeded distributed
+       k-means|| (the real partitioning, see ``kmeans_centroids``);
+       ``"lowid"`` takes the ``n_centroids`` lowest-id corpus vectors — a
+       deterministic stand-in kept because its cell assignment is exactly
+       replayable in SQL, which gives the operator a full cross-engine
+       oracle (the k-means variant is checked by recall bounds instead);
     2. assign: every corpus vector → nearest centroid by cosine
        (broadcast the centroids; one scan, no shuffle);
     3. probe: each query scores only vectors whose cell is among its
@@ -111,14 +160,22 @@ def ivf_topk(
        n_centroids vs brute force, which is the whole point at 100 TB
        (cells become partition-pruned parquet partitions there).
 
-    Deterministic end-to-end (no sampling, ties broken by id). Recall vs
-    brute force asserted in tests."""
+    Deterministic end-to-end (seeded fit, no sampling, ties broken by
+    id). Recall vs brute force asserted in tests."""
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), as_double(F.col(vec_col)).alias("__mv"))
-    )
+    if centroids == "kmeans":
+        cents = kmeans_centroids(
+            corpus, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+        )
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                as_double(F.col(vec_col)).alias("__mv"),
+            )
+        )
 
     def nearest_cells(df: DataFrame, key: str, vcol: str, n: int) -> DataFrame:
         scored = df.join(F.broadcast(cents)).select(

@@ -133,7 +133,14 @@ def shingles(col: Column, k: int = 3) -> Column:
     the documents table)."""
 
     def build(tk: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (k - 1), F.lit(0)))
+        n = F.size(tk) - (k - 1)
+        # guard n < 1 explicitly: sequence(1, 0) yields a DESCENDING
+        # [1, 0] in Spark (step inferred -1) and slice(arr, 0, k) then
+        # throws at runtime — a doc with fewer than k tokens must produce
+        # an empty shingle set, not an error
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
         return F.array_distinct(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, k)))
         )
