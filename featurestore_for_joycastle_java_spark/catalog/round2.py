@@ -132,6 +132,8 @@ SELECT d.doc_id, cc.component, d.source,
            AS is_survivor
 FROM documents d JOIN cc ON d.doc_id = cc.doc_id
 """,
+    bench=False,  # quadratic exact-verify twin of dedup_pipeline_lsh —
+    # correctness anchor, not an operational path (cf. dedup_embedding_cosine)
 )
 def dedup_pipeline_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup pipeline with a FULL oracle (r1's
@@ -166,6 +168,8 @@ def dedup_pipeline_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT COUNT(*) AS n_queries, 5 AS k, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < 10
 """,
+    bench=False,  # recall-verification harness (kmeans fit + brute-force
+    # ground truth); the operational ANN paths are benched as sim_*_topk
 )
 def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with REAL k-means centroids (seeded spherical k-means||, see
@@ -198,4 +202,38 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries",
         F.lit(5).cast("int").alias("k"),
         (F.col("n_hits") / (F.col("n_queries") * 5) >= 0.5).alias("recall_ok"),
+    )
+
+
+@query(
+    "agg_approx_percentile_bounded",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50_exact,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+       TRUE AS within_2pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path with a bounded-error oracle:
+    approx_percentile (GK sketch, accuracy=1000 → rank error ≤ 0.1%)
+    against the exact interpolated percentile per group. Exact values are
+    oracle-matched; the sketch must land within 2% relative (measured max
+    0.27% across sf0.001-0.1). Complements ``agg_percentiles`` (exact
+    only), which its own docstring flags as the thing NOT to run on a
+    100 TB fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_exact"),
+        (
+            F.abs(
+                F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+                - F.expr("percentile(l_extendedprice, 0.5)")
+            )
+            / F.expr("percentile(l_extendedprice, 0.5)")
+            <= 0.02
+        ).alias("within_2pct"),
     )

@@ -97,7 +97,7 @@ WITH e AS (
     SELECT user_id, epoch_us(ts) AS t_us FROM events),
 flagged AS (
     SELECT user_id, t_us,
-           CASE WHEN t_us - LAG(t_us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+           CASE WHEN t_us - LAG(t_us) OVER w > 1800000000 THEN 1 ELSE 0 END
                AS is_new
     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
 sessions AS (
@@ -114,9 +114,13 @@ GROUP BY user_id, sid
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30-min gap) per user. Oracle replays the
-    merge with a lag/cumsum over epoch-µs; note session_window's half-open
-    [ts, ts+gap) means a gap of EXACTLY 30:00.000000 starts a new session
-    — hence `>=` in the oracle, unlike batch sessionize's `>`."""
+    merge with a lag/cumsum over epoch-µs. Boundary semantics: Spark
+    MERGES an event arriving at exactly last_ts + gap (windows touching
+    counts as overlap), so streaming agrees with batch sessionize's
+    gap-`>` rule — pinned empirically by
+    tests/test_streaming.py::test_sessionize_boundary_gap_exactly_equal
+    (r1 documented the opposite; fixture data never hits the boundary so
+    the old `>=` oracle still passed)."""
     src = ST.file_stream_source(spark, sf_dir)
     agg = ST.session_counts(src, gap="30 minutes", watermark="2 hours")
     out = _run(spark, agg, "complete")

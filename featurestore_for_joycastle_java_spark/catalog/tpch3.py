@@ -186,7 +186,9 @@ WITH pv AS (
     GROUP BY 1)
 SELECT l_partkey, part_value
 FROM pv
-WHERE part_value > (SELECT 0.001 * SUM(part_value) FROM pv)
+WHERE part_value > (SELECT 0.001 * CAST(SUM(CAST(part_value AS DECIMAL(23,6)))
+                                        AS DOUBLE)
+                    FROM pv)
 """,
 )
 def tpch_q11_partvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,8 +218,11 @@ def tpch_q11_partvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(exact_sum(F.col("l_extendedprice")).alias("part_value"))
     )
+    # exact_sum (not F.sum over doubles) so the threshold derives from the
+    # same order-independent exact value on both engines — a part_value
+    # within an ulp of the cut can't flip between Spark and the oracle
     threshold = pv.agg(
-        (F.lit(0.001) * F.sum("part_value")).alias("threshold")
+        (F.lit(0.001) * exact_sum(F.col("part_value"))).alias("threshold")
     )
     return (
         pv.join(F.broadcast(threshold))

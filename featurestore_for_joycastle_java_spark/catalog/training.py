@@ -148,10 +148,15 @@ GROUP BY 1, 2
 """,
 )
 def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing: within each source shard, docs in doc_id
-    order are packed into ~2048-token bins (a doc starts a new bin when
-    the running total would pass the budget) — the batch-packing step
-    before tokenized examples hit the trainer.
+    """Offset-based sequence packing: within each source shard, docs in
+    doc_id order are assigned to the bin their STARTING token offset
+    falls in (``(cum - n_tok) // 2048``) — so a doc straddling a 2048
+    boundary stays in the bin it started and bins may overflow by up to
+    one doc (the trainer truncates or spills). This is deliberately NOT
+    greedy-reset packing: offset binning is a stateless projection over
+    one running sum, where greedy reset would need sequential state per
+    shard. The batch-packing step before tokenized examples hit the
+    trainer.
 
     The running sum partitions by source, so the window shuffles once on
     the shard key and each shard packs independently — the same layout a

@@ -240,6 +240,11 @@ def minhash_lsh_pairs(
 
     # The shingle table feeds three plan branches (signatures + both sides
     # of the verify join) — cache it once instead of re-tokenizing 3×.
+    # Lifetime note (deliberate): the blocks stay until the returned plan
+    # is garbage-collected (Spark's ContextCleaner then unpersists them)
+    # and are LRU-evictable under memory pressure meanwhile — callers in
+    # a long session pay bounded storage, never a correctness cost. An
+    # eager unpersist here is impossible: the plan is returned lazily.
     sh = (
         df.select(
             F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
@@ -305,6 +310,7 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Group near-dup PAIRS into dedup CLUSTERS: connected components by
     iterative min-label propagation. Each node starts labeled with its own
@@ -327,27 +333,52 @@ def connected_components(
     plan size stays constant; the only driver-side value per round is the
     1-row convergence count. The loop is control flow, not data flow —
     the per-round work is fully distributed (this is GraphFrames' CC
-    shape without the dependency)."""
+    shape without the dependency).
+
+    ``checkpoint_dir``: when set, per-round materialization uses RELIABLE
+    checkpoints (``sparkContext.setCheckpointDir`` + ``df.checkpoint``)
+    instead of ``localCheckpoint`` — on a real cluster a localCheckpoint
+    lives in executor block storage and an executor loss mid-loop kills
+    the lineage-truncated frame; reliable checkpoints survive it at the
+    cost of a distributed-FS write per round. Local mode keeps the
+    (faster) default.
+
+    Raises ``RuntimeError`` if the label propagation has not converged
+    after ``max_iter`` rounds (possible only on a path-graph of length >
+    max_iter — near-dup graphs have tiny diameter): unconverged labels
+    would silently split components."""
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     half = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    sym = half.union(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    comp = (
+    sym = ckpt(
+        half.union(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    comp = ckpt(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iter):
         nbr_min = (
             sym.join(comp, sym.src == comp.node)
             .select(F.col("dst").alias("node"), "comp")
         )
-        new_comp = (
+        new_comp = ckpt(
             comp.union(nbr_min)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_comp.alias("n")
@@ -359,6 +390,11 @@ def connected_components(
         comp = new_comp
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (graph diameter exceeds it)"
+        )
     return (
         nodes.select(F.col(id_col).alias("node"))
         .join(comp, "node", "left")

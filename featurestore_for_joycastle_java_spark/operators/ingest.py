@@ -124,12 +124,23 @@ def demux_write(
     df.write.partitionBy(key_col).format(fmt).mode(mode).save(out_dir)
 
 
-def demux_tables(df: DataFrame, key_col: str = "EventType") -> dict[str, DataFrame]:
+def demux_tables(
+    df: DataFrame,
+    key_col: str = "EventType",
+    keys: list[str] | None = None,
+) -> dict[str, DataFrame]:
     """Table-per-type view of the demux (dwd_<EventType>, CMT:168,174-175)
     as lazily-filtered DataFrames, for callers who want the reference's
-    exact table layout (e.g. a JDBC sink per type)."""
-    types = [r[0] for r in df.select(key_col).distinct().collect()]
-    return {t: df.filter(F.col(key_col) == t) for t in types}
+    exact table layout (e.g. a JDBC sink per type).
+
+    Pass ``keys`` explicitly (the reference hardcodes its EVENT_TYPES
+    list, CMT:30) — the default path then stays fully lazy. ``keys=None``
+    falls back to discovering the distinct key set, which runs a hidden
+    ``collect()`` action over ``df``; fine for a bounded demux column,
+    opt-in on purpose."""
+    if keys is None:
+        keys = [r[0] for r in df.select(key_col).distinct().collect()]
+    return {t: df.filter(F.col(key_col) == t) for t in keys}
 
 
 def ingest_pipeline(

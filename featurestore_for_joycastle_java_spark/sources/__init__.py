@@ -135,7 +135,9 @@ def jdbc_batched_sink(
     batching (CMT:174-188): per-partition transactions, ``batchsize`` rows
     per executeBatch (reference BATCH_SIZE=1000, CMT:35). ``num_partitions``
     bounds concurrent connections the way the Hikari pool max=4 did
-    (CMT:62)."""
+    (CMT:62). Exercised end-to-end against embedded Derby (the JDBC
+    driver bundled in Spark's jars) in tests/test_jdbc.py — round-trip
+    values, append accumulation, bounded-connection write."""
     if num_partitions:
         df = df.coalesce(num_partitions)
     props = {"batchsize": str(batchsize), **{k: str(v) for k, v in properties.items()}}

@@ -94,12 +94,19 @@ def demux_stream_sink(
 ):
     """Ops #8-#12 streaming: per-micro-batch partitioned parquet write via
     foreachBatch — the reference's per-type buffered inserts without the
-    races (D4) or tail loss (D2). Checkpointing makes it exactly-once
-    with this idempotent (overwrite-by-partition) sink."""
+    races (D4) or tail loss (D2). Exactly-once: each micro-batch
+    OVERWRITES its own ``batch=<batch_id>`` subdirectory, so a batch
+    replayed after a failure between sink write and checkpoint commit
+    lands on top of its own partial output instead of appending a
+    duplicate (r1 used a plain append here, which was only
+    at-least-once). Readers scan ``out_dir`` and see ``batch`` +
+    ``key_col`` as discovered partition columns."""
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="fs_ckpt_")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.partitionBy(key_col).mode("append").parquet(out_dir)
+        batch_df.write.partitionBy(key_col).mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

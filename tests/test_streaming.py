@@ -55,3 +55,72 @@ def test_stream_dedup_bounded(spark, sf_dir):
         .count()
     )
     assert n_pairs_stream == n_pairs_batch
+
+
+def test_foreachbatch_demux_idempotent_replay(spark, sf_dir, tmp_path):
+    # exactly-once contract: re-running the drain over the same source
+    # with the SAME checkpoint is a no-op, and a simulated replay of an
+    # already-committed batch id overwrites (not appends) its output
+    out = str(tmp_path / "dwd_stream")
+    ckpt = str(tmp_path / "ckpt")
+    src = ST.file_stream_source(spark, sf_dir)
+    ST.demux_stream_sink(src, out, checkpoint_dir=ckpt).awaitTermination()
+    n_first = spark.read.parquet(out).count()
+
+    # checkpoint resume: nothing new to process
+    src2 = ST.file_stream_source(spark, sf_dir)
+    ST.demux_stream_sink(src2, out, checkpoint_dir=ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == n_first
+
+    # replay batch 0 by hand (what a post-crash retry does): overwrite
+    import os
+
+    batch0 = os.path.join(out, "batch=0")
+    src_df = spark.read.parquet(batch0)
+    replay = spark.createDataFrame(src_df.collect(), src_df.schema)
+    replay.write.partitionBy("event_type").mode("overwrite").parquet(batch0)
+    spark.catalog.refreshByPath(out)  # drop the cached file listing
+    assert spark.read.parquet(out).count() == n_first
+
+
+def test_sessionize_boundary_gap_exactly_equal(spark, tmp_path):
+    """Pin batch/stream sessionization AGREEMENT on the boundary
+    (SEMANTICS.md): a gap of EXACTLY gap_seconds merges in BOTH — batch
+    because new-session needs gap > g, streaming because session_window
+    treats touching windows as overlapping — and gap + 1µs splits in
+    streaming. (r1 documented streaming as splitting at exactly g; the
+    fixtures never hit the boundary, so this stayed latent.)"""
+    from featurestore_for_joycastle_java_spark.operators.asof import sessionize
+
+    base = 1_700_000_000  # epoch seconds
+    secs = [base, base + 1800, base + 1800 + 1799]
+
+    # batch: one session covering all three events
+    batch_df = spark.createDataFrame(
+        [(1, s) for s in secs], "user_id int, epoch long"
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"))
+    got = sessionize(batch_df, ["user_id"], "ts", gap_seconds=1800)
+    assert [r["session_id"] for r in got.collect()] == [0, 0, 0]
+
+    # streaming: user 1 = the same exact-boundary rows (one merged
+    # session), user 3 = gap + 1µs (splits into two sessions)
+    events_dir = str(tmp_path / "events.parquet")
+    ns_per_sec = 1_000_000_000
+    rows = [(i, s * ns_per_sec, 1, "view", 1.0, "{}") for i, s in enumerate(secs)]
+    rows += [
+        (10, base * ns_per_sec, 3, "view", 1.0, "{}"),
+        (11, (base + 1800) * ns_per_sec + 1000, 3, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(events_dir)
+    src = ST.file_stream_source(spark, str(tmp_path))
+    agg = ST.session_counts(src, gap="30 minutes", watermark="2 hours")
+    ST.drain_to_memory(agg, "t_boundary", output_mode="complete")
+    got = {}
+    for r in spark.table("t_boundary").collect():
+        got.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(got[1]) == [3], f"exact gap must merge, got {got[1]}"
+    assert sorted(got[3]) == [1, 1], f"gap+1us must split, got {got[3]}"
