@@ -56,7 +56,16 @@ def token_jaccard_pairs(
 
     Quadratic in documents-per-shared-token — correct tool for a bounded
     scope (one source, an LSH candidate bucket), not a whole 100 TB corpus
-    (common tokens blow up the join; that's what MinHash LSH is for)."""
+    (common tokens blow up the join; that's what MinHash LSH is for).
+
+    Measured alternative (r2): ppjoin-style prefix filtering (index only
+    each doc's rarest ``|d|-ceil(t|d|)+1`` tokens, verify candidates) was
+    implemented and benchmarked — SLOWER here at every fixture scale
+    (warm 1.6-2.9s vs 1.0-1.7s naive), because the fixture similarity
+    graph is dense: most pairs genuinely clear t=0.6, so candidates ≈ all
+    pairs and the extra doc-frequency join + two windows + distinct buy
+    nothing. Prefix filtering pays in the sparse-similarity/hot-token
+    regime, not here; the naive index stays."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
@@ -373,21 +382,24 @@ def connected_components(
     for _ in range(max_iter):
         nbr_min = (
             sym.join(comp, sym.src == comp.node)
-            .select(F.col("dst").alias("node"), "comp")
+            .select(F.col("dst").alias("node"), "comp", F.lit(False).alias("own"))
         )
-        new_comp = ckpt(
-            comp.union(nbr_min)
+        # fold the convergence check into the min-agg itself: the row
+        # tagged own=True carries the node's previous label, so
+        # changed == any(new_min < old) with NO extra per-round join
+        new_full = ckpt(
+            comp.withColumn("own", F.lit(True))
+            .union(nbr_min)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("own"), F.col("comp"))).alias("__old"),
+            )
         )
         changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            new_full.filter(F.col("comp") != F.col("__old")).limit(1).count()
         )
-        comp = new_comp
+        comp = new_full.select("node", "comp")
         if changed == 0:
             break
     if changed != 0:
