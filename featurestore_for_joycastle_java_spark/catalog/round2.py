@@ -237,3 +237,99 @@ def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
             <= 0.02
         ).alias("within_2pct"),
     )
+
+
+@query(
+    "train_corpus_prep",
+    oracle=r"""
+WITH t AS (
+    SELECT doc_id, source,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS n_tok,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents),
+q AS (SELECT * FROM t WHERE n_tok >= 30),
+d AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS min_id FROM q),
+dd AS (SELECT * FROM d WHERE doc_id = min_id),
+k AS (
+    SELECT *,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+               % 1000 AS bucket,
+           CASE WHEN source IN ('src0', 'src1') THEN 1000 ELSE 500 END AS rate
+    FROM dd),
+kk AS (SELECT * FROM k WHERE bucket < rate)
+SELECT c.source,
+       c.n_candidates,
+       COALESCE(d2.n_after_dedup, 0) AS n_after_dedup,
+       COALESCE(k2.n_kept, 0) AS n_kept,
+       COALESCE(k2.n_tokens_kept, 0) AS n_tokens_kept
+FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM q GROUP BY 1) c
+LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_dedup
+           FROM dd GROUP BY 1) d2 USING (source)
+LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                  CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept
+           FROM kk GROUP BY 1) k2 USING (source)
+""",
+)
+def train_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus preparation — the composite a pretraining data
+    job actually runs, every stage the scale path:
+
+    1. quality gate: whitespace-token count >= 30 (stateless map filter,
+       pushable);
+    2. exact dedup across sources: keep the min-doc_id copy per content
+       fingerprint (one shuffle on the md5 key — uniform at 100 TB);
+    3. deterministic stratified downsample: md5(doc_id) bucket < rate
+       (src0/src1 kept whole, the long tail at 50%) — reproducible across
+       engines, runs, and repartitions, no sampler state;
+    4. per-source composition card: candidates -> post-dedup -> kept ->
+       kept tokens (exact BIGINT counts).
+
+    Each stage is separately oracle-checked elsewhere (text_stats,
+    dedup_exact_*, train_stratified_sample); this query pins their
+    COMPOSITION, where stage-ordering bugs (sample-before-dedup,
+    dedup-across-filtered-out-docs) would hide."""
+    from featurestore_for_joycastle_java_spark.operators.text import (
+        fingerprint,
+        tokens,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    q = t.filter(F.col("n_tok") >= 30)
+    dd = (
+        q.withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("min_id"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    rate = F.when(F.col("source").isin("src0", "src1"), 1000).otherwise(500)
+    kk = dd.filter(bucket < rate)
+
+    cand = q.groupBy("source").agg(F.count(F.lit(1)).alias("n_candidates"))
+    after = dd.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_dedup"))
+    kept = kk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").alias("n_tokens_kept"),
+    )
+    return (
+        cand.join(after, "source", "left")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "n_candidates",
+            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+        )
+    )
