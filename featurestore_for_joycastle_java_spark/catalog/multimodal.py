@@ -78,3 +78,33 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").cast("int").alias("frame_no"),
         "frame_bytes_preview",
     )
+
+
+@query(
+    "multimodal_resize",
+    # Chained Arrow stages (decode -> resize) with a full value oracle:
+    # both stand-ins are integer/md5 arithmetic the SQL replays exactly.
+    oracle="""
+WITH d AS (
+    SELECT doc_id,
+           64 + (('0x' || substr(md5(text), 1, 2))::INT % 192) AS width,
+           64 + (('0x' || substr(md5(text), 3, 2))::INT % 192) AS height
+    FROM documents)
+SELECT doc_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(GREATEST(1, (width * 224) // GREATEST(width, height)) AS INT)
+           AS out_w,
+       CAST(GREATEST(1, (height * 224) // GREATEST(width, height)) AS INT)
+           AS out_h,
+       CAST(224000 // GREATEST(width, height) AS INT) AS scale_mille
+FROM d
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> resize as TWO chained mapInPandas stages (the real
+    multimodal pipeline shape: each stage its own Arrow hop, blobs never
+    in a shuffle key): fit decoded dims into a 224 box, aspect
+    preserved, integer-exact."""
+    d = M.attach_blob(load_table(spark, sf_dir, "documents"))
+    return M.fake_resize(M.fake_decode_features(d), max_dim=224)

@@ -225,17 +225,23 @@ def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
     only), which its own docstring flags as the thing NOT to run on a
     100 TB fact."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_exact"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_exact"),
-        (
-            F.abs(
-                F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
-                - F.expr("percentile(l_extendedprice, 0.5)")
-            )
-            / F.expr("percentile(l_extendedprice, 0.5)")
-            <= 0.02
-        ).alias("within_2pct"),
+    # ONE exact-percentile buffer (array form) + one sketch per group —
+    # not three separate percentile aggregates for the same column
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("__ex"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("__ap"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("__ex")[0], 6).alias("p50_exact"),
+            F.round(F.col("__ex")[1], 6).alias("p95_exact"),
+            (
+                F.abs(F.col("__ap") - F.col("__ex")[0]) / F.col("__ex")[0]
+                <= 0.02
+            ).alias("within_2pct"),
+        )
     )
 
 

@@ -102,6 +102,51 @@ def fake_decode_features(
     return df.select(id_col, blob_col).mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+#: Output schema of the (stubbed) resize stage.
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("scale_mille", IntegerType()),
+    ]
+)
+
+
+def fake_resize(df: DataFrame, max_dim: int = 224) -> DataFrame:
+    """The resize stage over mapInPandas, chained after the decode stage
+    (two Arrow hops, the real multimodal pipeline shape): fit the decoded
+    (width, height) into a ``max_dim`` box preserving aspect ratio.
+
+    All integer arithmetic (``(w * max_dim) // max(w, h)``) so the
+    stand-in is bit-reproducible in any engine — the oracle replays it
+    exactly; a real pipeline swaps the body for PIL/pyvips ``resize`` and
+    keeps the schema."""
+    import numpy as np
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].to_numpy(dtype="int64")
+            h = pdf["height"].to_numpy(dtype="int64")
+            mx = np.maximum(w, h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": w,
+                    "height": h,
+                    "out_w": np.maximum(1, (w * max_dim) // mx),
+                    "out_h": np.maximum(1, (h * max_dim) // mx),
+                    "scale_mille": (max_dim * 1000) // mx,
+                }
+            )
+
+    return df.select("doc_id", "width", "height").mapInPandas(
+        resize_batches, RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     id_col: str = "doc_id",

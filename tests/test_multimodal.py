@@ -54,3 +54,23 @@ def test_frame_sample_fanout(spark, sf_dir):
     frames = frame_sample_plan(d, n_frames=4)
     assert frames.count() == 80
     assert frames.columns == ["doc_id", "frame_no", "frame_bytes_preview"]
+
+
+def test_fake_resize_aspect_and_bounds(spark):
+    # integer-exact resize: downscale preserves aspect via floor division,
+    # max(w,h) maps exactly to max_dim when dividing evenly, never < 1
+    from featurestore_for_joycastle_java_spark.operators.multimodal import (
+        fake_resize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 448, 224), (2, 100, 50), (3, 64, 255)],
+        "doc_id long, width int, height int",
+    )
+    got = {r["doc_id"]: r for r in fake_resize(df, max_dim=224).collect()}
+    assert (got[1]["out_w"], got[1]["out_h"]) == (224, 112)
+    # upscale allowed: 100x50 -> 224x112
+    assert (got[2]["out_w"], got[2]["out_h"]) == (224, 112)
+    # floor division: 64*224//255 = 56
+    assert (got[3]["out_w"], got[3]["out_h"]) == (56, 224)
+    assert got[3]["scale_mille"] == 224000 // 255
