@@ -58,3 +58,33 @@ def test_jdbc_num_partitions_bounds_connections(spark, sf_dir, derby_url):
     jdbc_batched_sink(cust, derby_url, "cust_t", num_partitions=1, **DERBY)
     back = spark.read.jdbc(derby_url, "cust_t", properties=DERBY)
     assert back.count() == cust.count()
+
+
+def test_stream_jdbc_demux_end_to_end(spark, sf_dir, derby_url, tmp_path):
+    # the reference's whole job: drain the stream, demux by event type,
+    # batched inserts into one relational table per type (Kafka->SQLite
+    # there; file-stream->Derby here)
+    from featurestore_for_joycastle_java_spark import streaming as ST
+
+    src = ST.file_stream_source(spark, sf_dir)
+    q = ST.jdbc_demux_stream_sink(
+        src, derby_url, checkpoint_dir=str(tmp_path / "ckpt"), **DERBY
+    )
+    q.awaitTermination()
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for etype, n in want.items():
+        back = spark.read.jdbc(derby_url, f"dwd_{etype}", properties=DERBY)
+        assert back.count() == n, f"{etype}: {back.count()} != {n}"
+    # total conservation: no tail loss (defect D2), no duplication
+    total = sum(
+        spark.read.jdbc(derby_url, f"dwd_{t}", properties=DERBY).count()
+        for t in want
+    )
+    assert total == ev.count()
