@@ -134,3 +134,26 @@ def test_scalable_rank_window_is_partitioned(spark, sf_dir):
     )
     # offsets come back via broadcast, not another shuffle of the fact
     assert "BroadcastHashJoin" in plan
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    # the demux layout's whole point at 100 TB: a reader filtering on the
+    # partition key must scan ONE directory, not the corpus — visible in
+    # the plan as a partition filter with pruned input
+    from featurestore_for_joycastle_java_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "dwd")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_line = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "event_type" in pf_line
+    # and the scan honors it: files read come only from the one partition
+    n_purchase = ev.filter(F.col("event_type") == "purchase").count()
+    assert df.count() == n_purchase
