@@ -127,3 +127,41 @@ def test_dedup_pipeline_lsh_sane_and_deterministic(spark):
     # deterministic across runs (seedless hashing + explicit tie-breaks)
     b = dedup_pipeline_lsh(spark, sf).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    # a 5-node path graph needs 4+ min-label rounds; max_iter=1 must
+    # raise instead of silently returning split components
+    import pytest as _pytest
+
+    from featurestore_for_joycastle_java_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=1)
+    # and with enough rounds the same graph collapses to one component
+    out = connected_components(nodes, edges, max_iter=10).collect()
+    assert {r["component"] for r in out} == {0}
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    from featurestore_for_joycastle_java_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    out = connected_components(
+        nodes, edges, checkpoint_dir=str(tmp_path / "ckpt")
+    ).collect()
+    comp = {r["doc_id"]: r["component"] for r in out}
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == 3  # isolated
+    assert comp[4] == comp[5] == 4

@@ -91,3 +91,15 @@ def test_dense_rank_low_card(spark):
         for r in dense_rank_low_card(df, "k", "dr").collect()
     }
     assert got == want
+
+
+def test_global_row_number_negative_values_single_bucket(spark):
+    rows = [(i, float(-v)) for i, v in enumerate([5, 3, 9, 1, 7])]
+    got = sorted(
+        (r["id"], r["rn"])
+        for r in _ranked(spark, rows, n_buckets=1).collect()
+    )
+    # ascending over negatives: -9 (id 2) first
+    want_order = [2, 4, 0, 1, 3]
+    want = sorted((id_, rank + 1) for rank, id_ in enumerate(want_order))
+    assert got == want
