@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the pure-logic operators whose
+edge cases a fixed fixture can't enumerate: exact_sum's decimal identity,
+the gated regex extraction, and gap sessionization — each against an
+independent Python reference implementation.
+
+Each example runs a (tiny) Spark job, so example counts are deliberately
+small; the point is randomized structure, not volume.
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(max_examples=10, deadline=None)
+
+# 2dp money-like doubles, positive and negative, exactly representable
+# intent: cents-scaled ints / 100
+_cents = st.integers(min_value=-10_000_000, max_value=10_000_000)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_cents, min_size=1, max_size=50))
+def test_exact_sum_matches_decimal(spark, cents):
+    from featurestore_for_joycastle_java_spark.operators.relational import (
+        exact_sum,
+    )
+
+    vals = [c / 100.0 for c in cents]
+    want = float(sum(Decimal(c) for c in cents) / 100)
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(exact_sum(F.col("x")).alias("s")).first()["s"]
+    assert got == want, f"{got} != {want} for {vals}"
+
+
+_detail_text = st.text(
+    alphabet="abz 0123456789.$", min_size=0, max_size=30
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_detail_text, min_size=1, max_size=20))
+def test_regex_extract_matches_python(spark, details):
+    """First-match, decimal-preferred-at-same-start, null-when-no-match —
+    against Python re with the same pattern on the gated type."""
+    from featurestore_for_joycastle_java_spark.operators.ingest import (
+        extract_numeric_feature,
+    )
+    from featurestore_for_joycastle_java_spark.schemas import NUMBER_PATTERN
+
+    rows = [(i, d, "InAppPurchase") for i, d in enumerate(details)]
+    df = spark.createDataFrame(
+        rows, "EventID long, EventDetails string, EventType string"
+    )
+    got = {
+        r["EventID"]: r["EventValue"]
+        for r in extract_numeric_feature(df).collect()
+    }
+    for i, d in enumerate(details):
+        m = re.search(NUMBER_PATTERN, d)
+        want = float(m.group(1)) if m else None
+        assert got[i] == want, f"detail={d!r}: {got[i]} != {want}"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30
+    )
+)
+def test_sessionize_matches_python_reference(spark, offsets):
+    """Gap-based sessionization vs a sequential Python fold: new session
+    iff gap > 1800s (ties stay merged — the boundary rule pinned in
+    SEMANTICS.md)."""
+    from featurestore_for_joycastle_java_spark.operators.asof import sessionize
+
+    base = 1_700_000_000
+    secs = sorted(base + o for o in offsets)
+    df = spark.createDataFrame(
+        [(1, s) for s in secs], "user_id int, epoch long"
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"))
+    out = sessionize(df, ["user_id"], "ts", gap_seconds=1800)
+    got = [
+        r["session_id"]
+        for r in out.orderBy(F.col("ts"), F.col("session_id")).collect()
+    ]
+
+    want, sid = [], 0
+    for i, s in enumerate(secs):
+        if i > 0 and s - secs[i - 1] > 1800:
+            sid += 1
+        want.append(sid)
+    assert got == want, f"secs={secs}"
