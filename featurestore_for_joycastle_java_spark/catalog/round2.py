@@ -50,7 +50,9 @@ def window_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_row_number(
         c, "c_acctbal", ["c_custkey"], out_col="bal_rank"
     )
-    ranked = dense_rank_low_card(ranked, "c_nationkey", "nation_rank")
+    # distinct nation keys come from the RAW scan (1-column pruned read),
+    # not from the ranked lineage — same key population, far cheaper branch
+    ranked = dense_rank_low_card(ranked, "c_nationkey", "nation_rank", keys_from=c)
     n = F.col("_n_total")
     rk = F.col("bal_rank")
     return ranked.select(

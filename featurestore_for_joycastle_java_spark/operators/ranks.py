@@ -17,6 +17,16 @@ The only single-partition window left touches ``n_buckets`` rows, not the
 fact table. NTILE / PERCENT_RANK / CUME_DIST are then pure integer
 arithmetic on the exact global rank.
 
+Plan-audit note (sf0.01, `.explain("formatted")`): the source is SCANNED
+more than once (stats pass, rank branch, counts branch — column pruning
+makes the subplans differ, which defeats ReuseExchange), but the full
+fact is SHUFFLED exactly once (the rank window's hashpartitioning on the
+bucket); the counts and offsets branches map-side-combine to
+``n_buckets`` rows before their exchanges. At 100 TB that trade —
+repeated pruned columnar scans, one full shuffle — is the right one;
+caching the bucketed fact to save a scan would cost far more than the
+scan.
+
 Correctness requires the bucket id to be monotone in the sort order:
 bucket on the LEADING order column only, ascending, so equal leading
 values always share a bucket and tiebreak columns never cross buckets.
@@ -98,14 +108,22 @@ def ntile_from_rank(rank: Column, n_total: Column, n_tiles: int) -> Column:
 
 
 def dense_rank_low_card(
-    df: DataFrame, key_col: str, out_col: str
+    df: DataFrame, key_col: str, out_col: str, keys_from: DataFrame | None = None
 ) -> DataFrame:
     """``DENSE_RANK() OVER (ORDER BY key_col)`` for a LOW-CARDINALITY key:
     rank the distinct values (tiny frame — the only global window), then
     broadcast-join the rank back. Dense rank of a value == row_number of
-    that value in the distinct-sorted set."""
+    that value in the distinct-sorted set.
+
+    ``keys_from``: optional cheaper frame to take the distinct keys from.
+    When ``df`` is itself an expensive derived plan, distincting from the
+    RAW source (same key population) avoids re-deriving the whole lineage
+    for a one-column scan; keys present in ``df`` but absent from
+    ``keys_from`` would drop rows (inner join), so callers must pass a
+    superset-keyed frame."""
     ranks = (
-        df.select(key_col)
+        (keys_from if keys_from is not None else df)
+        .select(key_col)
         .distinct()
         .withColumn(
             out_col,
