@@ -312,32 +312,33 @@ def train_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint(F.col("text")).alias("fp"),
     )
     q = t.filter(F.col("n_tok") >= 30)
-    dd = (
-        q.withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
-        .filter(F.col("doc_id") == F.col("min_id"))
-    )
+    # SINGLE-PASS shape: annotate every candidate row with its stage
+    # outcomes (dedup keeper? sampled?), then ONE conditional aggregation
+    # per source — one fingerprint-window shuffle + one agg shuffle total,
+    # instead of re-deriving the lineage per summary column
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
         .cast("bigint")
         % 1000
     )
     rate = F.when(F.col("source").isin("src0", "src1"), 1000).otherwise(500)
-    kk = dd.filter(bucket < rate)
-
-    cand = q.groupBy("source").agg(F.count(F.lit(1)).alias("n_candidates"))
-    after = dd.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_dedup"))
-    kept = kk.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("n_tok").alias("n_tokens_kept"),
+    flagged = q.select(
+        "source",
+        "n_tok",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("fp"))
+        ).alias("is_keeper"),
+        (bucket < rate).alias("is_sampled"),
     )
-    return (
-        cand.join(after, "source", "left")
-        .join(kept, "source", "left")
-        .select(
-            "source",
-            "n_candidates",
-            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
-        )
+    keeper = F.when(F.col("is_keeper"), 1).otherwise(0)
+    kept = F.when(F.col("is_keeper") & F.col("is_sampled"), 1).otherwise(0)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(keeper).alias("n_after_dedup"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(
+            F.when(F.col("is_keeper") & F.col("is_sampled"), F.col("n_tok"))
+            .otherwise(0)
+        ).alias("n_tokens_kept"),
     )
