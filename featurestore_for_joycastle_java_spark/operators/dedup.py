@@ -95,19 +95,27 @@ def token_jaccard_pairs(
 # --- SimHash ----------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document, entirely in Catalyst: explode tokens,
-    xxhash64 each, per-bit signed vote (+1/-1) aggregated, sign → bit.
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
+    """SimHash per document, entirely in Catalyst: explode tokens, hash
+    each, per-bit signed vote (+1/-1) aggregated, sign → bit.
 
-    One explode + one groupBy(id) shuffle; the 64 conditional sums are
-    map-side-combined, so the shuffle carries 64 longs per doc, not the
-    tokens. (xxhash64 is Spark-specific → SimHash values are engine-local;
-    pair detection is what's testable, via the Python reference in
-    tests.)"""
+    One explode + one groupBy(id) shuffle; the ``bits`` conditional sums
+    are map-side-combined, so the shuffle carries ``bits`` longs per doc,
+    not the tokens. ``token_hash`` defaults to xxhash64 (fastest, but
+    Spark-specific → hashes are engine-local); pass
+    ``text.md5_hash60`` with ``bits=60`` for the cross-engine variant
+    whose values any engine reproduces (full DuckDB oracle)."""
+    hash_fn = token_hash if token_hash is not None else F.xxhash64
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", hash_fn(F.col("tok")).alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -135,14 +143,16 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """Near-dup candidates via SimHash banding: split the 64-bit hash into
-    ``n_bands`` bands; any pair agreeing on a full band is a candidate
-    (guaranteed to catch hamming ≤ n_bands-1 by pigeonhole); verify with
-    bit_count(xor). Shuffles on band values — near-linear, the scalable
-    shape."""
-    sh = simhash(df, id_col, text_col)
-    band_bits = 64 // n_bands
+    """Near-dup candidates via SimHash banding: split the ``bits``-bit
+    hash into ``n_bands`` bands; any pair agreeing on a full band is a
+    candidate (guaranteed to catch hamming ≤ n_bands-1 by pigeonhole);
+    verify with bit_count(xor). Shuffles on band values — near-linear,
+    the scalable shape."""
+    sh = simhash(df, id_col, text_col, bits=bits, token_hash=token_hash)
+    band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     bands = sh.select(
         "id",

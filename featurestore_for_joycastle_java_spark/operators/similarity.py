@@ -292,3 +292,133 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "dist", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# --- Sign-random-projection (SRP) cosine LSH --------------------------------
+
+
+def srp_hyperplanes(
+    n_tables: int, n_bits: int, dim: int
+) -> dict[tuple[int, int], list[float]]:
+    """Deterministic ±1 hyperplane components for SRP-LSH, derived from
+    md5 parity — a public spec ANY engine replays without sharing state:
+    component (t, b, d) = +1 if the first hex digit of md5("t_b_d") is
+    odd, else -1. (DuckDB spells the same value
+    ``('0x' || substr(md5(t||'_'||b||'_'||d), 1, 1))::INT % 2``.)
+
+    Random ±1 entries are a standard substitute for Gaussian hyperplanes
+    in sign-random-projection (Charikar 2002 / Achlioptas 2003-style
+    sparse projections): E[sign agreement] = 1 - θ/π still holds."""
+    import hashlib
+
+    return {
+        (t, b): [
+            1.0
+            if int(hashlib.md5(f"{t}_{b}_{d}".encode()).hexdigest()[0], 16) % 2
+            else -1.0
+            for d in range(dim)
+        ]
+        for t in range(n_tables)
+        for b in range(n_bits)
+    }
+
+
+def srp_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int = 8,
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-vector SRP bucket codes: one row (id, tbl, code) per hash
+    table, where bit b of ``code`` is sign(v · r[t][b]) for the
+    deterministic hyperplane r. Hyperplanes are plan-time literal arrays
+    (broadcast constants — nothing to fit, nothing to ship); the encode
+    itself is a stateless narrow map, so it pipelines with the scan at
+    any scale."""
+    from functools import reduce
+
+    planes = srp_hyperplanes(n_tables, n_bits, dim)
+
+    def build(vv: Column) -> Column:
+        def code(t: int) -> Column:
+            return reduce(
+                lambda acc, b: acc
+                + F.when(
+                    dot(vv, F.array(*[F.lit(x) for x in planes[(t, b)]])) > 0,
+                    F.lit(1 << b).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+                range(n_bits),
+                F.lit(0).cast("long"),
+            )
+
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).cast("int").alias("tbl"), code(t).alias("code")
+                )
+                for t in range(n_tables)
+            ]
+        )
+
+    # bind the double-cast vector ONCE (no CSE across lambda boundaries)
+    enc = df.select(
+        F.col(id_col),
+        F.explode(
+            F.element_at(F.transform(F.array(as_double(F.col(vec_col))), build), 1)
+        ).alias("__tc"),
+    )
+    return enc.select(id_col, "__tc.tbl", "__tc.code")
+
+
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_tables: int = 8,
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k via sign-random-projection LSH — the
+    cosine-native ANN path (BucketedRandomProjection buckets Euclidean
+    distance; SRP buckets the angle itself: P[bit agreement] = 1 - θ/π).
+
+    Candidates come ONLY from equal (table, code) buckets — the join
+    shuffles on bucket values, never all-pairs — then exact cosine on the
+    candidate set and a per-query top-k window carrying k×|queries| rows.
+    Deterministic end to end (md5-derived hyperplanes, no seed), which is
+    what lets a DuckDB oracle replay the ENTIRE index: same buckets, same
+    candidates, same scores — unlike the seeded-JVM BRP path
+    (``lsh_topk``), which gets only a recall check."""
+    c_codes = srp_codes(corpus, id_col, vec_col, n_tables, n_bits, dim)
+    q_codes = srp_codes(queries, query_id_col, vec_col, n_tables, n_bits, dim)
+    cand = (
+        q_codes.join(c_codes, ["tbl", "code"])
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    scored = (
+        cand.join(F.broadcast(q), query_id_col)
+        .join(c, id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -146,3 +146,56 @@ def shingles(col: Column, k: int = 3) -> Column:
         )
 
     return F.element_at(F.transform(F.array(tokens(col)), build), 1)
+
+
+def md5_hash60(col: Column) -> Column:
+    """Cross-engine 60-bit hash: the first 15 hex chars of md5, parsed as
+    an integer. Unlike xxhash64 (Spark-internal), any engine reproduces it
+    — DuckDB spells the same value ``('0x' || substr(md5(x),1,15))::BIGINT``
+    — so operators built on it (SimHash twin, winnowing) get FULL value
+    oracles instead of rows-only checks. 60 bits keeps the value inside a
+    signed long in both engines (no sign-bit edge cases)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(col: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): positional k-token shingles → rolling 60-bit hash per
+    shingle → minimum hash in every ``w``-wide window → distinct selected
+    hashes. Guarantees any shared run of ≥ k+w-1 tokens between two
+    documents yields a shared fingerprint, so matching fingerprints are a
+    local-similarity (partial-overlap) signal that whole-doc hashing and
+    bag-of-shingles Jaccard both miss.
+
+    Entirely higher-order functions on one row — no explode, no shuffle;
+    a downstream groupBy(fp) turns it into near-dup candidate pairs with
+    one uniform shuffle (the 100 TB shape, same as exact dedup). Documents
+    with fewer than k tokens produce no fingerprints; with fewer than
+    k+w-1 tokens, one window covering all shingles (Spark's ``slice`` and
+    DuckDB's ``l[i:j]`` both clamp at the array end, so both engines agree
+    on the short tail)."""
+
+    def windows_over(hashes: Column) -> Column:
+        # hashes is a BOUND array (single-element transform below): the
+        # per-window lambda references it ~n times, and Catalyst does no
+        # CSE across lambda boundaries — unbound, every window would
+        # re-hash every shingle (the shingles() 300x trap, squared)
+        m = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+        widx = F.when(F.size(hashes) >= 1, F.sequence(F.lit(1), m)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(widx, lambda i: F.array_min(F.slice(hashes, i, w)))
+        )
+
+    def build(tk: Column) -> Column:
+        n = F.size(tk) - (k - 1)
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        hashes = F.transform(
+            idx, lambda i: md5_hash60(F.concat_ws(" ", F.slice(tk, i, k)))
+        )
+        return F.element_at(F.transform(F.array(hashes), windows_over), 1)
+
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
