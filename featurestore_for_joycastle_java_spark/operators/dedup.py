@@ -65,30 +65,51 @@ def token_jaccard_pairs(
     graph is dense: most pairs genuinely clear t=0.6, so candidates ≈ all
     pairs and the extra doc-frequency join + two windows + distinct buy
     nothing. Prefix filtering pays in the sparse-similarity/hot-token
-    regime, not here; the naive index stays."""
+    regime, not here; the naive index stays. A broadcast all-pairs
+    array_intersect variant was also measured (r3): 5.2s vs 2.5s warm at
+    sf0.1/3-sources — per-pair set-intersection beats per-shared-token
+    rows only when candidates << all pairs, which density precludes here.
+
+    Plan shape (r3): the token-set size rides along on every exploded
+    token row, so (a) the LENGTH-BAND prune ``t·max(|A|,|B|) ≤ min(|A|,
+    |B|)`` — a necessary condition for J ≥ t — applies inside the join,
+    BEFORE the pair rows hit the groupBy shuffle, and (b) the old
+    per-doc-size groupBy + two post-agg joins disappear (sizes are
+    carried as grouping keys, functionally dependent on the ids)."""
     toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("tk")
+    ).select(
+        "id", F.size("tk").alias("n_toks"), F.explode("tk").alias("tok")
     )
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_toks"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length-band prune: J(A,B) ≥ t forces the sizes within a
+            # factor t of each other — evaluated per pair-token row
+            # pre-shuffle, so hopeless pairs never reach the aggregation.
+            # The 1e-9 slack absorbs double rounding of t·n at exact
+            # boundaries (t·max == min), so no true pair is ever pruned.
+            & (F.col("a.n_toks") * threshold <= F.col("b.n_toks") + 1e-9)
+            & (F.col("b.n_toks") * threshold <= F.col("a.n_toks") + 1e-9),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_toks").alias("n_a"),
+            F.col("b.n_toks").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_toks").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_toks").alias("n_b"))
     jac = F.round(
         F.col("n_inter")
         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
         6,
     )
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -363,53 +384,83 @@ def connected_components(
     (faster) default.
 
     Raises ``RuntimeError`` if the label propagation has not converged
-    after ``max_iter`` rounds (possible only on a path-graph of length >
-    max_iter — near-dup graphs have tiny diameter): unconverged labels
-    would silently split components."""
+    after ``max_iter`` rounds of TWO hops each (possible only on a
+    path-graph of length > 2·max_iter — near-dup graphs have tiny
+    diameter): unconverged labels would silently split components.
+
+    Driver-action budget (r3 — r2's loop ran TWO blocking actions per
+    single-hop round and regressed the bench 2.3×): each round folds TWO
+    propagation hops into one materialization, and the convergence count
+    IS the materializing action (lazy checkpoint + full-scan count of
+    changed labels — one job computes every partition, persists it, and
+    returns the count). Per-round wall time is logged at INFO on
+    ``featurestore_for_joycastle_java_spark.operators.dedup`` so a future
+    regression is attributable to a specific round, not the whole query."""
+    import logging
+    import time
+
+    log = logging.getLogger(__name__)
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def ckpt(df: DataFrame) -> DataFrame:
+            # reliable checkpoints have no lazy variant worth the extra
+            # read; eager-write then count is still one FS materialization
             return df.checkpoint(eager=True)
 
     else:
 
         def ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=False)
 
     half = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    sym = ckpt(
-        half.union(
-            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-    )
-    comp = ckpt(
+    sym = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    # initial labels need NO checkpoint of their own: depth-1 lineage off
+    # the checkpointed edges (r2 spent a blocking action materializing it)
+    comp = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    changed = 1
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(comp, sym.src == comp.node)
-            .select(F.col("dst").alias("node"), "comp", F.lit(False).alias("own"))
+
+    label_type = dict(comp.dtypes)["comp"]
+
+    def hop(labels: DataFrame) -> DataFrame:
+        """One min-label hop. Each node's label from BEFORE the first hop
+        of the round is threaded through the agg as ``__old`` (the row
+        tagged own=True carries it), so convergence needs no extra join."""
+        nbr = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"),
+            "comp",
+            F.lit(False).alias("own"),
+            F.lit(None).cast(label_type).alias("__old"),
         )
-        # fold the convergence check into the min-agg itself: the row
-        # tagged own=True carries the node's previous label, so
-        # changed == any(new_min < old) with NO extra per-round join
-        new_full = ckpt(
-            comp.withColumn("own", F.lit(True))
-            .union(nbr_min)
+        own = labels.withColumn("own", F.lit(True))
+        if "__old" not in labels.columns:
+            own = own.withColumn("__old", F.col("comp"))
+        return (
+            own.unionByName(nbr)
             .groupBy("node")
             .agg(
                 F.min("comp").alias("comp"),
-                F.min(F.when(F.col("own"), F.col("comp"))).alias("__old"),
+                F.min(F.when(F.col("own"), F.col("__old"))).alias("__old"),
             )
         )
-        changed = (
-            new_full.filter(F.col("comp") != F.col("__old")).limit(1).count()
-        )
+
+    changed = 1
+    for rnd in range(max_iter):
+        t0 = time.monotonic()
+        # two hops per materialized round: labels reach distance-2 minima
+        # before any blocking action, halving the serial round count
+        new_full = ckpt(hop(hop(comp)))
+        changed = new_full.filter(F.col("comp") != F.col("__old")).count()
         comp = new_full.select("node", "comp")
+        log.info(
+            "connected_components round %d: changed=%d %.3fs",
+            rnd, changed, time.monotonic() - t0,
+        )
         if changed == 0:
             break
     if changed != 0:

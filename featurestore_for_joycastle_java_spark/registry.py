@@ -29,28 +29,31 @@ BENCH_SKIP: set[str] = set()
 #: Catalog modules; each registers its queries at import time.
 #:
 #: ORDER MATTERS for the driver: its correctness file records the first 50
-#: registered queries only. Round 1 verified the first 50 (ingest through
-#: text_lang_id); those stay protected by tests/test_oracle_parity.py, so
-#: round 2 rotates the then-unverified modules (streaming, similarity,
-#: multimodal, training, extras, advanced, tpch, tpch3) plus this round's
-#: new queries (round2) to the front for fresh driver verdicts.
+#: registered queries only. Rounds 1+2 verified 100/116 queries (zero
+#: failures); those stay protected by tests/test_oracle_parity.py. Round 3
+#: rotates the last driver-unverified queries to the front — all of tpch3
+#: (12), tpch (tpch_q19_disjunct), text (bpe/tfidf/fingerprint) — plus the
+#: new round3 module (SRP-LSH, SimHash-md5, winnowing) and dedup, whose
+#: minhash/pipeline LSH queries gained exact oracles after their stale r1
+#: rows-only verdicts were recorded.
 _CATALOG_MODULES = [
+    "round3",
+    "tpch3",
+    "tpch",
+    "text",
+    "dedup",
+    "similarity",
+    "windows",
+    "scalars",
+    "asof",
+    "ingest",
+    "relational",
     "round2",
     "streaming",
-    "similarity",
     "multimodal",
     "training",
     "extras",
     "advanced",
-    "tpch",
-    "tpch3",
-    "text",
-    "dedup",
-    "ingest",
-    "relational",
-    "windows",
-    "scalars",
-    "asof",
 ]
 
 

@@ -21,18 +21,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown are free once the caller selects/filters (Catalyst pushes them
     into the scan; verify with .explain → PushedFilters/ReadSchema).
 
-    ``events.ts`` is parquet timestamp[ns]; Spark 4 reads it (via the
-    nanosAsLong legacy conf set in the session factory) as long nanos, so we
-    convert to a microsecond timestamp here — schema-level fixup, no data
+    ``events.ts`` normalization (fixture generations differ): timestamp[ns]
+    parquet arrives as long nanos (via the nanosAsLong legacy conf set in
+    the session factory) → convert to a µs timestamp; timestamp[us] with
+    isAdjustedToUTC=false arrives as TIMESTAMP_NTZ → cast to session-local
+    TIMESTAMP (session tz is pinned UTC, so the instant is unchanged and
+    matches DuckDB's naive read). Schema-level fixup either way, no data
     shuffle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -56,17 +56,29 @@ def file_stream_source(
 ) -> DataFrame:
     """File-based stand-in for the Kafka topic: stream the events table.
 
-    The fixture's ts is parquet timestamp[ns] (read as long under
-    nanosAsLong) — converted to a proper timestamp exactly like
-    sources.load_table does for batch.
-    """
+    The fixture's ts varies by generation — timestamp[ns] (read as long
+    under nanosAsLong) or timestamp[us]/isAdjustedToUTC=false (read as
+    TIMESTAMP_NTZ). A one-off batch footer read picks the matching stream
+    schema, then ts is normalized to a session-local timestamp exactly
+    like sources.load_table does for batch."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    ts_is_long = isinstance(ts_type, LongType)
+    ts_ddl = "long" if ts_is_long else ts_type.simpleString()
+    schema = (
+        f"event_id long, ts {ts_ddl}, user_id long, event_type string, "
+        "value double, props string"
+    )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.parquet(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = reader.parquet(_as_stream_dir(path))
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def drain_to_memory(
