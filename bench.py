@@ -59,6 +59,33 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
     total = round(time.monotonic() - t_suite, 3)
 
+    # Regression gate: diff against the prior round's per-query map (the
+    # committed bench_queries.json, read BEFORE this run overwrites it).
+    # Flag >1.5x slowdowns that also cost >0.3s absolute — sub-second
+    # jitter at suite scale is noise, a 1.5x on a multi-second query is
+    # rot (r2 shipped a 2.3x CC regression nobody caught in-round).
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
+    )
+    regressions: dict[str, dict[str, float]] = {}
+    prior_sf = None
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                prior = json.load(fh)
+            prior_sf = prior.get("sf")
+            if prior_sf == (float(sf) if sf.replace(".", "").isdigit() else sf):
+                for n, t_now in timings.items():
+                    t_old = prior.get("queries", {}).get(n)
+                    if t_old and t_now > 1.5 * t_old and t_now - t_old > 0.3:
+                        regressions[n] = {
+                            "prior": t_old,
+                            "now": t_now,
+                            "ratio": round(t_now / t_old, 2),
+                        }
+        except (json.JSONDecodeError, OSError):
+            pass
+
     # Full per-query map goes to a file; the one printed line stays compact
     # (the driver captures a bounded amount of stdout — r1's 108-entry line
     # got tail-truncated to "parsed": null).
@@ -70,10 +97,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(names),
         "skipped": sorted(BENCH_SKIP),
+        "regressions_vs_prior": regressions,
     }
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
-    )
     with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
@@ -89,6 +114,7 @@ def main() -> None:
                 "queries": slowest,
                 "sf": full["sf"],
                 "n_queries": len(names),
+                "n_regressions": len(regressions),
                 "full": "bench_queries.json",
             }
         )

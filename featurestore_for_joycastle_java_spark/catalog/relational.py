@@ -101,19 +101,9 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_approx_distinct",
-    # HLL sketches are engine-specific — no cross-engine oracle; driver
-    # records the weaker rows-only check. The exact twin above is the
-    # correctness anchor.
-)
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): the scale path for high-
-    cardinality distincts — no expand, constant memory per group."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-    )
+# (r3) the rows-only ``agg_approx_distinct`` query was retired: it was the
+# same HLL sketch as ``agg_approx_distinct_bounded`` (catalog/round2.py)
+# minus the bounded-error oracle — strictly weaker, no extra coverage.
 
 
 @query(

@@ -177,9 +177,11 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with REAL k-means centroids (seeded spherical k-means||, see
     operators/similarity.kmeans_centroids), checked by a recall bound
     against brute force: average top-5 recall over the 10-query batch
-    must clear 0.5 (measured 0.62 at sf0.001 / 0.70 at sf0.01 with
+    must clear 0.6 (measured 0.62 at sf0.001 / 0.70 at sf0.01 with
     n_probe=4 of 16 cells — the fixture embeddings have weak cluster
-    structure, see the operator docstring for the lowid comparison).
+    structure, see the operator docstring for the lowid comparison; the
+    floor sits just under the measured band so a real clustering
+    regression can't hide beneath it, r2's 0.5 was too loose).
     The oracle asserts the bound by construction; a recall regression
     flips the boolean and fails the value hash. ``sim_ivf_topk`` keeps
     the fixed-centroid variant whose index replays exactly in SQL."""
@@ -203,7 +205,7 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nq.crossJoin(hits).select(
         "n_queries",
         F.lit(5).cast("int").alias("k"),
-        (F.col("n_hits") / (F.col("n_queries") * 5) >= 0.5).alias("recall_ok"),
+        (F.col("n_hits") / (F.col("n_queries") * 5) >= 0.6).alias("recall_ok"),
     )
 
 

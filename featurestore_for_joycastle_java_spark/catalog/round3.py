@@ -1,0 +1,199 @@
+"""Round-3 additions: the r2 dead surface wired to full cross-engine
+oracles — SRP cosine LSH top-k, md5-based SimHash near-dup pairs, and
+winnowing (MOSS) fingerprint candidate pairs. Registered FIRST so the
+driver's 50-entry correctness window covers them.
+
+All three are built on engine-portable hashing (md5 parity / md5-prefix
+integers), which is what lets DuckDB replay the ENTIRE index — buckets,
+candidates, scores — instead of the rows-only checks their xxhash64/JVM
+siblings get (``sim_lsh_topk``, ``dedup_simhash_pairs``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from featurestore_for_joycastle_java_spark.operators import dedup as D
+from featurestore_for_joycastle_java_spark.operators.similarity import srp_topk
+from featurestore_for_joycastle_java_spark.operators.text import winnow_fingerprints
+from featurestore_for_joycastle_java_spark.registry import query
+from featurestore_for_joycastle_java_spark.sources import load_table
+
+
+@query(
+    "sim_srp_topk",
+    # FULL index replay: the md5-parity hyperplanes are a public spec, so
+    # the oracle rebuilds them (range x range x range -> list per (table,
+    # bit)), recomputes every bucket code, the candidate join, the exact
+    # cosine re-rank — the whole ANN index, not just a recall floor.
+    oracle="""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+p AS (
+    SELECT t.tbl, b.bit,
+           list(CASE WHEN CAST(('0x' || substr(md5(t.tbl || '_' || b.bit
+                                                || '_' || d.dim_i), 1, 1))
+                          AS INT) % 2 = 1
+                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+                ORDER BY d.dim_i) AS pv
+    FROM range(16) AS t(tbl), range(6) AS b(bit), range(64) AS d(dim_i)
+    GROUP BY 1, 2),
+cc AS (
+    SELECT e.vec_id, p.tbl,
+           SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0
+                    THEN CAST(1 AS BIGINT) << p.bit
+                    ELSE CAST(0 AS BIGINT) END) AS code
+    FROM e CROSS JOIN p GROUP BY 1, 2),
+qc AS (
+    SELECT q.query_id, p.tbl,
+           SUM(CASE WHEN list_inner_product(q.qv, p.pv) > 0
+                    THEN CAST(1 AS BIGINT) << p.bit
+                    ELSE CAST(0 AS BIGINT) END) AS code
+    FROM q CROSS JOIN p GROUP BY 1, 2),
+cand AS (
+    SELECT DISTINCT qc.query_id, cc.vec_id
+    FROM qc JOIN cc ON qc.tbl = cc.tbl AND qc.code = cc.code),
+scored AS (
+    SELECT c.query_id, c.vec_id,
+           ROUND(list_inner_product(q.qv, e.v)
+                 / (SQRT(list_inner_product(q.qv, q.qv))
+                    * SQRT(list_inner_product(e.v, e.v))), 6) AS cos_sim
+    FROM cand c
+    JOIN q ON c.query_id = q.query_id
+    JOIN e ON c.vec_id = e.vec_id)
+SELECT query_id, vec_id, cos_sim, rnk
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+""",
+)
+def sim_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-5 via sign-random-projection LSH — the
+    cosine-native ANN path with a FULLY deterministic, engine-replayable
+    index (md5-parity ±1 hyperplanes, no seed, no JVM state). Candidates
+    come only from equal (table, code) buckets; exact cosine re-ranks the
+    candidate set. Retires the rows-only oracle duty that the seeded BRP
+    path (``sim_lsh_topk``) can't provide."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return srp_topk(e, queries, k=5, n_tables=16, n_bits=6, dim=64)
+
+
+@query(
+    "dedup_simhash_md5",
+    # With n_bands=4 and max_hamming=3, pigeonhole makes banding recall
+    # exactly 1 (3 flipped bits touch at most 3 of 4 bands), so the banded
+    # output EQUALS the all-pairs answer — which is what the oracle
+    # replays: md5-prefix 60-bit token hashes -> per-bit votes -> simhash
+    # -> hamming <= 3 over all pairs. Full value parity, unlike the
+    # engine-local xxhash64 twin (``dedup_simhash_pairs``, rows-only).
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS t
+    FROM documents),
+h AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+    FROM tok),
+v AS (
+    SELECT doc_id, b.bit,
+           SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM h CROSS JOIN range(60) AS b(bit)
+    GROUP BY 1, 2),
+sh AS (
+    SELECT doc_id,
+           SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit
+                    ELSE CAST(0 AS BIGINT) END) AS simhash
+    FROM v GROUP BY 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the CROSS-ENGINE 60-bit hash
+    (``md5_hash60``: first 15 hex chars of md5 as an integer): explode
+    tokens, 60 per-bit signed votes (map-side combined — the shuffle
+    carries 60 longs per doc, not the tokens), banded candidate join,
+    bit_count(xor) verify. Same scalable shape as the xxhash64 variant;
+    the portable hash buys a full DuckDB value oracle."""
+    from featurestore_for_joycastle_java_spark.operators.text import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        n_bands=4,
+        bits=60,
+        token_hash=md5_hash60,
+    )
+
+
+@query(
+    "text_winnow_pairs",
+    # Winnowing is deterministic given the token stream and the (k, w)
+    # parameters, and the shingle hash is the portable md5-prefix — the
+    # oracle replays the full pipeline with DuckDB list ops: positional
+    # 3-token shingles -> 60-bit hashes -> min per 4-wide window ->
+    # distinct fingerprints -> pair counts.
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents),
+h AS (
+    SELECT doc_id,
+           list_transform(range(1, len(toks) - 1),
+               i -> CAST(('0x' || substr(md5(concat_ws(' ', toks[i],
+                          toks[i+1], toks[i+2])), 1, 15)) AS BIGINT)) AS hs
+    FROM t WHERE len(toks) >= 3),
+w AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 1) + 1),
+               i -> list_min(hs[i:i+3]))) AS fps
+    FROM h),
+f AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+""",
+)
+def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-similarity candidate pairs via winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken, the MOSS algorithm): any shared token run
+    of ≥ k+w-1 = 6 tokens guarantees a shared fingerprint — the
+    partial-overlap signal whole-doc hashing and bag-of-shingles Jaccard
+    both miss. Fingerprint selection is all higher-order functions on one
+    row (no explode until the index); the pair join shuffles on
+    fingerprint values — one uniform shuffle, the exact-dedup shape.
+    Pairs sharing ≥ 2 fingerprints are reported with their shared count."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"), k=3, w=4)).alias("fp"),
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

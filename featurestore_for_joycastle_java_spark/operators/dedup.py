@@ -172,6 +172,12 @@ def simhash_near_pairs(
     candidate (guaranteed to catch hamming ≤ n_bands-1 by pigeonhole);
     verify with bit_count(xor). Shuffles on band values — near-linear,
     the scalable shape."""
+    if bits % n_bands:
+        # a non-dividing band count would silently exclude the top
+        # bits % n_bands hash bits from every band (precision loss), and
+        # n_bands > bits would bucket everything together (quadratic) —
+        # same contract as minhash_lsh_pairs' num_perm % n_bands check
+        raise ValueError("bits must be divisible by n_bands")
     sh = simhash(df, id_col, text_col, bits=bits, token_hash=token_hash)
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1

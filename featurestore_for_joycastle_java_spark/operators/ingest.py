@@ -28,6 +28,8 @@ Non-matching event types still flow through to their own dwd table.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import StructType
 
@@ -127,17 +129,17 @@ def demux_write(
 def demux_tables(
     df: DataFrame,
     key_col: str = "EventType",
-    keys: list[str] | None = None,
+    keys: Sequence[str] | None = EXTRACT_EVENT_TYPES,
 ) -> dict[str, DataFrame]:
     """Table-per-type view of the demux (dwd_<EventType>, CMT:168,174-175)
     as lazily-filtered DataFrames, for callers who want the reference's
     exact table layout (e.g. a JDBC sink per type).
 
-    Pass ``keys`` explicitly (the reference hardcodes its EVENT_TYPES
-    list, CMT:30) — the default path then stays fully lazy. ``keys=None``
-    falls back to discovering the distinct key set, which runs a hidden
-    ``collect()`` action over ``df``; fine for a bounded demux column,
-    opt-in on purpose."""
+    The DEFAULT key set is the reference's hardcoded EVENT_TYPES tuple
+    (CMT:26,30) — fully lazy, no hidden driver action. Pass your own
+    ``keys`` for other demux columns. ``keys=None`` opts into discovering
+    the distinct key set, which runs a ``collect()`` action over ``df``;
+    fine for a bounded demux column, explicit opt-in on purpose."""
     if keys is None:
         keys = [r[0] for r in df.select(key_col).distinct().collect()]
     return {t: df.filter(F.col(key_col) == t) for t in keys}

@@ -333,43 +333,51 @@ def srp_codes(
 ) -> DataFrame:
     """Per-vector SRP bucket codes: one row (id, tbl, code) per hash
     table, where bit b of ``code`` is sign(v · r[t][b]) for the
-    deterministic hyperplane r. Hyperplanes are plan-time literal arrays
-    (broadcast constants — nothing to fit, nothing to ship); the encode
-    itself is a stateless narrow map, so it pipelines with the scan at
-    any scale."""
-    from functools import reduce
+    deterministic hyperplane r.
 
+    The hyperplanes travel as a tiny BROADCAST DataFrame (n_tables ×
+    n_bits rows), NOT as plan-literal arrays: the r2 literal-unrolled
+    form embedded n_tables·n_bits·dim literals plus an unrolled fold per
+    code bit into the plan, and Catalyst+Janino spent ~20s compiling it
+    at 16×6×64 (measured: 25s total at sf0.1, vs ~2s this shape). The
+    broadcast join duplicates each vector per (table, bit) executor-side
+    only; the groupBy is map-side combined, so the one shuffle carries
+    n_tables rows per vector."""
     planes = srp_hyperplanes(n_tables, n_bits, dim)
-
-    def build(vv: Column) -> Column:
-        def code(t: int) -> Column:
-            return reduce(
-                lambda acc, b: acc
-                + F.when(
-                    dot(vv, F.array(*[F.lit(x) for x in planes[(t, b)]])) > 0,
-                    F.lit(1 << b).cast("long"),
-                ).otherwise(F.lit(0).cast("long")),
-                range(n_bits),
-                F.lit(0).cast("long"),
-            )
-
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).cast("int").alias("tbl"), code(t).alias("code")
-                )
-                for t in range(n_tables)
-            ]
-        )
-
-    # bind the double-cast vector ONCE (no CSE across lambda boundaries)
-    enc = df.select(
-        F.col(id_col),
-        F.explode(
-            F.element_at(F.transform(F.array(as_double(F.col(vec_col))), build), 1)
-        ).alias("__tc"),
+    pdf = df.sparkSession.createDataFrame(
+        [(t, b, planes[(t, b)]) for t in range(n_tables) for b in range(n_bits)],
+        "tbl int, bit int, pv array<double>",
     )
-    return enc.select(id_col, "__tc.tbl", "__tc.code")
+
+    # guard the dim contract EXECUTOR-SIDE (no driver action): zip_with
+    # pads the shorter array with nulls, so a silent dim mismatch would
+    # make every dot NULL, every bit 0, and every vector hash to code 0 —
+    # a full-quadratic candidate join with no error. Fail fast instead.
+    vec = F.col(vec_col)
+    checked = F.when(F.size(vec) == dim, as_double(vec)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"srp_codes: expected {dim}-dim vectors, got length "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
+
+    signed = (
+        df.select(F.col(id_col), checked.alias("__v"))
+        .join(F.broadcast(pdf))
+        .select(
+            id_col,
+            "tbl",
+            F.when(
+                dot(F.col("__v"), F.col("pv")) > 0,
+                F.expr("shiftleft(cast(1 as bigint), bit)"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("__bv"),
+        )
+    )
+    return signed.groupBy(id_col, "tbl").agg(F.sum("__bv").alias("code"))
 
 
 def srp_topk(

@@ -165,3 +165,17 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
     assert comp[0] == comp[1] == comp[2] == 0
     assert comp[3] == 3  # isolated
     assert comp[4] == comp[5] == 4
+
+
+def test_simhash_near_pairs_rejects_bad_banding(spark):
+    import pytest
+
+    from featurestore_for_joycastle_java_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_near_pairs(df, "doc_id", "text", n_bands=7, bits=64)
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_near_pairs(df, "doc_id", "text", n_bands=128, bits=64)

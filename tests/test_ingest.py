@@ -95,7 +95,10 @@ def test_demux_routing(spark):
         for i, t in enumerate(["InAppPurchase", "SessionEnd", "click", "click"])
     ]
     dwd = ingest_pipeline(_raw_df(spark, events))
-    tables = demux_tables(dwd)
+    # default: the reference's hardcoded EVENT_TYPES tuple, no driver action
+    assert set(demux_tables(dwd)) == {"InAppPurchase", "SessionEnd"}
+    # keys=None opts into distinct-key discovery (a collect action)
+    tables = demux_tables(dwd, keys=None)
     assert set(tables) == {"InAppPurchase", "SessionEnd", "click"}
     assert tables["click"].count() == 2
 

@@ -115,3 +115,41 @@ def test_ivf_kmeans_recall_and_determinism(spark, sf_dir):
         map(tuple, ivf_topk(e, q, k=5, centroids="kmeans").collect())
     )
     assert again == sorted(map(tuple, approx))
+
+
+def test_srp_topk_recall_vs_brute_force(spark, sf_dir):
+    # deterministic (seedless) SRP buckets: recall against brute force on
+    # the fixture batch; exact values are driver-checked by the
+    # sim_srp_topk DuckDB full-index-replay oracle
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        brute_force_topk,
+        srp_topk,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    srp = srp_topk(e, q, k=5, n_tables=16, n_bits=6).select("query_id", "vec_id")
+    brute = brute_force_topk(e, q, k=5).select("query_id", "vec_id")
+    hits = srp.join(brute, ["query_id", "vec_id"]).count()
+    assert hits / brute.count() >= 0.6
+
+
+def test_srp_codes_rejects_dim_mismatch(spark):
+    # zip_with pads mismatched arrays with nulls -> every code would be 0
+    # and the candidate join quadratic; the operator must fail fast instead
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        srp_codes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception) as exc_info:
+        srp_codes(df, "vec_id", "embedding", n_tables=2, n_bits=4, dim=8).collect()
+    assert "expected 8-dim vectors" in str(exc_info.value)
