@@ -197,3 +197,123 @@ def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+_NEARDUP_PREP_ORACLE = """
+WITH RECURSIVE
+t AS (
+    SELECT doc_id, source, n_chars,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents),
+q AS (SELECT doc_id, source, n_chars, len(toks) AS n_tok, toks
+      FROM t WHERE len(toks) >= 30),
+s AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+    FROM q),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE ROUND(1.0 - CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))), 6)
+          <= 0.4),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+    SELECT doc_id AS node, doc_id AS comp FROM q
+    UNION
+    SELECT e.dst AS node, r.comp AS comp
+    FROM reach r JOIN edges e ON e.src = r.node),
+cc AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY 1),
+surv AS (
+    SELECT q.doc_id, q.source, q.n_tok,
+           (ROW_NUMBER() OVER (PARTITION BY cc.component
+                               ORDER BY q.n_chars DESC, q.doc_id) = 1)
+               AS is_surv
+    FROM q JOIN cc USING (doc_id)),
+k AS (
+    SELECT *,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+               % 1000 AS bucket,
+           CASE WHEN source IN ('src0', 'src1') THEN 1000 ELSE 500 END AS rate
+    FROM surv)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN is_surv THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_survivors,
+       CAST(SUM(CASE WHEN is_surv AND bucket < rate THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN is_surv AND bucket < rate THEN n_tok ELSE 0 END)
+            AS BIGINT) AS n_tokens_kept
+FROM k GROUP BY 1
+"""
+
+
+@query(
+    "train_corpus_prep_neardup",
+    # LSH candidate recall is 1.0 at fixture scales (pair set == exact
+    # all-pairs shingle jaccard — established by dedup_minhash_lsh's exact
+    # oracle; gating to a subset of docs only removes pairs), so the WHOLE
+    # near-dup pipeline replays exactly: gate -> shingle-jaccard pairs ->
+    # recursive-CTE components -> survivor window -> md5-bucket sample ->
+    # per-source card.
+    oracle=_NEARDUP_PREP_ORACLE,
+)
+def train_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus preparation on the NEAR-dup path — the composite
+    ``train_corpus_prep`` (exact dedup) upgraded to the pipeline a
+    pretraining job actually needs at 100 TB, every stage the scale path:
+
+    1. quality gate: whitespace-token count >= 30 (stateless, pushable);
+    2. near-dup clustering across sources: MinHash-LSH candidate pairs
+       (banded equal-hash join, never all-pairs) -> distributed min-label
+       connected components;
+    3. survivor retention: longest doc per cluster, min-doc_id tiebreak
+       (one window over the clustered docs);
+    4. deterministic stratified downsample of survivors: md5(doc_id)
+       bucket < per-source rate — reproducible across engines, runs, and
+       repartitions;
+    5. per-source composition card: candidates -> survivors -> kept ->
+       kept tokens (exact BIGINT counts).
+
+    Stage-ordering bugs (sample-before-dedup, dedup across gated-out
+    docs, survivor picked before clustering) all flip the card and fail
+    the value hash."""
+    from featurestore_for_joycastle_java_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.withColumn("n_tok", F.size(tokens(F.col("text")))).filter(
+        F.col("n_tok") >= 30
+    )
+    pairs = D.minhash_lsh_pairs(gated, "doc_id", "text", max_jaccard_distance=0.4)
+    cc = D.connected_components(gated, pairs, id_col="doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    rate = F.when(F.col("source").isin("src0", "src1"), 1000).otherwise(500)
+    flagged = (
+        gated.select("doc_id", "source", "n_chars", "n_tok")
+        .join(cc, "doc_id")
+        .select(
+            "source",
+            "n_tok",
+            (F.row_number().over(w) == 1).alias("is_surv"),
+            (bucket < rate).alias("is_sampled"),
+        )
+    )
+    kept = F.col("is_surv") & F.col("is_sampled")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("is_surv"), 1).otherwise(0)).alias("n_survivors"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias("n_tokens_kept"),
+    )
+

@@ -157,3 +157,36 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
     # and the scan honors it: files read come only from the one partition
     n_purchase = ev.filter(F.col("event_type") == "purchase").count()
     assert df.count() == n_purchase
+
+
+def test_srp_topk_candidates_from_bucket_join(spark, sf_dir):
+    # the SRP plan must (a) broadcast the tiny hyperplane table into the
+    # encode, and (b) generate candidates from an equi-join on the bucket
+    # keys — never a cross/nested-loop product of corpus x queries
+    plan = plan_of(spark, sf_dir, "sim_srp_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "tbl" in plan and "code" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_md5_shuffle_carries_votes_not_tokens(spark, sf_dir):
+    # the 60 per-bit votes must partial-aggregate BEFORE the exchange
+    # (map-side combine): the groupBy(id) shuffle carries 60 longs per
+    # doc, not the exploded token rows
+    plan = plan_of(spark, sf_dir, "dedup_simhash_md5")
+    first_exchange = plan.find("Exchange")
+    first_partial = plan.find("HashAggregate")
+    assert first_partial != -1 and first_exchange != -1
+    assert first_partial < first_exchange, "partial agg must precede shuffle"
+
+
+def test_winnow_no_shuffle_before_fingerprint_index(spark, sf_dir):
+    # fingerprint selection is per-row HOFs: the first shuffle in the plan
+    # must be the pair-join/groupBy on fp values, not anything upstream
+    plan = plan_of(spark, sf_dir, "text_winnow_pairs")
+    scan_pos = plan.find("Scan parquet")
+    exchange_pos = plan.find("Exchange")
+    assert scan_pos != -1 and exchange_pos != -1
+    gen_pos = plan.find("Generate")  # the explode feeding the index
+    assert gen_pos != -1, "fingerprint index must come from an explode"
+    assert "CartesianProduct" not in plan
