@@ -57,6 +57,11 @@ def main() -> None:
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+        # each query is measured independently: drop cached blocks (e.g.
+        # the LSH shingle table) so storage pressure from earlier queries
+        # can't skew later ones — the per-query number is the query, not
+        # the suite's accumulated state
+        spark.catalog.clearCache()
     total = round(time.monotonic() - t_suite, 3)
 
     # Regression gate: diff against the prior round's per-query map (the
