@@ -199,6 +199,66 @@ def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "feature_ewma_decay",
+    # The fold is the DEFINITION of EWMA, and both engines run the same
+    # IEEE ops in the same order (Spark aggregate and DuckDB list_reduce
+    # are both left-to-right over the (ts, event_id)-ordered values), so
+    # the unrounded doubles agree bit-for-bit; 6dp rounding is belt and
+    # braces.
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, v) -> 0.3 * v + 0.7 * acc), 6) AS ewma_value
+FROM events
+GROUP BY user_id
+""",
+)
+def feature_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed feature value per user (alpha = 0.3) — the
+    recency-weighted aggregate a feature store serves next to plain
+    sums/averages: ewma_n = α·v_n + (1-α)·ewma_(n-1), seeded with the
+    user's first event, events ordered by (ts, event_id) for a total
+    deterministic order.
+
+    Shape: one groupBy(user) shuffle carrying each user's (ts, id, value)
+    structs, then a per-row HOF fold — no window, no second shuffle, no
+    UDF. State is bounded by events-per-entity (in production the input
+    is a bounded time slice — same envelope as sequence packing); the
+    recursive fold is NOT expressible as a closed-form window without
+    changing float semantics, so the collected-array fold IS the scale
+    path for this feature."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), arr.alias("__evs")
+    )
+    # bind the value array ONCE (no CSE across HOF lambda boundaries),
+    # then fold: init = first value, aggregate over the tail
+    def ewma(vals):
+        tail = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+        return F.round(
+            F.aggregate(
+                tail,
+                F.element_at(vals, 1),
+                lambda acc, v: F.lit(0.3) * v + F.lit(0.7) * acc,
+            ),
+            6,
+        )
+
+    vals_once = F.element_at(
+        F.transform(
+            F.array(F.transform(F.col("__evs"), lambda s: s["value"])),
+            lambda vals: ewma(vals),
+        ),
+        1,
+    )
+    return g.select("user_id", "n_events", vals_once.alias("ewma_value"))
+
+
 _NEARDUP_PREP_ORACLE = """
 WITH RECURSIVE
 t AS (

@@ -95,3 +95,43 @@ def test_sessionize_matches_python_reference(spark, offsets):
             sid += 1
         want.append(sid)
     assert got == want, f"secs={secs}"
+
+
+_doc_words = st.lists(
+    st.sampled_from(["spark", "data", "key", "value", "fast", "slow", "a", "bb"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_doc_words, min_size=2, max_size=8))
+def test_token_jaccard_band_prune_loses_no_pair(spark, docs):
+    """The length-band prune (t*max <= min) inside token_jaccard_pairs is
+    a NECESSARY condition for J >= t — randomized docs vs a Python
+    reference must produce the identical pair set."""
+    from featurestore_for_joycastle_java_spark.operators.dedup import (
+        token_jaccard_pairs,
+    )
+
+    t = 0.6
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in token_jaccard_pairs(df, "doc_id", "text", threshold=t).collect()
+    }
+    want = set()
+    toksets = {i: set(ws) for i, ws in enumerate(docs)}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = toksets[i], toksets[j]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if inter == 0:
+                continue
+            jac = round(inter / (len(a) + len(b) - inter), 6)
+            if jac >= t:
+                want.add((i, j, jac))
+    assert got == want, f"{got} != {want}"
