@@ -85,6 +85,45 @@ def write_any(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overw
 
 # --- Kafka source (reference op #1, CMT:46-57/89-102) ---
 
+#: The schema Spark's Kafka source emits — used by tests to exercise the
+#: post-source pipeline (value decode → JSON parse → ingest) broker-free.
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    streaming: bool = False,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Reader options as a pure (testable) mapping. Reference semantics:
+    ``startingOffsets=earliest`` is the seek-every-partition-to-0
+    (CMT:93-98); batch ``endingOffsets=latest`` is the drain-then-stop
+    (CMT:104-110); ``maxOffsetsPerTrigger`` bounds a micro-batch the way
+    ``max.poll.records=1000`` did (CMT:52)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+    }
+    if not streaming:
+        opts["endingOffsets"] = "latest"
+    elif max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_values(df: DataFrame) -> DataFrame:
+    """Kafka records → the JSON-string ``value`` column ``ingest_pipeline``
+    consumes (the reference's StringDeserializer, CMT:54-55). Works on any
+    frame with Kafka's output shape — real source or test stand-in."""
+    from pyspark.sql import functions as F
+
+    return df.select(F.col("value").cast("string").alias("value"))
+
 
 def kafka_batch_source(
     spark: SparkSession,
@@ -93,16 +132,14 @@ def kafka_batch_source(
 ) -> DataFrame:
     """Bounded replay of a whole topic — the reference's "seek to 0, poll
     until empty" (CMT:93-110) as a batch read. Returns raw key/value binary;
-    callers parse with from_json. Not exercised in tests (no broker in the
-    container); the file-based events fixture stands in."""
-    return (
-        spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .option("endingOffsets", "latest")
-        .load()
-    )
+    parse via :func:`kafka_values` + ``ingest_pipeline``. The broker I/O
+    itself is not exercised in tests (no broker in the container); the
+    option surface and the entire post-source pipeline are (see
+    tests/test_ingest.py::test_kafka_shaped_records_through_pipeline)."""
+    reader = spark.read.format("kafka")
+    for k, v in kafka_source_options(bootstrap_servers, topic).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def kafka_stream_source(
@@ -111,16 +148,16 @@ def kafka_stream_source(
     topic: str,
     max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming variant; ``maxOffsetsPerTrigger`` bounds a micro-batch the
-    way the reference's max.poll.records=1000 did (CMT:52)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
+    """Streaming variant of :func:`kafka_batch_source`."""
+    reader = spark.readStream.format("kafka")
+    opts = kafka_source_options(
+        bootstrap_servers,
+        topic,
+        streaming=True,
+        max_offsets_per_trigger=max_offsets_per_trigger,
     )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    for k, v in opts.items():
+        reader = reader.option(k, v)
     return reader.load()
 
 

@@ -125,3 +125,51 @@ def test_fixture_ingest_value_passthrough(spark, sf_dir):
         & (F.col("event_value") != F.col("value"))
     )
     assert mismatch.count() == 0
+
+
+def test_kafka_source_options_reference_semantics():
+    from featurestore_for_joycastle_java_spark.sources import (
+        kafka_source_options,
+    )
+
+    batch = kafka_source_options("localhost:9092", "game_events")
+    # seek-to-0 (CMT:93-98) + drain-then-stop (CMT:104-110)
+    assert batch["startingOffsets"] == "earliest"
+    assert batch["endingOffsets"] == "latest"
+    assert batch["subscribe"] == "game_events"
+    stream = kafka_source_options(
+        "localhost:9092", "game_events", streaming=True,
+        max_offsets_per_trigger=1000,
+    )
+    # max.poll.records=1000 analog (CMT:52); no endingOffsets on a stream
+    assert stream["maxOffsetsPerTrigger"] == "1000"
+    assert "endingOffsets" not in stream
+
+
+def test_kafka_shaped_records_through_pipeline(spark):
+    # the exact consumption path minus the socket: records with Kafka's
+    # output schema (binary value) -> StringDeserializer equivalent ->
+    # full ingest pipeline
+    from pyspark.sql import Row
+
+    from featurestore_for_joycastle_java_spark.sources import (
+        KAFKA_SOURCE_SCHEMA,
+        kafka_values,
+    )
+
+    recs = [
+        Row(
+            key=None,
+            value=json.dumps(_event(EventID=f"e{i}", EventDetails="4.99 USD")).encode(),
+            topic="game_events",
+            partition=0,
+            offset=i,
+            timestamp=None,
+            timestampType=0,
+        )
+        for i in range(3)
+    ]
+    kafka_df = spark.createDataFrame(recs, KAFKA_SOURCE_SCHEMA)
+    out = ingest_pipeline(kafka_values(kafka_df)).collect()
+    assert len(out) == 3
+    assert all(r["EventValue"] == 4.99 for r in out)
