@@ -180,10 +180,14 @@ def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint values — one uniform shuffle, the exact-dedup shape.
     Pairs sharing ≥ 2 fingerprints are reported with their shared count."""
     docs = load_table(spark, sf_dir, "documents")
+    # the fingerprint index feeds BOTH sides of the self-join — cache it
+    # once instead of running the tokenize→shingle-hash→window cascade
+    # twice (same lifetime note as the minhash shingle cache: blocks are
+    # LRU-evictable and unpersist with the plan's garbage collection)
     fps = docs.select(
         "doc_id",
         F.explode(winnow_fingerprints(F.col("text"), k=3, w=4)).alias("fp"),
-    )
+    ).cache()
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(

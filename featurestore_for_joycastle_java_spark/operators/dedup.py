@@ -420,9 +420,20 @@ def connected_components(
             return df.localCheckpoint(eager=False)
 
     half = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    sym = half.union(
+    # sym must honor checkpoint_dir: every round re-reads it, so a
+    # locally-checkpointed sym would void the executor-loss guarantee the
+    # reliable per-round checkpoints provide. EAGER in both modes — round
+    # 1 consumes sym from three stages (comp-distinct + both hops), and a
+    # lazy checkpoint would let concurrent stages each recompute the
+    # (expensive) candidate-pair plan behind it.
+    sym_plan = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
+    sym = (
+        sym_plan.checkpoint(eager=True)
+        if checkpoint_dir is not None
+        else sym_plan.localCheckpoint(eager=True)
+    )
     # initial labels need NO checkpoint of their own: depth-1 lineage off
     # the checkpointed edges (r2 spent a blocking action materializing it)
     comp = (

@@ -126,20 +126,32 @@ def demux_write(
     df.write.partitionBy(key_col).format(fmt).mode(mode).save(out_dir)
 
 
+_DEMUX_DEFAULT_KEYS = object()
+
+
 def demux_tables(
     df: DataFrame,
     key_col: str = "EventType",
-    keys: Sequence[str] | None = EXTRACT_EVENT_TYPES,
+    keys: Sequence[str] | None = _DEMUX_DEFAULT_KEYS,  # type: ignore[assignment]
 ) -> dict[str, DataFrame]:
     """Table-per-type view of the demux (dwd_<EventType>, CMT:168,174-175)
     as lazily-filtered DataFrames, for callers who want the reference's
     exact table layout (e.g. a JDBC sink per type).
 
-    The DEFAULT key set is the reference's hardcoded EVENT_TYPES tuple
-    (CMT:26,30) — fully lazy, no hidden driver action. Pass your own
-    ``keys`` for other demux columns. ``keys=None`` opts into discovering
-    the distinct key set, which runs a ``collect()`` action over ``df``;
-    fine for a bounded demux column, explicit opt-in on purpose."""
+    For the default ``key_col`` the DEFAULT key set is the reference's
+    hardcoded EVENT_TYPES tuple (CMT:26,30) — fully lazy, no hidden
+    driver action. Any OTHER demux column requires ``keys`` explicitly
+    (that tuple would silently produce empty tables there — raise
+    instead). ``keys=None`` opts into discovering the distinct key set,
+    which runs a ``collect()`` action over ``df``; fine for a bounded
+    demux column, explicit opt-in on purpose."""
+    if keys is _DEMUX_DEFAULT_KEYS:
+        if key_col != "EventType":
+            raise ValueError(
+                f"demux_tables: pass keys explicitly for key_col={key_col!r} "
+                "(or keys=None to discover the distinct values)"
+            )
+        keys = EXTRACT_EVENT_TYPES
     if keys is None:
         keys = [r[0] for r in df.select(key_col).distinct().collect()]
     return {t: df.filter(F.col(key_col) == t) for t in keys}

@@ -104,6 +104,11 @@ def kafka_source_options(
     (CMT:93-98); batch ``endingOffsets=latest`` is the drain-then-stop
     (CMT:104-110); ``maxOffsetsPerTrigger`` bounds a micro-batch the way
     ``max.poll.records=1000`` did (CMT:52)."""
+    if max_offsets_per_trigger and not streaming:
+        raise ValueError(
+            "max_offsets_per_trigger is a streaming trigger bound; "
+            "a batch read drains the whole offset range"
+        )
     opts = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,

@@ -173,3 +173,24 @@ def test_kafka_shaped_records_through_pipeline(spark):
     out = ingest_pipeline(kafka_values(kafka_df)).collect()
     assert len(out) == 3
     assert all(r["EventValue"] == 4.99 for r in out)
+
+
+def test_kafka_batch_rejects_trigger_bound():
+    import pytest
+
+    from featurestore_for_joycastle_java_spark.sources import (
+        kafka_source_options,
+    )
+
+    with pytest.raises(ValueError, match="streaming"):
+        kafka_source_options("h:9092", "t", max_offsets_per_trigger=1000)
+
+
+def test_demux_other_key_col_requires_explicit_keys(spark):
+    import pytest
+
+    dwd = ingest_pipeline(_raw_df(spark, [_event()]))
+    with pytest.raises(ValueError, match="keys explicitly"):
+        demux_tables(dwd, key_col="DeviceType")
+    # explicit keys work for any column
+    assert set(demux_tables(dwd, key_col="DeviceType", keys=["ios"])) == {"ios"}

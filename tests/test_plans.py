@@ -172,21 +172,29 @@ def test_srp_topk_candidates_from_bucket_join(spark, sf_dir):
 def test_simhash_md5_shuffle_carries_votes_not_tokens(spark, sf_dir):
     # the 60 per-bit votes must partial-aggregate BEFORE the exchange
     # (map-side combine): the groupBy(id) shuffle carries 60 longs per
-    # doc, not the exploded token rows
+    # doc, not the exploded token rows. partial_sum in the plan details
+    # is the map-side combine; without it the exchange ships token rows.
     plan = plan_of(spark, sf_dir, "dedup_simhash_md5")
-    first_exchange = plan.find("Exchange")
-    first_partial = plan.find("HashAggregate")
-    assert first_partial != -1 and first_exchange != -1
-    assert first_partial < first_exchange, "partial agg must precede shuffle"
+    assert "partial_sum" in plan, "vote sums must map-side combine"
 
 
 def test_winnow_no_shuffle_before_fingerprint_index(spark, sf_dir):
-    # fingerprint selection is per-row HOFs: the first shuffle in the plan
-    # must be the pair-join/groupBy on fp values, not anything upstream
+    # fingerprint selection is per-row HOFs: the only SHUFFLE exchange in
+    # the plan must sit above (run after) every Generate — node ids in
+    # formatted explain are postorder, so upstream operators have LOWER
+    # ids. BroadcastExchange is not a shuffle of the corpus and is exempt.
+    import re as _re
+
     plan = plan_of(spark, sf_dir, "text_winnow_pairs")
-    scan_pos = plan.find("Scan parquet")
-    exchange_pos = plan.find("Exchange")
-    assert scan_pos != -1 and exchange_pos != -1
-    gen_pos = plan.find("Generate")  # the explode feeding the index
-    assert gen_pos != -1, "fingerprint index must come from an explode"
+    tree = plan.split("\n\n")[0]
+    gen_ids = [int(m) for m in _re.findall(r"Generate \((\d+)\)", tree)]
+    shuffle_ids = [
+        int(m)
+        for m in _re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", tree)
+    ]
+    assert gen_ids, "fingerprint index must come from an explode"
+    assert shuffle_ids, "the fp-pair groupBy must shuffle"
+    assert max(gen_ids) < min(shuffle_ids), (
+        f"a shuffle ran before the fingerprint index: {tree}"
+    )
     assert "CartesianProduct" not in plan
