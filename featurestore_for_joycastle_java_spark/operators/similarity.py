@@ -335,18 +335,27 @@ def srp_codes(
     table, where bit b of ``code`` is sign(v · r[t][b]) for the
     deterministic hyperplane r.
 
-    The hyperplanes travel as a tiny BROADCAST DataFrame (n_tables ×
-    n_bits rows), NOT as plan-literal arrays: the r2 literal-unrolled
-    form embedded n_tables·n_bits·dim literals plus an unrolled fold per
-    code bit into the plan, and Catalyst+Janino spent ~20s compiling it
-    at 16×6×64 (measured: 25s total at sf0.1, vs ~2s this shape). The
-    broadcast join duplicates each vector per (table, bit) executor-side
-    only; the groupBy is map-side combined, so the one shuffle carries
-    n_tables rows per vector."""
+    The hyperplanes travel as ONE broadcast row holding an array of
+    (tbl, bitval, plane) structs, NOT as plan-literal arrays: the r2
+    literal-unrolled form embedded n_tables·n_bits·dim literals plus an
+    unrolled fold per code bit into the plan, and Catalyst+Janino spent
+    ~20s compiling it at 16×6×64 (measured: 25s total at sf0.1, vs ~2s
+    this shape). The encode itself is a stateless per-row HOF fold over
+    the broadcast array — ZERO shuffle (an earlier join+groupBy variant
+    shuffled n_tables combined rows per vector; at 10⁹ vectors that's a
+    10¹⁰-row exchange bought for nothing). Same one-broadcast-row pattern
+    as ivf_topk's centroid assignment."""
     planes = srp_hyperplanes(n_tables, n_bits, dim)
     pdf = df.sparkSession.createDataFrame(
-        [(t, b, planes[(t, b)]) for t in range(n_tables) for b in range(n_bits)],
-        "tbl int, bit int, pv array<double>",
+        [
+            (t, b, 1 << b, planes[(t, b)])
+            for t in range(n_tables)
+            for b in range(n_bits)
+        ],
+        "tbl int, bit int, bv long, pv array<double>",
+    )
+    planes_row = pdf.select(F.struct("tbl", "bv", "pv").alias("p")).agg(
+        F.sort_array(F.collect_list("p")).alias("__planes")
     )
 
     # guard the dim contract EXECUTOR-SIDE (no driver action): zip_with
@@ -363,21 +372,43 @@ def srp_codes(
         )
     )
 
-    signed = (
-        df.select(F.col(id_col), checked.alias("__v"))
-        .join(F.broadcast(pdf))
-        .select(
-            id_col,
-            "tbl",
-            F.when(
-                dot(F.col("__v"), F.col("pv")) > 0,
-                F.expr("shiftleft(cast(1 as bigint), bit)"),
-            )
+    # per plane: its bit value if sign(v·r) is positive, else 0
+    bitvals = F.transform(
+        F.col("__planes"),
+        lambda p: F.struct(
+            p["tbl"].alias("tbl"),
+            F.when(dot(F.col("__v"), p["pv"]) > 0, p["bv"])
             .otherwise(F.lit(0).cast("long"))
-            .alias("__bv"),
-        )
+            .alias("v"),
+        ),
     )
-    return signed.groupBy(id_col, "tbl").agg(F.sum("__bv").alias("code"))
+    # bind the evaluated bit values ONCE (no CSE across HOF lambdas),
+    # then assemble each table's code as a fold over its bits
+    codes_arr = F.element_at(
+        F.transform(
+            F.array(bitvals),
+            lambda bs: F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("int").alias("tbl"),
+                        F.aggregate(
+                            F.filter(bs, lambda p: p["tbl"] == F.lit(t)),
+                            F.lit(0).cast("long"),
+                            lambda acc, p: acc + p["v"],
+                        ).alias("code"),
+                    )
+                    for t in range(n_tables)
+                ]
+            ),
+        ),
+        1,
+    )
+    return (
+        df.select(F.col(id_col), checked.alias("__v"))
+        .join(F.broadcast(planes_row))
+        .select(id_col, F.explode(codes_arr).alias("__tc"))
+        .select(id_col, "__tc.tbl", "__tc.code")
+    )
 
 
 def srp_topk(
