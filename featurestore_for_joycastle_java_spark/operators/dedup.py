@@ -444,43 +444,53 @@ def connected_components(
 
     label_type = dict(comp.dtypes)["comp"]
 
-    def hop(labels: DataFrame) -> DataFrame:
-        """One min-label hop. Each node's label from BEFORE the first hop
-        of the round is threaded through the agg as ``__old`` (the row
-        tagged own=True carries it), so convergence needs no extra join."""
+    def hop(labels: DataFrame, carried: list[str]) -> DataFrame:
+        """One min-label hop. ``carried`` columns of ``labels`` (snapshots
+        of earlier labels) ride through the agg on the row tagged
+        own=True, so convergence needs no extra join."""
         nbr = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"),
             "comp",
             F.lit(False).alias("own"),
-            F.lit(None).cast(label_type).alias("__old"),
+            *[F.lit(None).cast(label_type).alias(c) for c in carried],
         )
         own = labels.withColumn("own", F.lit(True))
-        if "__old" not in labels.columns:
-            own = own.withColumn("__old", F.col("comp"))
         return (
             own.unionByName(nbr)
             .groupBy("node")
             .agg(
                 F.min("comp").alias("comp"),
-                F.min(F.when(F.col("own"), F.col("__old"))).alias("__old"),
+                *[F.min(F.when(F.col("own"), F.col(c))).alias(c) for c in carried],
             )
         )
 
-    changed = 1
+    converged = False
     for rnd in range(max_iter):
         t0 = time.monotonic()
-        # two hops per materialized round: labels reach distance-2 minima
-        # before any blocking action, halving the serial round count
-        new_full = ckpt(hop(hop(comp)))
-        changed = new_full.filter(F.col("comp") != F.col("__old")).count()
+        # two hops per materialized round, snapshotting only the label
+        # BETWEEN the hops (__mid). One aggregation action materializes
+        # the checkpoint AND returns the second hop's change count — and
+        # a zero-change SECOND hop is itself the fixpoint proof (a full
+        # hop moved nothing), so dense graphs that settle mid-round never
+        # pay a separate confirmation round. The pre-round snapshot was
+        # measured and dropped: carrying it through both hops cost more
+        # than the logging it bought.
+        h1 = hop(comp, [])
+        h2 = hop(h1.withColumn("__mid", F.col("comp")), ["__mid"])
+        new_full = ckpt(h2)
+        chg2 = F.sum((F.col("comp") != F.col("__mid")).cast("int"))
+        row = new_full.agg(
+            F.coalesce(chg2, F.lit(0)).alias("chg2"),  # empty graph → 0
+        ).first()
         comp = new_full.select("node", "comp")
         log.info(
-            "connected_components round %d: changed=%d %.3fs",
-            rnd, changed, time.monotonic() - t0,
+            "connected_components round %d: hop2_changed=%d %.3fs",
+            rnd, row["chg2"], time.monotonic() - t0,
         )
-        if changed == 0:
+        if row["chg2"] == 0:
+            converged = True
             break
-    if changed != 0:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter (graph diameter exceeds it)"
