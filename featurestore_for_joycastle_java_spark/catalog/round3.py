@@ -349,8 +349,13 @@ def train_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from featurestore_for_joycastle_java_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    gated = docs.withColumn("n_tok", F.size(tokens(F.col("text")))).filter(
-        F.col("n_tok") >= 30
+    # the gated scan feeds three plan branches (LSH signature build, CC
+    # node set, retention join) — cache it once instead of re-tokenizing
+    # the corpus per branch (same lifetime note as the minhash cache)
+    gated = (
+        docs.withColumn("n_tok", F.size(tokens(F.col("text"))))
+        .filter(F.col("n_tok") >= 30)
+        .cache()
     )
     pairs = D.minhash_lsh_pairs(gated, "doc_id", "text", max_jaccard_distance=0.4)
     cc = D.connected_components(gated, pairs, id_col="doc_id")
