@@ -263,6 +263,39 @@ def feature_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("user_id", "n_events", vals_once.alias("ewma_value"))
 
 
+#: ONE ANSI-SQL string, two engines: Spark executes it via spark.sql over
+#: registered temp views, DuckDB executes the identical text as the oracle.
+#: Decimal-accumulated money math keeps the result engine-exact.
+_SQL_FRONTEND_TEXT = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6)))
+            AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(23,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_frontend_revenue", oracle=_SQL_FRONTEND_TEXT)
+def sql_frontend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT front end: the exact oracle string executed by
+    ``spark.sql`` over registered temp views — parser, analyzer, and
+    Catalyst all exercised on ANSI text rather than the DataFrame DSL
+    (every other query registers plans programmatically; a user of the
+    engine gets both doors). The one SQL string is engine-portable by
+    construction: decimal-accumulated sums, explicit casts, no dialect
+    functions."""
+    from featurestore_for_joycastle_java_spark.sources import (
+        register_temp_views,
+    )
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_FRONTEND_TEXT)
+
+
 _NEARDUP_PREP_ORACLE = """
 WITH RECURSIVE
 t AS (
