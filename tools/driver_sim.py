@@ -1,0 +1,71 @@
+"""Full-registry driver simulation — the strongest pre-round-end check.
+
+Runs every registered query against its DuckDB oracle exactly the way the
+driver does (row count + column names + order-insensitive value hash) at
+the given scale factor, printing one line per query and a final failure
+list. Rows-only queries (no oracle) get a count-executes check.
+
+Usage:
+    python tools/driver_sim.py [sf_dir] [first_n]
+
+    sf_dir   defaults to /root/testdata/sf0.01 (the driver's gate SF)
+    first_n  limit to the first N registered queries (the driver's
+             correctness window records 50); default = all
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    first_n = int(sys.argv[2]) if len(sys.argv) > 2 else None
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+    from oracle import compare
+
+    # vanilla session on purpose: the driver builds its own (no engine
+    # configs), so config-dependence bugs must surface here
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, oracles = E.queries(), E.oracle_sql()
+    names = list(qs)[:first_n] if first_n else list(qs)
+    fails: list[str] = []
+    t_all = time.monotonic()
+    for i, name in enumerate(names):
+        t0 = time.monotonic()
+        try:
+            if name in oracles:
+                compare(qs[name](spark, sf), oracles[name], sf)
+                status = "ok"
+            else:
+                status = f"rows-only n={qs[name](spark, sf).count()}"
+        except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
+            status = f"FAIL {str(ex)[:200]}"
+            fails.append(name)
+        print(
+            f"[{i + 1:03d}/{len(names)}] {name}: {status} "
+            f"({time.monotonic() - t0:.1f}s)",
+            flush=True,
+        )
+        spark.catalog.clearCache()
+    print(f"TOTAL {time.monotonic() - t_all:.0f}s FAILURES: {fails}", flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
