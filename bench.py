@@ -9,8 +9,11 @@ nothing collected to the driver.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -43,53 +46,90 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+    # Fixture identity (r4): per-table row count + schema hash recorded in
+    # the artifact, so cross-round per-query ratios are attributable —
+    # the r2→r3 CC "regression" was confounded by a silent fixture regen
+    # (denser near-dup graph) that nothing on disk recorded.
+    fixture: dict[str, dict[str, object]] = {}
     for f in sorted(os.listdir(sf_dir)):
         if f.endswith(".parquet"):
-            load_table(spark, sf_dir, f[: -len(".parquet")]).write.format(
-                "noop"
-            ).mode("overwrite").save()
+            t = load_table(spark, sf_dir, f[: -len(".parquet")])
+            t.write.format("noop").mode("overwrite").save()
+            fixture[f[: -len(".parquet")]] = {
+                "rows": t.count(),
+                "schema_md5": hashlib.md5(
+                    t.schema.simpleString().encode()
+                ).hexdigest()[:12],
+            }
 
-    names = [n for n in sorted(QUERIES) if n not in BENCH_SKIP]
-    timings: dict[str, float] = {}
-    t_suite = time.monotonic()
-    for name in names:
+    def run_once(name: str) -> float:
         t0 = time.monotonic()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = round(time.monotonic() - t0, 3)
         # each query is measured independently: drop cached blocks (e.g.
         # the LSH shingle table) so storage pressure from earlier queries
         # can't skew later ones — the per-query number is the query, not
         # the suite's accumulated state
         spark.catalog.clearCache()
+        return dt
+
+    names = [n for n in sorted(QUERIES) if n not in BENCH_SKIP]
+    timings: dict[str, float] = {}
+    t_suite = time.monotonic()
+    for name in names:
+        timings[name] = run_once(name)
     total = round(time.monotonic() - t_suite, 3)
 
-    # Regression gate: diff against the prior round's per-query map (the
-    # committed bench_queries.json, read BEFORE this run overwrites it).
-    # Flag >1.5x slowdowns that also cost >0.3s absolute — sub-second
-    # jitter at suite scale is noise, a 1.5x on a multi-second query is
-    # rot (r2 shipped a 2.3x CC regression nobody caught in-round).
+    # Regression gate baseline comes from GIT (the committed artifact of
+    # the prior round), not the file on disk — two consecutive local runs
+    # must NOT re-baseline on each other (slow drift would ratchet past
+    # the gate, and a second run would erase the round baseline).
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
     )
+    prior: dict = {}
+    try:
+        blob = subprocess.run(
+            ["git", "show", "HEAD:bench_queries.json"],
+            capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=30,
+        )
+        if blob.returncode == 0:
+            prior = json.loads(blob.stdout)
+    except (json.JSONDecodeError, OSError, subprocess.SubprocessError):
+        prior = {}
+
+    def flagged(n: str, t_now: float) -> dict[str, float] | None:
+        # >1.5x slowdowns that also cost >0.3s absolute — sub-second
+        # jitter at suite scale is noise, a 1.5x on a multi-second query
+        # is rot (r2 shipped a 2.3x CC regression nobody caught in-round)
+        t_old = prior.get("queries", {}).get(n)
+        if t_old and t_now > 1.5 * t_old and t_now - t_old > 0.3:
+            return {"prior": t_old, "now": t_now, "ratio": round(t_now / t_old, 2)}
+        return None
+
+    # Noise control (r4): a single-shot number in a contended suite flags
+    # false regressions (r3: dedup_pipeline_lsh 8.2s in-suite vs 4.4s warm
+    # same-session). Any flagged query gets TWO more runs; the recorded
+    # time becomes the median of the three, and the flag stands only if
+    # the median still clears the gate.
     regressions: dict[str, dict[str, float]] = {}
-    prior_sf = None
-    if os.path.exists(out_path):
-        try:
-            with open(out_path) as fh:
-                prior = json.load(fh)
-            prior_sf = prior.get("sf")
-            if prior_sf == (float(sf) if sf.replace(".", "").isdigit() else sf):
-                for n, t_now in timings.items():
-                    t_old = prior.get("queries", {}).get(n)
-                    if t_old and t_now > 1.5 * t_old and t_now - t_old > 0.3:
-                        regressions[n] = {
-                            "prior": t_old,
-                            "now": t_now,
-                            "ratio": round(t_now / t_old, 2),
-                        }
-        except (json.JSONDecodeError, OSError):
-            pass
+    reruns: dict[str, list[float]] = {}
+    if prior.get("sf") == (float(sf) if sf.replace(".", "").isdigit() else sf):
+        for n in names:
+            flag = flagged(n, timings[n])
+            if flag is None:
+                continue
+            runs = [timings[n], run_once(n), run_once(n)]
+            reruns[n] = runs
+            timings[n] = statistics.median(runs)
+            flag = flagged(n, timings[n])
+            if flag is not None:
+                flag["runs"] = runs
+                regressions[n] = flag
 
     # Full per-query map goes to a file; the one printed line stays compact
     # (the driver captures a bounded amount of stdout — r1's 108-entry line
@@ -103,6 +143,8 @@ def main() -> None:
         "n_queries": len(names),
         "skipped": sorted(BENCH_SKIP),
         "regressions_vs_prior": regressions,
+        "rerun_medians": reruns,
+        "fixture": fixture,
     }
     with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)

@@ -117,17 +117,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, "doc_id", "text", max_jaccard_distance=0.4)
 
 
-@query(
-    "dedup_simhash_pairs",
-    # xxhash64-based SimHash is engine-local — rows-only check; semantics
-    # verified against a pure-Python reference in tests/test_dedup.py.
-)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banding near-dup candidates (hamming ≤ 3 of 64 bits),
-    verified pairs only — fully Catalyst (explode + 64 bit-vote aggs +
-    band join + bit_count)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+# dedup_simhash_pairs (rows-only, r1-r3) was replaced in r4 by the
+# boolean-oracled dedup_simhash_check in catalog/round4.py; the xxhash64
+# banding operator remains dedup.simhash_near_pairs (reference-checked in
+# tests/test_dedup.py), and the value-oracled pair surface is
+# dedup_simhash_md5.
 
 
 @query(

@@ -6,7 +6,8 @@ driver's 50-entry correctness window covers them.
 All three are built on engine-portable hashing (md5 parity / md5-prefix
 integers), which is what lets DuckDB replay the ENTIRE index — buckets,
 candidates, scores — instead of the rows-only checks their xxhash64/JVM
-siblings get (``sim_lsh_topk``, ``dedup_simhash_pairs``).
+siblings used to get (both replaced in r4 by the boolean-oracled
+``sim_lsh_recall`` / ``dedup_simhash_check`` in catalog/round4.py).
 """
 
 from __future__ import annotations
@@ -76,7 +77,7 @@ def sim_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (md5-parity ±1 hyperplanes, no seed, no JVM state). Candidates
     come only from equal (table, code) buckets; exact cosine re-ranks the
     candidate set. Retires the rows-only oracle duty that the seeded BRP
-    path (``sim_lsh_topk``) can't provide."""
+    path (``operators.similarity.lsh_topk``) can't provide."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -91,7 +92,7 @@ def sim_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output EQUALS the all-pairs answer — which is what the oracle
     # replays: md5-prefix 60-bit token hashes -> per-bit votes -> simhash
     # -> hamming <= 3 over all pairs. Full value parity, unlike the
-    # engine-local xxhash64 twin (``dedup_simhash_pairs``, rows-only).
+    # engine-local xxhash64 twin (checked by ``dedup_simhash_check``).
     oracle="""
 WITH tok AS (
     SELECT doc_id,
@@ -207,60 +208,38 @@ def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature_ewma_decay",
     # The fold is the DEFINITION of EWMA, and both engines run the same
     # IEEE ops in the same order (Spark aggregate and DuckDB list_reduce
-    # are both left-to-right over the (ts, event_id)-ordered values), so
-    # the unrounded doubles agree bit-for-bit; 6dp rounding is belt and
-    # braces.
+    # are both left-to-right over the ordered values), so the unrounded
+    # doubles agree bit-for-bit; 6dp rounding is belt and braces. The two
+    # r3 latent divergences are pinned (r4, ADVICE fix): null values are
+    # excluded EXPLICITLY on both sides (Spark collect_list drops them
+    # silently, DuckDB list() keeps them), and the oracle orders by
+    # (ts, event_id, value) — the exact field order of Spark's struct
+    # sort — so a regenerated fixture with nulls or (ts, event_id) ties
+    # cannot flip parity.
     oracle="""
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(list_reduce(list(value ORDER BY ts, event_id),
+       ROUND(list_reduce(list(value ORDER BY ts, event_id, value),
                          (acc, v) -> 0.3 * v + 0.7 * acc), 6) AS ewma_value
 FROM events
+WHERE value IS NOT NULL
 GROUP BY user_id
 """,
 )
 def feature_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-decayed feature value per user (alpha = 0.3) — the
     recency-weighted aggregate a feature store serves next to plain
-    sums/averages: ewma_n = α·v_n + (1-α)·ewma_(n-1), seeded with the
-    user's first event, events ordered by (ts, event_id) for a total
-    deterministic order.
+    sums/averages. See ``operators.features.ewma_decay`` for semantics
+    and the 100 TB envelope (this registration folds the full fixture;
+    the ``since`` time-slice bound is exercised in tests)."""
+    from featurestore_for_joycastle_java_spark.operators.features import (
+        ewma_decay,
+    )
 
-    Shape: one groupBy(user) shuffle carrying each user's (ts, id, value)
-    structs, then a per-row HOF fold — no window, no second shuffle, no
-    UDF. State is bounded by events-per-entity (in production the input
-    is a bounded time slice — same envelope as sequence packing); the
-    recursive fold is NOT expressible as a closed-form window without
-    changing float semantics, so the collected-array fold IS the scale
-    path for this feature."""
     ev = load_table(spark, sf_dir, "events")
-    arr = F.sort_array(
-        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    return ewma_decay(
+        ev, "user_id", "ts", "event_id", "value", alpha=0.3
     )
-    g = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"), arr.alias("__evs")
-    )
-    # bind the value array ONCE (no CSE across HOF lambda boundaries),
-    # then fold: init = first value, aggregate over the tail
-    def ewma(vals):
-        tail = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
-        return F.round(
-            F.aggregate(
-                tail,
-                F.element_at(vals, 1),
-                lambda acc, v: F.lit(0.3) * v + F.lit(0.7) * acc,
-            ),
-            6,
-        )
-
-    vals_once = F.element_at(
-        F.transform(
-            F.array(F.transform(F.col("__evs"), lambda s: s["value"])),
-            lambda vals: ewma(vals),
-        ),
-        1,
-    )
-    return g.select("user_id", "n_events", vals_once.alias("ewma_value"))
 
 
 #: ONE ANSI-SQL string, two engines: Spark executes it via spark.sql over

@@ -40,19 +40,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, queries, k=5)
 
 
-@query(
-    "sim_lsh_topk",
-    # BucketedRandomProjection hashes are seeded-Spark-specific — rows-only
-    # check here; recall vs brute force asserted in tests/test_similarity.py.
-)
-def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via BucketedRandomProjectionLSH — equal-bucket
-    candidate join only, the 1000-executor ANN path."""
-    e = load_table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return S.lsh_topk(e, queries, k=5)
+# sim_lsh_topk (rows-only, r1-r3) was replaced in r4 by the boolean-
+# oracled sim_lsh_recall in catalog/round4.py; the raw BRP top-k surface
+# remains operators.similarity.lsh_topk (recall-asserted in tests).
 
 
 @query(

@@ -75,12 +75,17 @@ def token_jaccard_pairs(
     |B|)`` — a necessary condition for J ≥ t — applies inside the join,
     BEFORE the pair rows hit the groupBy shuffle, and (b) the old
     per-doc-size groupBy + two post-agg joins disappear (sizes are
-    carried as grouping keys, functionally dependent on the ids)."""
+    carried as grouping keys, functionally dependent on the ids).
+
+    The exploded token index feeds BOTH sides of the self-join — cache it
+    once instead of tokenizing the corpus twice (r4; same lifetime note
+    as ``minhash_lsh_pairs``: blocks live until the returned plan is
+    GC'd, LRU-evictable meanwhile — bounded storage, never correctness)."""
     toks = df.select(
         F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("tk")
     ).select(
         "id", F.size("tk").alias("n_toks"), F.explode("tk").alias("tok")
-    )
+    ).cache()
     a, b = toks.alias("a"), toks.alias("b")
     inter = (
         a.join(
@@ -90,10 +95,14 @@ def token_jaccard_pairs(
             # length-band prune: J(A,B) ≥ t forces the sizes within a
             # factor t of each other — evaluated per pair-token row
             # pre-shuffle, so hopeless pairs never reach the aggregation.
-            # The 1e-9 slack absorbs double rounding of t·n at exact
-            # boundaries (t·max == min), so no true pair is ever pruned.
-            & (F.col("a.n_toks") * threshold <= F.col("b.n_toks") + 1e-9)
-            & (F.col("b.n_toks") * threshold <= F.col("a.n_toks") + 1e-9),
+            # The EMITTED condition is on the 6dp-ROUNDED jaccard, which
+            # admits unrounded J down to t - 5e-7 — so the prune uses
+            # (t - 5e-7), making it exactly necessary for the final
+            # filter (r4, ADVICE fix: a pair at J = t - 4e-7 rounds up
+            # to t and must survive the prune). The extra 1e-9 absorbs
+            # double rounding of t·n at exact boundaries (t·max == min).
+            & (F.col("a.n_toks") * (threshold - 5e-7) <= F.col("b.n_toks") + 1e-9)
+            & (F.col("b.n_toks") * (threshold - 5e-7) <= F.col("a.n_toks") + 1e-9),
         )
         .groupBy(
             F.col("a.id").alias("id_a"),
@@ -432,8 +441,16 @@ def connected_components(
     sym = (
         sym_plan.checkpoint(eager=True)
         if checkpoint_dir is not None
-        else sym_plan.localCheckpoint(eager=True)
+        else sym_plan.localCheckpoint(eager=False)
     )
+    # The count() IS the eager materialization (it computes and persists
+    # every partition of the lazy local checkpoint — one action, not
+    # checkpoint-then-scan), and the edge count it returns makes
+    # cross-round bench deltas attributable (fixture density vs code —
+    # r3's CC "regression" was confounded by a denser regenerated
+    # fixture). Reliable-checkpoint mode keeps the eager FS write; its
+    # count is a cheap scan of the checkpointed files.
+    log.info("connected_components edges=%d (undirected)", sym.count() // 2)
     # initial labels need NO checkpoint of their own: depth-1 lineage off
     # the checkpointed edges (r2 spent a blocking action materializing it)
     comp = (

@@ -411,6 +411,70 @@ def srp_codes(
     )
 
 
+def srp_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_tables: int = 8,
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup PAIRS via SRP-LSH buckets — the bucketed twin of
+    ``cosine_pairs`` (exact all-pairs, quadratic): candidates come ONLY
+    from equal (table, code) buckets of the corpus's own codes (self-join
+    shuffling on bucket values), then exact cosine verifies each
+    candidate against ``threshold``. Output (id_a, id_b, cos_sim) with
+    id_a < id_b, 6dp-rounded.
+
+    This is the 100 TB embedding-dedup shape: per-table bucket population
+    is ~n/2^n_bits, so candidate volume is Σ_buckets m² instead of n² —
+    tune n_bits up as the corpus grows (and n_tables up to recover
+    recall: P[pair shares ≥1 bucket] = 1-(1-(1-θ/π)^n_bits)^n_tables,
+    ≈0.997 at cos 0.9 with 8×8). Determinism is inherited from the
+    md5-parity hyperplanes (``srp_hyperplanes``): no seed, no JVM state,
+    so an external engine can replay the ENTIRE index — buckets,
+    candidates, verified scores."""
+    codes = srp_codes(df, id_col, vec_col, n_tables, n_bits, dim)
+    a, b = codes.alias("a"), codes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    # norms are per-VECTOR, not per-pair: compute each once and carry it
+    # through the candidate join, so the per-pair verify is one dot
+    # product instead of dot + two norm folds (3× the HOF work). The
+    # value is bit-identical — same left-to-right dot fold, same sqrt.
+    e = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    e = e.select(F.col(id_col), "__v", l2_norm(F.col("__v")).alias("__n"))
+    va = e.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = e.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def srp_topk(
     corpus: DataFrame,
     queries: DataFrame,

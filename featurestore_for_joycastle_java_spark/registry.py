@@ -29,22 +29,19 @@ BENCH_SKIP: set[str] = set()
 #: Catalog modules; each registers its queries at import time.
 #:
 #: ORDER MATTERS for the driver: its correctness file records the first 50
-#: registered queries only. Rounds 1+2 verified 100/116 queries (zero
-#: failures); those stay protected by tests/test_oracle_parity.py. Round 3
-#: rotates the last driver-unverified queries to the front — all of tpch3
-#: (12), tpch (tpch_q19_disjunct), text (bpe/tfidf/fingerprint) — plus the
-#: new round3 module (SRP-LSH, SimHash-md5, winnowing) and dedup, whose
-#: minhash/pipeline LSH queries gained exact oracles after their stale r1
-#: rows-only verdicts were recorded.
+#: registered queries only. Policy (r4+): least-recently-driver-verified
+#: rotation — each round leads with the new round module, then the modules
+#: whose latest driver row is oldest, so no query's newest driver row ages
+#: more than a couple of rounds. r3's window covered round3..scalars
+#: (50: round3, tpch3, tpch, text, dedup, similarity, windows, scalars);
+#: r4 leads with round4 (new) then the r1/r2-verified middle (asof,
+#: ingest, relational, round2, streaming, multimodal, training — 48-51
+#: land in-window). r5 should lead with the remainder (training tail,
+#: extras, advanced) plus whatever r5 adds. Everything outside the window
+#: stays protected by tests/test_oracle_parity.py and the full
+#: tools/driver_sim.py sweep.
 _CATALOG_MODULES = [
-    "round3",
-    "tpch3",
-    "tpch",
-    "text",
-    "dedup",
-    "similarity",
-    "windows",
-    "scalars",
+    "round4",
     "asof",
     "ingest",
     "relational",
@@ -54,6 +51,14 @@ _CATALOG_MODULES = [
     "training",
     "extras",
     "advanced",
+    "round3",
+    "tpch3",
+    "tpch",
+    "text",
+    "dedup",
+    "similarity",
+    "windows",
+    "scalars",
 ]
 
 

@@ -38,6 +38,12 @@ from featurestore_for_joycastle_java_spark.schemas import EVENTS
 #: fixtures are single read-only files — bridge with a tempdir symlink.
 _STREAM_DIRS: dict[str, str] = {}
 
+#: per-path cache of the sniffed events-ts type: the footer read is a
+#: driver-side batch job, so pay it once per fixture path, not once per
+#: stream construction (fixture files are immutable within a round; a
+#: regenerated fixture lands under a fresh process anyway)
+_TS_TYPES: dict[str, object] = {}
+
 
 def _as_stream_dir(file_path: str) -> str:
     if os.path.isdir(file_path):
@@ -65,7 +71,9 @@ def file_stream_source(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    if path not in _TS_TYPES:
+        _TS_TYPES[path] = spark.read.parquet(path).schema["ts"].dataType
+    ts_type = _TS_TYPES[path]
     ts_is_long = isinstance(ts_type, LongType)
     ts_ddl = "long" if ts_is_long else ts_type.simpleString()
     schema = (
