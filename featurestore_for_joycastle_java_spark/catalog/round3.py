@@ -39,7 +39,7 @@ p AS (
                           AS INT) % 2 = 1
                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
                 ORDER BY d.dim_i) AS pv
-    FROM range(16) AS t(tbl), range(6) AS b(bit), range(64) AS d(dim_i)
+    FROM range(8) AS t(tbl), range(8) AS b(bit), range(64) AS d(dim_i)
     GROUP BY 1, 2),
 cc AS (
     SELECT e.vec_id, p.tbl,
@@ -77,12 +77,15 @@ def sim_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (md5-parity ±1 hyperplanes, no seed, no JVM state). Candidates
     come only from equal (table, code) buckets; exact cosine re-ranks the
     candidate set. Retires the rows-only oracle duty that the seeded BRP
-    path (``operators.similarity.lsh_topk``) can't provide."""
+    path (``operators.similarity.lsh_topk``) can't provide. 8 tables ×
+    8 bits (r4, was 16×6): same plane budget cut 96→64 — smaller encode
+    fold and 4× more buckets per table, with per-query candidate volume
+    down ~4× at equal recall in the high-cos band top-k draws from."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return srp_topk(e, queries, k=5, n_tables=16, n_bits=6, dim=64)
+    return srp_topk(e, queries, k=5, n_tables=8, n_bits=8, dim=64)
 
 
 @query(

@@ -11,7 +11,7 @@ are r1/r2 (asof, ingest, relational, round2, streaming, multimodal, …).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from featurestore_for_joycastle_java_spark.operators import dedup as D
 from featurestore_for_joycastle_java_spark.operators import similarity as S
@@ -38,7 +38,7 @@ p AS (
                           AS INT) % 2 = 1
                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
                 ORDER BY d.dim_i) AS pv
-    FROM range(16) AS t(tbl), range(6) AS b(bit), range(64) AS d(dim_i)
+    FROM range(8) AS t(tbl), range(8) AS b(bit), range(64) AS d(dim_i)
     GROUP BY 1, 2),
 cc AS (
     SELECT e.vec_id, p.tbl,
@@ -69,14 +69,19 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's own codes, exact cosine verify ≥ 0.4 on candidates only.
     Never all-pairs — the self-join shuffles on bucket values, so
     candidate volume is Σ_buckets m² (tune n_bits with corpus size), not
-    n². Recall is a similarity-dependent index property, exactly replayed
-    by the oracle: ≈0.7 at the 0.4 decision boundary on the fixtures
-    (16 tables × 6 bits; borderline-cos pairs rarely share buckets) and
-    ≈1 in the ≥0.9 band where true duplicates live — the operating regime
-    of a dedup pass."""
+    n². 8 tables × 8 bits (256 buckets/table): the r4-initial 16×6 split
+    the clustered fixture corpus into only 64 buckets/table and admitted
+    24 % of ALL pairs as candidates (471 k of 2 M) — index parameters are
+    the knob that keeps the candidate join linear-ish, and 4× more
+    buckets at half the hyperplane count cut candidates ~5× and the
+    encode fold 96→64 planes. Recall is a similarity-dependent index
+    property, exactly replayed by the oracle: low at the 0.4 decision
+    boundary (borderline-cos pairs rarely share buckets) and ≈0.93+ in
+    the ≥0.9 band where true duplicates live — the operating regime of a
+    dedup pass."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.srp_near_pairs(
-        e, "vec_id", "embedding", threshold=0.4, n_tables=16, n_bits=6, dim=64
+        e, "vec_id", "embedding", threshold=0.4, n_tables=8, n_bits=8, dim=64
     )
 
 
@@ -184,4 +189,321 @@ def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact_dup_pairs",
         "n_missed",
         (F.col("n_missed") == 0).alias("contains_exact_dups"),
+    )
+
+
+# --- Behavioral feature-store queries (r4): funnel, cohorts, RFM ------------
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+s1 AS (
+    SELECT user_id, event_type, t,
+           MIN(CASE WHEN event_type = 'view' THEN t END)
+               OVER (PARTITION BY user_id) AS t_view
+    FROM e),
+s2 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'click' AND t >= t_view THEN t END)
+                  OVER (PARTITION BY user_id) AS t_click
+    FROM s1),
+s3 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t >= t_click THEN t END)
+                  OVER (PARTITION BY user_id) AS t_purchase
+    FROM s2),
+u AS (SELECT user_id, MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+             MIN(t_purchase) AS t_purchase
+      FROM s3 GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(t_view) AS BIGINT) AS n_view,
+       CAST(COUNT(t_click) AS BIGINT) AS n_view_click,
+       CAST(COUNT(t_purchase) AS BIGINT) AS n_view_click_purchase,
+       ROUND(CASE WHEN COUNT(t_view) > 0
+                  THEN COUNT(t_click) / CAST(COUNT(t_view) AS DOUBLE) END,
+             6) AS view_to_click,
+       ROUND(CASE WHEN COUNT(t_click) > 0
+                  THEN COUNT(t_purchase) / CAST(COUNT(t_click) AS DOUBLE) END,
+             6) AS click_to_purchase
+FROM u
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click-after-view →
+    purchase-after-that-click) in ONE shuffle: three stacked window
+    aggregates over the same user_id partitioning (Catalyst plans one
+    exchange, three Window operators), then a per-user rollup that reuses
+    that partitioning and a global count. No self-joins — the classic
+    funnel-as-N-joins shape re-shuffles the fact table once per stage;
+    this is the 100 TB funnel. Stage timestamps are epoch-µs integers so
+    both engines compare identical values."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t")
+    )
+    w = Window.partitionBy("user_id")
+    is_view = F.col("event_type") == "view"
+    s1 = ev.withColumn("t_view", F.min(F.when(is_view, F.col("t"))).over(w))
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("t") >= F.col("t_view")),
+                F.col("t"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("t") >= F.col("t_click")),
+                F.col("t"),
+            )
+        ).over(w),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    n_view = F.count("t_view")
+    n_click = F.count("t_click")
+    n_purch = F.count("t_purchase")
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        n_view.alias("n_view"),
+        n_click.alias("n_view_click"),
+        n_purch.alias("n_view_click_purchase"),
+        F.round(
+            F.when(n_view > 0, n_click / n_view.cast("double")), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.when(n_click > 0, n_purch / n_click.cast("double")), 6
+        ).alias("click_to_purchase"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    # Week arithmetic is anchor-based integer math (days since 2024-01-01
+    # floor-divided by 7), NOT engine week-truncation — date_trunc('week')
+    # semantics (ISO vs locale first-day) are exactly the kind of
+    # cross-engine divergence an oracle must not depend on.
+    oracle="""
+WITH e AS (
+    SELECT user_id,
+           CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                      / 7.0) AS BIGINT) AS wk
+    FROM events),
+m AS (SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS wk0 FROM e),
+d AS (SELECT DISTINCT user_id, wk0, wk - wk0 AS week_offset FROM m)
+SELECT strftime(DATE '2024-01-01' + CAST(wk0 * 7 AS INT), '%Y-%m-%d')
+           AS cohort_week,
+       week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d GROUP BY 1, 2
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-activity week,
+    counted at each later week offset — the activation/retention matrix
+    every growth dashboard draws. Shape: one window min over user_id
+    (cohort assignment, no join back to the fact), a distinct on (user,
+    cohort, offset), one groupBy — exact distinct users per cell without
+    countDistinct's second shuffle, because the distinct IS the dedup."""
+    anchor = F.lit("2024-01-01").cast("date")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.datediff(F.to_date("ts"), anchor) / 7.0).alias("wk"),
+    )
+    w = Window.partitionBy("user_id")
+    d = (
+        ev.withColumn("wk0", F.min("wk").over(w))
+        .select("user_id", "wk0", (F.col("wk") - F.col("wk0")).alias("week_offset"))
+        .distinct()
+    )
+    return d.groupBy(
+        F.date_format(
+            F.date_add(anchor, (F.col("wk0") * 7).cast("int")), "yyyy-MM-dd"
+        ).alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "feature_rfm",
+    oracle="""
+WITH p AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, value
+    FROM events WHERE event_type = 'purchase'),
+a AS (SELECT MAX(d) AS anchor FROM p),
+u AS (
+    SELECT user_id,
+           CAST(date_diff('day', MAX(d), (SELECT anchor FROM a)) AS INT)
+               AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS monetary
+    FROM p GROUP BY user_id),
+s AS (
+    SELECT *,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS INT)
+               AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS INT)
+               AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS INT)
+               AS m_score
+    FROM u)
+SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+           || CAST(m_score AS VARCHAR) AS rfm_segment
+FROM s
+""",
+)
+def feature_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring, the
+    feature-store staple — with every quintile an EXACT global NTILE(5)
+    computed scale-safely: ``global_row_number`` two-pass range bucketing
+    + ``ntile_from_rank`` integer arithmetic (operators/ranks.py), so no
+    window in the plan funnels the full user population through one task
+    (a plain NTILE() OVER (ORDER BY …) would — the r1-flagged
+    scale-killer). Score convention: 1 = best quintile (most recent /
+    most frequent / highest spend); descending orders rank on the negated
+    metric with user_id tiebreak, exactly NTILE's (metric DESC, user_id)
+    order. Monetary sums decimal-exactly before the double cast (the
+    ``exact_sum`` pattern) so both engines rank identical values."""
+    from featurestore_for_joycastle_java_spark.operators.ranks import (
+        global_row_number,
+        ntile_from_rank,
+    )
+    from featurestore_for_joycastle_java_spark.operators.relational import exact_sum
+
+    p = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    anchor = p.agg(F.max(F.to_date("ts")).alias("__anchor"))
+    u = (
+        p.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("__last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            exact_sum(F.col("value")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("__anchor"), F.col("__last_d")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+
+    def score(df: DataFrame, value_col: str, out: str) -> DataFrame:
+        ranked = global_row_number(df, value_col, ["user_id"], "__rn")
+        return ranked.withColumn(
+            out, ntile_from_rank(F.col("__rn"), F.col("_n_total"), 5)
+        ).drop("__rn", "_n_total")
+
+    scored = score(u, "recency_days", "r_score")
+    scored = score(
+        scored.withColumn("__negf", -F.col("frequency")), "__negf", "f_score"
+    ).drop("__negf")
+    scored = score(
+        scored.withColumn("__negm", -F.col("monetary")), "__negm", "m_score"
+    ).drop("__negm")
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_segment"),
+    )
+
+
+@query(
+    "text_repetition",
+    # Spark computes the top-bigram run length with a per-row HOF fold
+    # over the SORTED bigram list (array_sort → aggregate with a
+    # (prev, run, best) struct accumulator) — zero shuffle, zero explode.
+    # The oracle reaches the same numbers the relational way (unnest →
+    # count per gram → max), which is exactly the cross-check you want:
+    # two different algorithms, one answer.
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+    FROM documents),
+g AS (
+    SELECT doc_id, len(tk) AS n_tokens,
+           list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+               AS g2
+    FROM t WHERE len(tk) >= 2),
+ex AS (SELECT doc_id, n_tokens, len(g2) AS n_2grams, unnest(g2) AS gram FROM g),
+cnt AS (SELECT doc_id, n_tokens, n_2grams, gram, COUNT(*) AS c
+        FROM ex GROUP BY 1, 2, 3, 4)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_2grams AS BIGINT) AS n_2grams,
+       ROUND(1.0 - COUNT(*) / CAST(n_2grams AS DOUBLE), 6) AS dup_2gram_frac,
+       ROUND(MAX(c) / CAST(n_2grams AS DOUBLE), 6) AS top_2gram_frac,
+       ROUND(MAX(c) / CAST(n_2grams AS DOUBLE), 6) > 0.18 AS is_repetitive
+FROM cnt GROUP BY doc_id, n_tokens, n_2grams
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-
+    bigram fraction and top-bigram fraction (fraction of all bigrams that
+    are the single most frequent one), with the published 0.18
+    top-2-gram gate as a boolean. ENTIRELY per-row Catalyst HOFs —
+    bigrams via transform over an index sequence, distinct count via
+    array_distinct, top run via a fold over the sorted list — so the
+    operator is embarrassingly parallel: no explode, no shuffle, linear
+    scan of the corpus. The quality-gate shape a 100 TB pretraining
+    pipeline runs over every document. Docs with < 2 tokens have no
+    bigrams and are excluded (structural, both engines)."""
+    from featurestore_for_joycastle_java_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    tk = F.col("tk")
+    g2 = F.transform(
+        F.sequence(F.lit(0), F.size(tk) - 2),
+        lambda i: F.concat_ws(" ", F.get(tk, i), F.get(tk, i + 1)),
+    )
+    base = base.select("doc_id", F.size(tk).alias("n_tokens"), g2.alias("g2"))
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_c = F.aggregate(F.array_sort("g2"), acc0, step, lambda acc: acc["best"])
+    n2 = F.size("g2")
+    top_frac = F.round(top_c / n2.cast("double"), 6)
+    return base.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        n2.cast("bigint").alias("n_2grams"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("g2")) / n2.cast("double"), 6
+        ).alias("dup_2gram_frac"),
+        top_frac.alias("top_2gram_frac"),
+        (top_frac > 0.18).alias("is_repetitive"),
     )

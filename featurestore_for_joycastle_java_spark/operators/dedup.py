@@ -435,9 +435,15 @@ def connected_components(
     # 1 consumes sym from three stages (comp-distinct + both hops), and a
     # lazy checkpoint would let concurrent stages each recompute the
     # (expensive) candidate-pair plan behind it.
+    # hash-partition the edge list on src BEFORE checkpointing it: the
+    # checkpoint captures the partitioning, so every round's
+    # sym⋈labels(src==node) join reuses it instead of re-exchanging the
+    # (biggest) edge side each round — labels come out of the previous
+    # round's groupBy(node) already hash-partitioned on the same key.
+    # One up-front shuffle of |E| buys diameter-many avoided ones.
     sym_plan = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).repartition(F.col("src"))
     sym = (
         sym_plan.checkpoint(eager=True)
         if checkpoint_dir is not None
@@ -450,7 +456,14 @@ def connected_components(
     # r3's CC "regression" was confounded by a denser regenerated
     # fixture). Reliable-checkpoint mode keeps the eager FS write; its
     # count is a cheap scan of the checkpointed files.
-    log.info("connected_components edges=%d (undirected)", sym.count() // 2)
+    # The count IS the eager materialization, and the edge count it logs
+    # makes cross-round bench deltas attributable (fixture density vs
+    # code). A small-graph fast path that pinned AQE off + 8 shuffle
+    # partitions for the loop was measured here and dropped: round times
+    # are dominated by per-round plan compilation, not task count, so it
+    # bought nothing and mutated session-global config.
+    n_edges = sym.count() // 2
+    log.info("connected_components edges=%d (undirected)", n_edges)
     # initial labels need NO checkpoint of their own: depth-1 lineage off
     # the checkpointed edges (r2 spent a blocking action materializing it)
     comp = (
@@ -481,18 +494,37 @@ def connected_components(
             )
         )
 
+    def shortcut(labels: DataFrame, carried: list[str]) -> DataFrame:
+        """Label compression (pointer doubling): comp ← label[comp].
+        Every comp value is itself a labeled node (labels start as own
+        ids and only ever take mins over node ids), so the lookup is a
+        self-join on comp = node; labels only decrease, preserving the
+        monotonicity the convergence proof rests on. Turns O(diameter)
+        plain-hop rounds into O(log diameter): a chain a-b-c-d-e settles
+        in one hop+shortcut+hop round instead of three hop-hop rounds."""
+        m = labels.select(F.col("node").alias("__k"), F.col("comp").alias("__v"))
+        return labels.join(m, labels.comp == m.__k, "left").select(
+            "node",
+            F.coalesce("__v", "comp").alias("comp"),
+            *carried,
+        )
+
     converged = False
     for rnd in range(max_iter):
         t0 = time.monotonic()
-        # two hops per materialized round, snapshotting only the label
-        # BETWEEN the hops (__mid). One aggregation action materializes
-        # the checkpoint AND returns the second hop's change count — and
-        # a zero-change SECOND hop is itself the fixpoint proof (a full
-        # hop moved nothing), so dense graphs that settle mid-round never
-        # pay a separate confirmation round. The pre-round snapshot was
+        # hop → shortcut → hop per materialized round, snapshotting only
+        # the label BEFORE the final hop (__mid). One aggregation action
+        # materializes the checkpoint AND returns the final hop's change
+        # count — and a zero-change FULL HOP is itself the fixpoint proof
+        # (min-label over every neighborhood moved nothing), so dense
+        # graphs that settle mid-round never pay a separate confirmation
+        # round. The shortcut between the hops compresses label chains
+        # (reach ~2^r, not 2r), cutting the round count — and each round
+        # saved is a saved checkpoint + count action, the per-round fixed
+        # cost that dominates on small graphs. The pre-round snapshot was
         # measured and dropped: carrying it through both hops cost more
         # than the logging it bought.
-        h1 = hop(comp, [])
+        h1 = shortcut(hop(comp, []), [])
         h2 = hop(h1.withColumn("__mid", F.col("comp")), ["__mid"])
         new_full = ckpt(h2)
         chg2 = F.sum((F.col("comp") != F.col("__mid")).cast("int"))

@@ -372,6 +372,18 @@ def srp_codes(
         )
     )
 
+    src = df.select(F.col(id_col), checked.alias("__v"))
+    # Encode throughput is CPU-bound: higher-order functions never enter
+    # whole-stage codegen, so each row pays n_tables·n_bits·dim interpreted
+    # ops. A low-partition input (one parquet file → one task) serializes
+    # that work on a single core — spread it to the cluster width first.
+    # At real scale inputs already arrive in ≥ parallelism partitions and
+    # this is a no-op; the guard keeps the repartition (a full exchange of
+    # the vectors) from ever being paid when it buys nothing.
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+
     # per plane: its bit value if sign(v·r) is positive, else 0
     bitvals = F.transform(
         F.col("__planes"),
@@ -404,8 +416,7 @@ def srp_codes(
         1,
     )
     return (
-        df.select(F.col(id_col), checked.alias("__v"))
-        .join(F.broadcast(planes_row))
+        src.join(F.broadcast(planes_row))
         .select(id_col, F.explode(codes_arr).alias("__tc"))
         .select(id_col, "__tc.tbl", "__tc.code")
     )
@@ -435,7 +446,13 @@ def srp_near_pairs(
     md5-parity hyperplanes (``srp_hyperplanes``): no seed, no JVM state,
     so an external engine can replay the ENTIRE index — buckets,
     candidates, verified scores."""
-    codes = srp_codes(df, id_col, vec_col, n_tables, n_bits, dim)
+    # The codes table feeds BOTH sides of the bucket self-join; without a
+    # cache the (interpreted-HOF, CPU-heavy) encode runs twice. n_tables
+    # rows of (id, tbl, code) per vector — a sliver of the input — so the
+    # storage cost is trivial. Same lifetime note as minhash_lsh_pairs:
+    # blocks persist until the returned plan is GC'd, LRU-evictable
+    # meanwhile — bounded storage, never correctness.
+    codes = srp_codes(df, id_col, vec_col, n_tables, n_bits, dim).cache()
     a, b = codes.alias("a"), codes.alias("b")
     cand = (
         a.join(

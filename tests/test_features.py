@@ -99,3 +99,104 @@ def test_ewma_since_predicate_reaches_the_scan(spark, tmp_path):
         since=F.lit(datetime(2024, 1, 6)),
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual" in plan
+
+
+# --- r4 behavioral queries: funnel ordering + repetition fold ---------------
+
+
+def test_funnel_requires_stage_order(spark, tmp_path):
+    """A click BEFORE the first view must not count as view→click, and a
+    purchase before the qualifying click must not count either — the
+    ordering constraint is the whole point of a funnel vs three counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from featurestore_for_joycastle_java_spark.catalog.round4 import (
+        funnel_conversion,
+    )
+
+    rows = [
+        # u1: proper view -> click -> purchase
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:01:00", 1, "click"),
+        (3, "2024-01-01 00:02:00", 1, "purchase"),
+        # u2: click precedes the only view -> no view_click
+        (4, "2024-01-01 00:00:00", 2, "click"),
+        (5, "2024-01-01 00:01:00", 2, "view"),
+        # u3: purchase precedes the qualifying click -> view_click only
+        (6, "2024-01-01 00:00:00", 3, "view"),
+        (7, "2024-01-01 00:00:30", 3, "purchase"),
+        (8, "2024-01-01 00:01:00", 3, "click"),
+        # u4: never viewed
+        (9, "2024-01-01 00:00:00", 4, "error"),
+    ]
+    import datetime as _dt
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [_dt.datetime.fromisoformat(r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    row = funnel_conversion(spark, str(tmp_path)).collect()[0]
+    assert row["n_users"] == 4
+    assert row["n_view"] == 3  # u1, u2, u3
+    assert row["n_view_click"] == 2  # u1, u3 (u2's click was too early)
+    assert row["n_view_click_purchase"] == 1  # u1 only
+
+
+def test_repetition_fold_counts_top_bigram(spark, tmp_path):
+    """'a b a b a b' -> bigrams [ab, ba, ab, ba, ab]: top fraction 3/5,
+    duplicate fraction 1 - 2/5; single-token docs are excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from featurestore_for_joycastle_java_spark.catalog.round4 import (
+        text_repetition,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b a b a b", "x y z", "solo"], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+            "n_chars": pa.array([11, 5, 4], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in text_repetition(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}  # doc 2 has one token -> no bigrams
+    assert out[0]["n_2grams"] == 5
+    assert out[0]["top_2gram_frac"] == pytest.approx(0.6)
+    assert out[0]["dup_2gram_frac"] == pytest.approx(0.6)
+    assert bool(out[0]["is_repetitive"]) is True
+    assert out[1]["top_2gram_frac"] == pytest.approx(0.5)
+    assert bool(out[1]["is_repetitive"]) is True  # 0.5 > 0.18
+
+
+def test_rfm_scores_are_exact_quintiles(spark, sf_dir):
+    """r/f/m scores must partition users into NTILE(5)-exact quintiles:
+    sizes differ by at most one and ordering is honored (a more recent
+    user never has a worse r_score than a less recent one)."""
+    from collections import Counter
+
+    from featurestore_for_joycastle_java_spark.catalog.round4 import feature_rfm
+
+    rows = feature_rfm(spark, sf_dir).collect()
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = Counter(r[col] for r in rows)
+        assert set(sizes) == set(range(1, 6))
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (col, sizes)
+    by_rec = sorted(rows, key=lambda r: (r["recency_days"], r["user_id"]))
+    scores = [r["r_score"] for r in by_rec]
+    assert scores == sorted(scores), "r_score must be monotone in recency order"
