@@ -339,6 +339,13 @@ FROM k GROUP BY 1
     # near-dup pipeline replays exactly: gate -> shingle-jaccard pairs ->
     # recursive-CTE components -> survivor window -> md5-bucket sample ->
     # per-source card.
+    #
+    # SCALE-COUPLED, NOT STRUCTURAL: band recall is 1-(1-s^r)^b < 1, so
+    # the equality with the exact-all-pairs oracle is an empirical fact of
+    # the swept scales (sf0.001/0.01/0.1), not a theorem. After any
+    # fixture regen or at a NEW scale factor, a value-hash failure HERE is
+    # the index dropping a borderline pair, not an engine bug — re-run
+    # tools/driver_sim.py at that scale before treating it as one.
     oracle=_NEARDUP_PREP_ORACLE,
 )
 def train_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

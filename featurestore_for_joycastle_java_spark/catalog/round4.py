@@ -507,3 +507,156 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_2gram_frac"),
         (top_frac > 0.18).alias("is_repetitive"),
     )
+
+
+@query(
+    "feature_scd2_history",
+    # Gaps-and-islands SCD2: collapse consecutive identical values with a
+    # lag-change flag, then effective-date the change rows with lead.
+    # Both windows share one user_id partitioning — one shuffle total.
+    oracle="""
+WITH p AS (
+    SELECT user_id, event_id, value, epoch_us(ts) AS t
+    FROM events WHERE event_type = 'purchase'),
+chg AS (
+    SELECT *, CASE WHEN value IS DISTINCT FROM
+                        LAG(value) OVER (PARTITION BY user_id
+                                         ORDER BY t, event_id)
+                   THEN 1 ELSE 0 END AS is_chg
+    FROM p),
+hist AS (
+    SELECT user_id, value, t AS valid_from_us,
+           LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS valid_to_us
+    FROM chg WHERE is_chg = 1)
+SELECT user_id, value, valid_from_us, valid_to_us,
+       valid_to_us IS NULL AS is_current
+FROM hist
+""",
+)
+def feature_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from a change
+    log: per user, collapse runs of consecutive identical purchase values
+    (lag-based change detection — the gaps-and-islands pattern), then
+    effective-date each surviving change with [valid_from, valid_to)
+    from lead; the open row is ``is_current``. The dimension-table
+    maintenance every feature store does on entity attributes. Both
+    windows hash-partition on user_id once; no self-join, no explode —
+    at 100 TB this is one shuffle of the change log."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = ev.select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    chg = p.withColumn(
+        "is_chg",
+        (
+            ~F.col("value").eqNullSafe(F.lag("value").over(w))
+        ).cast("int"),
+    ).filter(F.col("is_chg") == 1)
+    w2 = Window.partitionBy("user_id").orderBy("t", "event_id")
+    return chg.select(
+        "user_id",
+        "value",
+        F.col("t").alias("valid_from_us"),
+        F.lead("t").over(w2).alias("valid_to_us"),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+@query(
+    "feature_anomaly_zscore",
+    # Cross-engine-exact z-scores WITHOUT trusting either engine's
+    # stddev kernel: sums and sums-of-squares accumulate as DECIMAL
+    # (order-independent, exact), and mean/variance/z are then the SAME
+    # IEEE double expression evaluated left-to-right on both sides — so
+    # the hashes match bit-for-bit where a builtin stddev (Welford vs
+    # textbook, different merge order) would drift in the last ulp.
+    oracle="""
+WITH s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS sum_v,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))
+                    * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sumsq_v
+    FROM events GROUP BY 1),
+st AS (
+    SELECT event_type, n,
+           sum_v / CAST(n AS DOUBLE) AS mean_v,
+           (sumsq_v - CAST(n AS DOUBLE) * (sum_v / CAST(n AS DOUBLE))
+                      * (sum_v / CAST(n AS DOUBLE)))
+               / (CAST(n AS DOUBLE) - 1) AS var_v
+    FROM s WHERE n > 1)
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       ROUND((e.value - st.mean_v) / SQRT(st.var_v), 6) AS zscore
+FROM events e JOIN st USING (event_type)
+WHERE ABS(ROUND((e.value - st.mean_v) / SQRT(st.var_v), 6)) > 3.0
+""",
+)
+def feature_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score anomaly flags per event type: exact decimal
+    sum/sum-of-squares per type (tiny agg, map-side combined), broadcast
+    the 5-row stats frame back onto the events, per-row arithmetic,
+    filter |z| > 3. The outlier-detection shape for a 100 TB event
+    stream: NO window over the fact table, no second pass — one partial
+    aggregation and one broadcast join, everything else stateless."""
+    ev = load_table(spark, sf_dir, "events")
+    v_dec = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("sum_v"),
+        F.sum(v_dec * v_dec).cast("double").alias("sumsq_v"),
+    )
+    n_d = F.col("n").cast("double")
+    mean_v = F.col("sum_v") / n_d
+    st = s.filter(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        mean_v.alias("mean_v"),
+        ((F.col("sumsq_v") - n_d * mean_v * mean_v) / (n_d - 1)).alias("var_v"),
+    )
+    z = F.round(
+        (F.col("value") - F.col("mean_v")) / F.sqrt(F.col("var_v")), 6
+    )
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .select("event_id", "user_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 3.0)
+    )
+
+
+@query(
+    "agg_value_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+       ROUND(CAST(FLOOR(value / 5.0) AS BIGINT) * 5.0, 1) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (width-5 buckets):
+    the distribution profile behind dashboards and data-quality checks.
+    Pure map-side bucketing + one combined aggregation — the bucket id
+    is arithmetic on the row, so the shuffle carries one row per
+    (type, bucket), not per event."""
+    from featurestore_for_joycastle_java_spark.operators.relational import exact_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 5.0)
+    return ev.groupBy(
+        "event_type",
+        bucket.alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value")).alias("sum_value"),
+    ).select(
+        "event_type",
+        "bucket",
+        F.round(F.col("bucket") * 5.0, 1).alias("bucket_lo"),
+        "n_events",
+        "sum_value",
+    )

@@ -46,7 +46,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def token_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    small_vocab_max: int = 1024,
 ) -> DataFrame:
     """Exact token-set Jaccard over all pairs sharing ≥1 token, via an
     inverted-index self-join (explode distinct tokens → equi-join on the
@@ -80,12 +84,37 @@ def token_jaccard_pairs(
     The exploded token index feeds BOTH sides of the self-join — cache it
     once instead of tokenizing the corpus twice (r4; same lifetime note
     as ``minhash_lsh_pairs``: blocks live until the returned plan is
-    GC'd, LRU-evictable meanwhile — bounded storage, never correctness)."""
+    GC'd, LRU-evictable meanwhile — bounded storage, never correctness).
+
+    ADAPTIVE SMALL-VOCABULARY PATH (r4): when the corpus's distinct-token
+    count is ≤ ``small_vocab_max`` (measured with one count over the
+    cached index — the pass is shared, not extra), a tiny vocabulary
+    forces the inverted index into its worst case by pigeonhole: every
+    token bucket holds ~|docs|·tpd/|vocab| documents and the join emits
+    Σ_tok C(bucket, 2) pair-token rows (4.9 M at sf0.1/3-sources, vocab
+    31) that all shuffle into the pair aggregation. Instead: dictionary-
+    encode tokens (row_number over the ≤1024-row vocab — the only global
+    window, on a frame that fits in a cache line), pack each doc's token
+    set into ⌈|vocab|/64⌉ longs with a bit_or aggregation, and evaluate
+    every (length-band-surviving) pair with bitwise AND + bit_count —
+    whole-stage-codegen long ops, no per-token pair rows, no HOFs.
+    Measured at sf0.1/3-sources: edges 2.6 s → ~1 s. Enum-like token
+    domains (tags, categories, game-event vocabularies — this engine's
+    home turf) hit this path; natural-language corpora blow past the
+    vocab bound and keep the inverted index. Identical output by
+    construction: same distinct-token sets, same intersection counts,
+    same 6dp rounding."""
     toks = df.select(
         F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("tk")
     ).select(
         "id", F.size("tk").alias("n_toks"), F.explode("tk").alias("tok")
     ).cache()
+
+    vocab = toks.select("tok").distinct()
+    n_vocab = vocab.count()
+    if 0 < n_vocab <= small_vocab_max:
+        return _bitmask_jaccard_pairs(toks, vocab, n_vocab, threshold)
+
     a, b = toks.alias("a"), toks.alias("b")
     inter = (
         a.join(
@@ -119,6 +148,70 @@ def token_jaccard_pairs(
     )
     return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def _bitmask_jaccard_pairs(
+    toks: DataFrame, vocab: DataFrame, n_vocab: int, threshold: float
+) -> DataFrame:
+    """Small-vocabulary exact Jaccard: token-set bitmasks intersected with
+    AND + bit_count. See ``token_jaccard_pairs`` for when this wins.
+
+    The candidate join broadcasts the mask table (|docs| × ~8·n_words
+    bytes) and keeps the same length-band prune; emitted pairs require
+    ≥ 1 shared token, matching the inverted index's sharing condition
+    exactly (empty-intersection pairs never appear there either)."""
+    from functools import reduce as _reduce
+
+    dict_df = vocab.withColumn(
+        "tid", F.row_number().over(Window.orderBy("tok")) - 1
+    )
+    n_words = (n_vocab + 63) // 64
+    tagged = toks.join(F.broadcast(dict_df), "tok").select(
+        "id",
+        "n_toks",
+        (F.col("tid") / 64).cast("int").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), tid % 64)").alias("bv"),
+    )
+    masks = tagged.groupBy("id", "n_toks").agg(
+        *[
+            F.bit_or(
+                F.when(F.col("w") == wi, F.col("bv")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias(f"m{wi}")
+            for wi in range(n_words)
+        ]
+    )
+    a, b = masks.alias("a"), masks.alias("b")
+    n_inter = _reduce(
+        lambda acc, wi: acc
+        + F.bit_count(F.col(f"a.m{wi}").bitwiseAND(F.col(f"b.m{wi}"))),
+        range(1, n_words),
+        F.bit_count(F.col("a.m0").bitwiseAND(F.col("b.m0"))),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.id") < F.col("b.id"))
+        # same prune + slack as the inverted-index path (see above)
+        & (F.col("a.n_toks") * (threshold - 5e-7) <= F.col("b.n_toks") + 1e-9)
+        & (F.col("b.n_toks") * (threshold - 5e-7) <= F.col("a.n_toks") + 1e-9),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        n_inter.alias("n_inter"),
+        F.col("a.n_toks").alias("n_a"),
+        F.col("b.n_toks").alias("n_b"),
+    )
+    jac = F.round(
+        F.col("n_inter")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        6,
+    )
+    return (
+        pairs.filter(F.col("n_inter") >= 1)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

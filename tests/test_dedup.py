@@ -179,3 +179,42 @@ def test_simhash_near_pairs_rejects_bad_banding(spark):
         simhash_near_pairs(df, "doc_id", "text", n_bands=7, bits=64)
     with pytest.raises(ValueError, match="divisible"):
         simhash_near_pairs(df, "doc_id", "text", n_bands=128, bits=64)
+
+
+def test_token_jaccard_paths_agree(spark, sf_dir):
+    """The adaptive small-vocab bitmask path and the inverted-index path
+    are the SAME operator: identical pair sets and 6dp jaccard values on
+    the fixture corpus (whose 31-token vocab takes the bitmask path by
+    default; small_vocab_max=0 forces the inverted index)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in token_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in token_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.6, small_vocab_max=0
+        ).collect()
+    }
+    assert fast == slow
+    assert len(fast) > 0
+
+
+def test_token_jaccard_bitmask_multiword_vocab(spark):
+    """Vocab > 64 forces multiple mask words — the cross-word popcount
+    sum must still count every shared token (catches a word-index or
+    shift bug that single-word vocabs would hide)."""
+    shared = " ".join(f"tok{i:03d}" for i in range(100))  # spans 2 words
+    df = _docs(
+        spark,
+        [shared + " extraA", shared + " extraB", "unrelated stuff here"],
+    )
+    pairs = token_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    vals = {(p.id_a, p.id_b): p.jaccard for p in pairs}
+    # |∩|=100, |∪|=102
+    assert vals == {(0, 1): round(100 / 102, 6)}
