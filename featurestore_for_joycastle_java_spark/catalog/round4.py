@@ -382,6 +382,10 @@ def feature_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     )
     anchor = p.agg(F.max(F.to_date("ts")).alias("__anchor"))
+    # The per-user RFM frame feeds NINE plan branches (3 rank cascades ×
+    # stats/rank/counts each) — cache it once or the events scan +
+    # groupBy re-runs for every branch. Same lifetime note as the other
+    # operator caches: LRU-evictable, bounded by |users| rows.
     u = (
         p.groupBy("user_id")
         .agg(
@@ -396,21 +400,24 @@ def feature_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        .cache()
     )
 
+    # Each quintile is computed INDEPENDENTLY off the cached base and
+    # joined back on user_id — chaining the cascades instead (score of a
+    # score of a score) re-derives every upstream cascade once per plan
+    # branch of the next one (measured: ~2x slower and a 700-stage plan).
     def score(df: DataFrame, value_col: str, out: str) -> DataFrame:
         ranked = global_row_number(df, value_col, ["user_id"], "__rn")
-        return ranked.withColumn(
-            out, ntile_from_rank(F.col("__rn"), F.col("_n_total"), 5)
-        ).drop("__rn", "_n_total")
+        return ranked.select(
+            "user_id",
+            ntile_from_rank(F.col("__rn"), F.col("_n_total"), 5).alias(out),
+        )
 
-    scored = score(u, "recency_days", "r_score")
-    scored = score(
-        scored.withColumn("__negf", -F.col("frequency")), "__negf", "f_score"
-    ).drop("__negf")
-    scored = score(
-        scored.withColumn("__negm", -F.col("monetary")), "__negm", "m_score"
-    ).drop("__negm")
+    r = score(u, "recency_days", "r_score")
+    fr = score(u.withColumn("__negf", -F.col("frequency")), "__negf", "f_score")
+    m = score(u.withColumn("__negm", -F.col("monetary")), "__negm", "m_score")
+    scored = u.join(r, "user_id").join(fr, "user_id").join(m, "user_id")
     return scored.select(
         "user_id",
         "recency_days",
@@ -660,3 +667,34 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+#: Second SQL-text door (r4): ONE ANSI string with WINDOW functions —
+#: running decimal ledger + partition count — parsed and executed by both
+#: engines verbatim. Frame semantics are pinned by the unique ORDER BY key
+#: (default RANGE UNBOUNDED PRECEDING..CURRENT ROW is identical when the
+#: ordering is total), money math is decimal-accumulated.
+_SQL_LEDGER_TEXT = """
+SELECT user_id,
+       event_id,
+       CAST(SUM(CAST(value AS DECIMAL(23,6))) OVER (
+            PARTITION BY user_id ORDER BY event_id) AS DOUBLE)
+           AS running_spend,
+       COUNT(*) OVER (PARTITION BY user_id) AS n_user_purchases
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+@query("sql_frontend_ledger", oracle=_SQL_LEDGER_TEXT)
+def sql_frontend_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text front end #2 — windowed: the identical ANSI string runs
+    through ``spark.sql`` (temp views) and the DuckDB oracle, this time
+    exercising window-function parsing/planning (running per-user spend
+    ledger + partition count). Complements ``sql_frontend_revenue``
+    (grouped aggregation door): between them the SQL-text path covers
+    both optimizer shapes a warehouse user types most."""
+    from featurestore_for_joycastle_java_spark.sources import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_LEDGER_TEXT)
