@@ -335,8 +335,9 @@ def srp_codes(
     table, where bit b of ``code`` is sign(v · r[t][b]) for the
     deterministic hyperplane r.
 
-    The hyperplanes travel as ONE broadcast row holding an array of
-    (tbl, bitval, plane) structs, NOT as plan-literal arrays: the r2
+    The hyperplanes travel as ONE broadcast row holding a per-table
+    array of (tbl, planes[(bv, pv)…]) structs, NOT as plan-literal
+    arrays: the r2
     literal-unrolled form embedded n_tables·n_bits·dim literals plus an
     unrolled fold per code bit into the plan, and Catalyst+Janino spent
     ~20s compiling it at 16×6×64 (measured: 25s total at sf0.1, vs ~2s
@@ -346,16 +347,24 @@ def srp_codes(
     10¹⁰-row exchange bought for nothing). Same one-broadcast-row pattern
     as ivf_topk's centroid assignment."""
     planes = srp_hyperplanes(n_tables, n_bits, dim)
+    # Grouped per table — (tbl, [(bv, pv) in bit order]) — so the encode
+    # is ONE nested HOF (transform over tables → fold over that table's
+    # planes) with a single dot-product expression in the whole tree.
+    # The r4-initial flat layout (96 structs, per-table filter + fold,
+    # every dot inlined) built an expression tree Catalyst/Janino spent
+    # ~3 s compiling per fresh plan; this shape does the identical
+    # arithmetic (same bit order, same long adds) from a tree a fraction
+    # of the size. Runtime op count is unchanged — compile cost is what
+    # falls.
     pdf = df.sparkSession.createDataFrame(
         [
-            (t, b, 1 << b, planes[(t, b)])
+            (t, [(1 << b, planes[(t, b)]) for b in range(n_bits)])
             for t in range(n_tables)
-            for b in range(n_bits)
         ],
-        "tbl int, bit int, bv long, pv array<double>",
+        "tbl int, planes array<struct<bv: bigint, pv: array<double>>>",
     )
-    planes_row = pdf.select(F.struct("tbl", "bv", "pv").alias("p")).agg(
-        F.sort_array(F.collect_list("p")).alias("__planes")
+    planes_row = pdf.select(F.struct("tbl", "planes").alias("p")).agg(
+        F.sort_array(F.collect_list("p")).alias("__tables")
     )
 
     # guard the dim contract EXECUTOR-SIDE (no driver action): zip_with
@@ -384,36 +393,21 @@ def srp_codes(
     if src.rdd.getNumPartitions() < sc.defaultParallelism:
         src = src.repartition(sc.defaultParallelism)
 
-    # per plane: its bit value if sign(v·r) is positive, else 0
-    bitvals = F.transform(
-        F.col("__planes"),
-        lambda p: F.struct(
-            p["tbl"].alias("tbl"),
-            F.when(dot(F.col("__v"), p["pv"]) > 0, p["bv"])
-            .otherwise(F.lit(0).cast("long"))
-            .alias("v"),
+    # per table: fold its planes in bit order, adding the bit value when
+    # sign(v·r) is positive — each dot is evaluated exactly once
+    codes_arr = F.transform(
+        F.col("__tables"),
+        lambda t: F.struct(
+            t["tbl"].alias("tbl"),
+            F.aggregate(
+                t["planes"],
+                F.lit(0).cast("long"),
+                lambda acc, p: acc
+                + F.when(dot(F.col("__v"), p["pv"]) > 0, p["bv"]).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ).alias("code"),
         ),
-    )
-    # bind the evaluated bit values ONCE (no CSE across HOF lambdas),
-    # then assemble each table's code as a fold over its bits
-    codes_arr = F.element_at(
-        F.transform(
-            F.array(bitvals),
-            lambda bs: F.array(
-                *[
-                    F.struct(
-                        F.lit(t).cast("int").alias("tbl"),
-                        F.aggregate(
-                            F.filter(bs, lambda p: p["tbl"] == F.lit(t)),
-                            F.lit(0).cast("long"),
-                            lambda acc, p: acc + p["v"],
-                        ).alias("code"),
-                    )
-                    for t in range(n_tables)
-                ]
-            ),
-        ),
-        1,
     )
     return (
         src.join(F.broadcast(planes_row))
