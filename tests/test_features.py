@@ -200,3 +200,85 @@ def test_rfm_scores_are_exact_quintiles(spark, sf_dir):
     by_rec = sorted(rows, key=lambda r: (r["recency_days"], r["user_id"]))
     scores = [r["r_score"] for r in by_rec]
     assert scores == sorted(scores), "r_score must be monotone in recency order"
+
+
+def test_scd2_collapses_runs_and_effective_dates(spark, tmp_path):
+    """Consecutive identical values collapse into one validity interval;
+    a value that recurs later opens a NEW interval; the last interval is
+    open-ended and is_current."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from featurestore_for_joycastle_java_spark.catalog.round4 import (
+        feature_scd2_history,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [  # (event_id, minutes, value)
+        (1, 0, 5.0),
+        (2, 10, 5.0),  # unchanged -> collapsed into the first interval
+        (3, 20, 7.0),  # change
+        (4, 30, 5.0),  # back to 5.0 -> NEW interval, not merged
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [t0 + _dt.timedelta(minutes=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["purchase"] * len(rows), pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = sorted(
+        feature_scd2_history(spark, str(tmp_path)).collect(),
+        key=lambda r: r["valid_from_us"],
+    )
+    us = lambda m: int((t0 + _dt.timedelta(minutes=m)).timestamp() * 1e6)
+    assert [(r["value"], r["valid_from_us"], r["valid_to_us"]) for r in out] == [
+        (5.0, us(0), us(20)),
+        (7.0, us(20), us(30)),
+        (5.0, us(30), None),
+    ]
+    assert [bool(r["is_current"]) for r in out] == [False, False, True]
+
+
+def test_zscore_flags_only_outliers(spark, tmp_path):
+    """z-scores must match the textbook sample formula computed in
+    Python, and only |z| > 3 rows survive."""
+    import datetime as _dt
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from featurestore_for_joycastle_java_spark.catalog.round4 import (
+        feature_anomaly_zscore,
+    )
+
+    vals = [10.0] * 20 + [10.5] * 20 + [100.0]  # one extreme outlier
+    n = len(vals)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [_dt.datetime(2024, 1, 1)] * n, pa.timestamp("us")
+            ),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = feature_anomaly_zscore(spark, str(tmp_path)).collect()
+    mean = sum(vals) / n
+    var = (sum(v * v for v in vals) - n * mean * mean) / (n - 1)
+    z100 = round((100.0 - mean) / math.sqrt(var), 6)
+    assert [(r["event_id"], r["zscore"]) for r in out] == [(n - 1, z100)]

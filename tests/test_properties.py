@@ -135,3 +135,38 @@ def test_token_jaccard_band_prune_loses_no_pair(spark, docs):
             if jac >= t:
                 want.add((i, j, jac))
     assert got == want, f"{got} != {want}"
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_doc_words, min_size=2, max_size=8))
+def test_token_jaccard_inverted_path_matches_reference(spark, docs):
+    """Same property with small_vocab_max=0, pinning the INVERTED-INDEX
+    path (the tiny hypothesis vocabulary would otherwise always take the
+    bitmask fast path) against the identical Python reference."""
+    from featurestore_for_joycastle_java_spark.operators.dedup import (
+        token_jaccard_pairs,
+    )
+
+    t = 0.6
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in token_jaccard_pairs(
+            df, "doc_id", "text", threshold=t, small_vocab_max=0
+        ).collect()
+    }
+    want = set()
+    toksets = {i: set(ws) for i, ws in enumerate(docs)}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = toksets[i], toksets[j]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if inter == 0:
+                continue
+            jac = round(inter / (len(a) + len(b) - inter), 6)
+            if jac >= t:
+                want.add((i, j, jac))
+    assert got == want, f"{got} != {want}"
