@@ -698,3 +698,66 @@ def sql_frontend_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_SQL_LEDGER_TEXT)
+
+
+@query(
+    "asof_nearest_error_click",
+    # Neither engine has a native NEAREST as-of: the oracle composes
+    # DuckDB's backward + forward ASOF joins and picks the closer side
+    # (backward wins exact ties) — the same decision rule the Spark
+    # operator applies per row after its dual-window fill.
+    oracle="""
+WITH er AS (
+    SELECT event_id, user_id, epoch_us(ts) AS t
+    FROM events WHERE event_type = 'error'),
+cl AS (
+    SELECT event_id AS click_event_id, user_id, epoch_us(ts) AS t
+    FROM events WHERE event_type = 'click'),
+b AS (
+    SELECT er.event_id, er.user_id, er.t,
+           c.click_event_id AS b_id, c.t AS b_t
+    FROM er ASOF LEFT JOIN cl c
+      ON er.user_id = c.user_id AND er.t >= c.t),
+f AS (
+    SELECT er.event_id, c.click_event_id AS f_id, c.t AS f_t
+    FROM er ASOF LEFT JOIN cl c
+      ON er.user_id = c.user_id AND er.t <= c.t)
+SELECT b.event_id, b.user_id,
+       CASE WHEN b.b_t IS NOT NULL
+                 AND (f.f_t IS NULL OR b.t - b.b_t <= f.f_t - b.t)
+            THEN b.b_id ELSE f.f_id END AS nearest_click_id,
+       CASE WHEN b.b_t IS NOT NULL
+                 AND (f.f_t IS NULL OR b.t - b.b_t <= f.f_t - b.t)
+            THEN b.b_t ELSE f.f_t END AS t_us_matched
+FROM b JOIN f USING (event_id)
+""",
+)
+def asof_nearest_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join: for every error event, the user's
+    temporally closest click in EITHER direction (the diagnostic-context
+    lookup — 'what was the user doing around the failure'). Implemented
+    as ONE shuffle: tagged union windowed ascending and descending over
+    the same user partitioning, then per-row distance arithmetic; see
+    ``operators.asof.asof_join_nearest``."""
+    from featurestore_for_joycastle_java_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros(F.col("ts"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "t_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("nearest_click_id"), "user_id", "t_us"
+    )
+    out = asof_join_nearest(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="t_us",
+        right_ts="t_us",
+        right_cols=["nearest_click_id"],
+    )
+    return out.select("event_id", "user_id", "nearest_click_id", "t_us_matched")

@@ -127,3 +127,94 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(session_col, F.sum(is_new).over(running))
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Nearest-in-time as-of join (pandas ``merge_asof(direction=
+    'nearest')`` — which neither Spark nor DuckDB ships natively): every
+    left row takes the temporally CLOSEST right payload, backward winning
+    exact-distance ties.
+
+    ONE shuffle, not two joins: the tagged union is windowed twice over
+    the same (key) partitioning — ascending for the backward fill,
+    descending for the forward fill; Catalyst plans a single exchange
+    with two Window operators (the second sorts within partitions, no
+    re-shuffle). Per-row arithmetic then picks the closer side.
+
+    Timestamps must be NUMERIC (epoch µs/seconds) so the distance
+    comparison is exact integer math — callers convert with
+    ``unix_micros`` first (same contract the oracle replays)."""
+    ts = "__asof_ts"
+    out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
+    matched_ts = right_ts + suffix
+
+    left_cols = list(left.columns)
+    l = left.select(
+        *on,
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in left_cols if c not in on],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(out_names[c])
+            for c in right_cols
+        ],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(matched_ts),
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(_SIDE),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c not in on
+        ],
+        *[F.col(c).alias(out_names[c]) for c in right_cols],
+        F.col(right_ts).alias(matched_ts),
+    )
+    unioned = l.unionByName(r)
+
+    w_b = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).desc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(out_names[c], ignorenulls=True).over(w).alias(p + out_names[c])
+            for c in right_cols
+            for p, w in (("__b_", w_b), ("__f_", w_f))
+        ],
+        F.last(matched_ts, ignorenulls=True).over(w_b).alias("__b_" + matched_ts),
+        F.last(matched_ts, ignorenulls=True).over(w_f).alias("__f_" + matched_ts),
+    )
+    b_ts, f_ts = F.col("__b_" + matched_ts), F.col("__f_" + matched_ts)
+    use_b = b_ts.isNotNull() & (
+        f_ts.isNull() | ((F.col(ts) - b_ts) <= (f_ts - F.col(ts)))
+    )
+    return filled.filter(F.col(_SIDE) == 1).select(
+        *on,
+        F.col(ts).alias(left_ts),
+        *[c for c in left_cols if c not in on and c != left_ts],
+        *[
+            F.when(use_b, F.col("__b_" + out_names[c]))
+            .otherwise(F.col("__f_" + out_names[c]))
+            .alias(out_names[c])
+            for c in right_cols
+        ],
+        F.when(use_b, b_ts).otherwise(f_ts).alias(matched_ts),
+    )

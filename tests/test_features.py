@@ -282,3 +282,36 @@ def test_zscore_flags_only_outliers(spark, tmp_path):
     var = (sum(v * v for v in vals) - n * mean * mean) / (n - 1)
     z100 = round((100.0 - mean) / math.sqrt(var), 6)
     assert [(r["event_id"], r["zscore"]) for r in out] == [(n - 1, z100)]
+
+
+def test_asof_nearest_prefers_closer_and_breaks_ties_backward(spark):
+    """Nearest-in-time: closer side wins; exact ties go backward; a left
+    row with matches on only one side takes that side."""
+    from featurestore_for_joycastle_java_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100), (2, 205), (3, 10)], "event_id bigint, t_us bigint"
+    ).withColumn("user_id", F.lit(1))
+    right = spark.createDataFrame(
+        [(11, 90), (12, 110), (13, 200), (14, 210)],
+        "rid bigint, t_us bigint",
+    ).withColumn("user_id", F.lit(1))
+    out = {
+        r["event_id"]: r
+        for r in asof_join_nearest(
+            left,
+            right,
+            on=["user_id"],
+            left_ts="t_us",
+            right_ts="t_us",
+            right_cols=["rid"],
+        ).collect()
+    }
+    # event 1 at t=100: backward 90 (d=10) vs forward 110 (d=10) — tie -> backward
+    assert out[1]["rid"] == 11 and out[1]["t_us_matched"] == 90
+    # event 2 at t=205: backward 200 (d=5) vs forward 210 (d=5) — tie -> backward;
+    assert out[2]["rid"] == 13
+    # event 3 at t=10: no backward match -> forward 90
+    assert out[3]["rid"] == 11 and out[3]["t_us_matched"] == 90
