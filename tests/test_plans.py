@@ -198,3 +198,41 @@ def test_winnow_no_shuffle_before_fingerprint_index(spark, sf_dir):
         f"a shuffle ran before the fingerprint index: {tree}"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """The three stacked funnel windows + the per-user rollup must share
+    ONE hash partitioning on user_id: exactly one shuffle Exchange in the
+    whole plan (the scan side), everything above it exchange-free."""
+    import re as _re
+
+    plan = plan_of(spark, sf_dir, "funnel_conversion")
+    tree = plan.split("\n\n")[0]
+    shuffles = _re.findall(r"(?<!Broadcast)Exchange \(\d+\)", tree)
+    # one user_id exchange + the final single-partition gather for the
+    # global one-row aggregate (touches pre-aggregated rows only)
+    assert len(shuffles) <= 2, f"funnel should shuffle once on user_id: {tree}"
+    assert plan.count("Window") >= 3, "three stacked window stages expected"
+
+
+def test_asof_nearest_single_exchange(spark, sf_dir):
+    """Dual-direction (nearest) as-of: both window fills must reuse one
+    user_id partitioning — a second shuffle would mean the descending
+    window re-exchanged the union."""
+    import re as _re
+
+    plan = plan_of(spark, sf_dir, "asof_nearest_error_click")
+    tree = plan.split("\n\n")[0]
+    shuffles = _re.findall(r"(?<!Broadcast)Exchange \(\d+\)", tree)
+    assert len(shuffles) == 1, (
+        f"nearest as-of must shuffle exactly once on the join key: {tree}"
+    )
+
+
+def test_zscore_stats_broadcast_no_fact_window(spark, sf_dir):
+    """Anomaly z-scores must come from a broadcast of the 5-row stats
+    frame onto the events scan — no Window over the fact table and no
+    shuffle of the events side."""
+    plan = plan_of(spark, sf_dir, "feature_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan, "z-score must not window the fact table"
