@@ -6,11 +6,13 @@ the given scale factor, printing one line per query and a final failure
 list. Rows-only queries (no oracle) get a count-executes check.
 
 Usage:
-    python tools/driver_sim.py [sf_dir] [first_n]
+    python tools/driver_sim.py [sf_dir] [first_n] [skip_n]
 
     sf_dir   defaults to /root/testdata/sf0.01 (the driver's gate SF)
     first_n  limit to the first N registered queries (the driver's
              correctness window records 50); default = all
+    skip_n   skip the first N queries (resume a long sweep — e.g. the
+             sf0.1 sweep, whose quadratic DuckDB oracles run ~1 h total)
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ sys.path.insert(0, os.path.join(_REPO, "tests"))
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     first_n = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    skip_n = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
     from pyspark.sql import SparkSession
 
@@ -44,6 +47,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = E.queries(), E.oracle_sql()
     names = list(qs)[:first_n] if first_n else list(qs)
+    names = names[skip_n:]
     fails: list[str] = []
     t_all = time.monotonic()
     for i, name in enumerate(names):
