@@ -761,3 +761,50 @@ def asof_nearest_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["nearest_click_id"],
     )
     return out.select("event_id", "user_id", "nearest_click_id", "t_us_matched")
+
+
+@query(
+    "agg_hll_mergeable_distinct",
+    # The estimate itself is engine-local (DataSketches HLL), so the
+    # oracle pins the EXACT distinct count plus the 5%-relative-error
+    # boolean — the same bounded-error pattern as
+    # agg_approx_distinct_bounded, but here the sketch is built in
+    # PARTS (one per event_type) and merged, which is the property that
+    # matters at scale and the property a broken merge would break.
+    oracle="""
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(5 AS BIGINT) AS n_parts,
+       TRUE AS est_ok
+FROM events
+""",
+    bench=False,  # verification harness (sketch build + exact twin)
+)
+def agg_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches — the pre-aggregated-rollup property that
+    makes approximate distinct usable at 100 TB: build one HLL sketch of
+    user_id PER event_type (five independent partial sketches, as a
+    rollup table would persist them), union-merge the sketch column, and
+    estimate the global distinct count from the merge alone. The
+    estimate must land within 5% of the exact count (relative error of
+    the default lgConfigK=12 is ~1.6%, so the bound only trips on a
+    broken build/merge, not on sketch variance). A naive
+    approx_count_distinct re-scans raw data for every roll-up window;
+    mergeable sketches make each window a metadata operation."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = parts.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return exact.crossJoin(merged).select(
+        "n_exact",
+        "n_parts",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            <= 0.05
+        ).alias("est_ok"),
+    )
