@@ -808,3 +808,55 @@ def agg_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("est_ok"),
     )
+
+
+@query(
+    "pysource_synthetic_agg",
+    # The source's generation rule is pure integer arithmetic on the row
+    # id (see sources/pydatasource.py::SYNTH_SQL) — the oracle REGENERATES
+    # the whole input in SQL and aggregates it, so the check covers the
+    # connector end to end: partition planning, per-partition generation,
+    # schema, and the aggregation on top.
+    oracle="""
+WITH src AS (
+SELECT i AS event_id,
+       h % 150 AS user_id,
+       (['click', 'error', 'purchase', 'signup', 'view'])
+           [CAST((h // 256) % 5 AS INT) + 1] AS event_type,
+       ((h // 65536) % 10000) / 100.0 AS value
+FROM (SELECT i, (i * 2654435761) % 4294967296 AS h
+      FROM range(20000) t(i))
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS sum_value
+FROM src GROUP BY 1
+""",
+)
+def pysource_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector door — Spark 4's Python Data Source API: a
+    partition-parallel batch source (``synthetic_events``, 8 independent
+    id-range partitions) read through the normal
+    ``spark.read.format(...)`` path and aggregated. The source's rows
+    derive from Knuth multiplicative hashing of the row id, so the
+    DuckDB oracle regenerates the identical input from ``range(n)`` and
+    the match verifies the CONNECTOR (planning, generation, schema), not
+    just the aggregation. ``sf_dir`` is unused — the source IS the data."""
+    from featurestore_for_joycastle_java_spark.operators.relational import exact_sum
+    from featurestore_for_joycastle_java_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    src = (
+        spark.read.format("synthetic_events")
+        .option("rows", 20000)
+        .option("partitions", 8)
+        .load()
+    )
+    return src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        exact_sum(F.col("value")).alias("sum_value"),
+    )

@@ -1,0 +1,94 @@
+"""Python Data Source API (Spark 4): a custom batch source with
+partition-parallel reads — the newest connector door, covered with a
+source whose output is DETERMINISTIC and arithmetic-replayable, so the
+usual DuckDB oracle discipline applies to a connector too.
+
+``synthetic_events`` generates game-telemetry-shaped rows from pure
+integer arithmetic on the row id (Knuth multiplicative hashing — a
+public constant, not a seeded RNG): every engine, run, and partition
+layout produces the identical row set. Each ``InputPartition`` is a
+contiguous id range generated independently by its task — the
+partition-planning contract that makes a source scale: N tasks, zero
+coordination, no driver-side materialization.
+
+Reference parity note: the reference consumes Kafka-shaped JSON events
+(ConsumerMultiThread.java CMT:43-160); this source is the load-generator
+twin of that input surface for environments without a broker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: Knuth's multiplicative hash constant (2^32 / phi) — public domain math.
+MULT = 2654435761
+_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def synth_row(i: int) -> tuple[int, int, str, float]:
+    """The generation rule, exported so tests and oracles can replay it:
+    h = (i * MULT) mod 2^32; fields are slices of h. All BIGINT-exact
+    (products stay under 2^63 for any realistic row count)."""
+    h = (i * MULT) % (1 << 32)
+    return (
+        i,
+        h % 150,
+        _TYPES[(h >> 8) % 5],
+        ((h >> 16) % 10000) / 100.0,
+    )
+
+
+#: The identical rule as DuckDB SQL over range(n) — '>>' spelled as
+#: integer division so the arithmetic is unambiguous in both dialects.
+SYNTH_SQL = """
+SELECT i AS event_id,
+       h % 150 AS user_id,
+       (['click', 'error', 'purchase', 'signup', 'view'])
+           [CAST((h // 256) % 5 AS INT) + 1] AS event_type,
+       ((h // 65536) % 10000) / 100.0 AS value
+FROM (SELECT i, (i * 2654435761) % 4294967296 AS h
+      FROM range({n}) t(i))
+"""
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _SyntheticReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 10_000))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+
+    def partitions(self):
+        step = -(-self.n_rows // self.n_parts)  # ceil div
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield synth_row(i)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """spark.read.format("synthetic_events").option("rows", N)
+    .option("partitions", P).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, event_type string, value double"
+
+    def reader(self, schema):
+        return _SyntheticReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine)."""
+    spark.dataSource.register(SyntheticEventsDataSource)

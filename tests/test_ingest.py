@@ -194,3 +194,31 @@ def test_demux_other_key_col_requires_explicit_keys(spark):
         demux_tables(dwd, key_col="DeviceType")
     # explicit keys work for any column
     assert set(demux_tables(dwd, key_col="DeviceType", keys=["ios"])) == {"ios"}
+
+
+def test_python_datasource_partition_parallel_and_deterministic(spark):
+    """The synthetic_events Python data source must (a) honor rows/
+    partitions options, (b) produce the exact rows of the public
+    generation rule, (c) be layout-invariant: 1 partition and 8
+    partitions yield the identical row set."""
+    from featurestore_for_joycastle_java_spark.sources.pydatasource import (
+        register_synthetic_source,
+        synth_row,
+    )
+
+    register_synthetic_source(spark)
+
+    def rd(parts):
+        return (
+            spark.read.format("synthetic_events")
+            .option("rows", 500)
+            .option("partitions", parts)
+            .load()
+        )
+
+    df8 = rd(8)
+    assert df8.rdd.getNumPartitions() == 8
+    got = sorted(map(tuple, df8.collect()))
+    assert got == sorted(map(tuple, rd(1).collect()))
+    assert len(got) == 500
+    assert got[:3] == [synth_row(0), synth_row(1), synth_row(2)]
