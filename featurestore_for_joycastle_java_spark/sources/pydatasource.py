@@ -18,7 +18,12 @@ twin of that input surface for environments without a broker.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: Knuth's multiplicative hash constant (2^32 / phi) — public domain math.
 MULT = 2654435761
@@ -88,7 +93,46 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema):
         return _SyntheticReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return _SyntheticStreamReader(self.options)
+
 
 def register_synthetic_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Simple streaming reader over the same generation rule: the offset
+    is just the next row id, each micro-batch emits up to ``batch_rows``
+    rows, and the stream is exhausted at ``rows`` — so a bounded drain
+    (`availableNow`) terminates deterministically with exactly the batch
+    source's row set. Offsets are plain dicts (JSON-serializable), which
+    is the checkpoint/exactly-once contract: a restarted query resumes
+    from the committed id with no duplicates, because generation is a
+    pure function of the id range."""
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 10_000))
+        self.batch_rows = int(options.get("batchRows", 1_000))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        # a LIST, not a generator: the engine pickles the prefetched batch
+        # to replay it between offsets (exactly-once), and generators
+        # don't pickle. batch_rows bounds driver memory.
+        lo = int(start["next"])
+        hi = min(lo + self.batch_rows, self.n_rows)
+        return [synth_row(i) for i in range(lo, hi)], {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # asymmetric contract: read()'s batch is PICKLED (needs a list),
+        # this replay path is CONSUMED (needs an iterator)
+        return iter(
+            [synth_row(i) for i in range(int(start["next"]), int(end["next"]))]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass

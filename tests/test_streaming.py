@@ -124,3 +124,49 @@ def test_sessionize_boundary_gap_exactly_equal(spark, tmp_path):
         got.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(got[1]) == [3], f"exact gap must merge, got {got[1]}"
     assert sorted(got[3]) == [1, 1], f"gap+1us must split, got {got[3]}"
+
+
+def test_python_streaming_source_exactly_once(spark, tmp_path):
+    """The Python streaming source must deliver every generated row
+    exactly once across micro-batches: 3000 rows at batchRows=1000 ->
+    three offset ranges, no gaps, no duplicates, and the final row set
+    equals the batch source's."""
+    import time
+
+    from featurestore_for_joycastle_java_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    src = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 3000)
+        .option("batchRows", 1000)
+        .load()
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName("synth_eo")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            n = spark.sql("select count(*) n from synth_eo").collect()[0]["n"]
+            if n >= 3000:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    row = spark.sql(
+        "select count(*) n, count(distinct event_id) d, "
+        "min(event_id) lo, max(event_id) hi from synth_eo"
+    ).collect()[0]
+    assert (row["n"], row["d"], row["lo"], row["hi"]) == (3000, 3000, 0, 2999)
+    batch = (
+        spark.read.format("synthetic_events").option("rows", 3000).load()
+    )
+    assert sorted(map(tuple, spark.table("synth_eo").collect())) == sorted(
+        map(tuple, batch.collect())
+    )
