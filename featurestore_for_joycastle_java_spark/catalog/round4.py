@@ -860,3 +860,50 @@ def pysource_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         exact_sum(F.col("value")).alias("sum_value"),
     )
+
+
+@query(
+    "stream_pysource_counts",
+    # Same regenerate-in-SQL oracle as pysource_synthetic_agg — here the
+    # rows additionally flow through a real StreamingQuery (custom Python
+    # stream reader -> stateful complete-mode aggregation -> memory
+    # sink), so the check covers the streaming offset path end to end.
+    oracle="""
+WITH src AS (
+SELECT (i * 2654435761) % 4294967296 AS h
+FROM range(20000) t(i)
+)
+SELECT (['click', 'error', 'purchase', 'signup', 'view'])
+           [CAST((h // 256) % 5 AS INT) + 1] AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(((h // 65536) % 10000) / 100.0 AS DECIMAL(23,6)))
+            AS DOUBLE) AS sum_value
+FROM src GROUP BY 1
+""",
+)
+def stream_pysource_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python STREAMING source composed with a stateful
+    aggregation: synthetic_events read via its offset-tracked stream
+    reader (one availableNow prefetch batch — batchRows=rows; the
+    multi-batch exactly-once progression is pinned in
+    tests/test_streaming.py), complete-mode groupBy into a memory sink,
+    oracle regenerates the input in SQL. ``sf_dir`` unused — the source
+    IS the data."""
+    from featurestore_for_joycastle_java_spark.catalog.streaming import _run
+    from featurestore_for_joycastle_java_spark.operators.relational import exact_sum
+    from featurestore_for_joycastle_java_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    src = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 20000)
+        .option("batchRows", 20000)
+        .load()
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value")).alias("sum_value"),
+    )
+    return _run(spark, agg, "complete")
