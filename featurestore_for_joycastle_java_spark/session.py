@@ -28,6 +28,9 @@ _DEFAULT_CONF = {
     # Don't let tiny files explode task counts in tests; at cluster scale the
     # default 128m is what we want, and this matches it.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Python Data Source API: let custom connectors receive pushed filters
+    # (sources/pydatasource.py prunes generation partitions with them).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

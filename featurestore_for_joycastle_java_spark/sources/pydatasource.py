@@ -66,12 +66,57 @@ class _SyntheticReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n_rows = int(options.get("rows", 10_000))
         self.n_parts = max(1, int(options.get("partitions", 8)))
+        # id bounds tightened by pushed filters: [lo, hi)
+        self.lo = 0
+        self.hi = self.n_rows
+
+    def pushFilters(self, filters):
+        """Filter pushdown INTO the connector (the custom-source half of
+        the predicate-pushdown contract): range predicates on event_id
+        tighten the generation bounds, so whole partitions are PRUNED at
+        planning time — the source never generates, serializes, or ships
+        the excluded ids. Everything else is declined (yielded back), and
+        Spark re-applies every declined filter above the scan, so
+        pushdown is purely an optimization, never a correctness risk."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            # some pushed filters carry no value (IsNotNull, ...)
+            if attr == ("event_id",) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                else:
+                    yield f
+                continue
+            yield f  # declined — Spark evaluates it post-scan
 
     def partitions(self):
-        step = -(-self.n_rows // self.n_parts)  # ceil div
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = hi - lo
+        if n == 0:
+            return [_RangePartition(0, 0)]
+        step = -(-n // self.n_parts)  # ceil div
         return [
-            _RangePartition(lo, min(lo + step, self.n_rows))
-            for lo in range(0, self.n_rows, step)
+            _RangePartition(p, min(p + step, hi))
+            for p in range(lo, hi, step)
         ]
 
     def read(self, partition: _RangePartition):
@@ -98,7 +143,15 @@ class SyntheticEventsDataSource(DataSource):
 
 
 def register_synthetic_source(spark) -> None:
-    """Idempotent registration (re-registering the same name is fine)."""
+    """Idempotent registration (re-registering the same name is fine).
+
+    Also enables Python-source filter pushdown (runtime-settable SQL
+    conf, default false in Spark 4): with it off, a reader that
+    implements ``pushFilters`` fails planning outright — and the driver
+    contract runs on a vanilla session, so the source must carry its own
+    prerequisite. Enabling it changes no semantics for sources that
+    don't push."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
 
 

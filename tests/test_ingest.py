@@ -222,3 +222,46 @@ def test_python_datasource_partition_parallel_and_deterministic(spark):
     assert got == sorted(map(tuple, rd(1).collect()))
     assert len(got) == 500
     assert got[:3] == [synth_row(0), synth_row(1), synth_row(2)]
+
+
+def test_python_datasource_filter_pushdown_prunes_generation(spark):
+    """Range predicates on event_id must reach the connector and shrink
+    the PLANNED generation ranges (the custom-source half of predicate
+    pushdown); declined filters (event_type) are re-applied by Spark, so
+    results stay exact either way."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from featurestore_for_joycastle_java_spark.sources.pydatasource import (
+        _SyntheticReader,
+        register_synthetic_source,
+        synth_row,
+    )
+
+    # unit level: pushed bounds tighten the partition ranges
+    r = _SyntheticReader({"rows": "10000", "partitions": "4"})
+    declined = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("event_id",), 9000),
+                LessThan(("event_id",), 9500),
+                EqualTo(("event_type",), "click"),
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in declined] == ["EqualTo"]
+    parts = r.partitions()
+    assert min(p.start for p in parts) == 9000
+    assert max(p.end for p in parts) == 9500
+    assert sum(p.end - p.start for p in parts) == 500
+
+    # end to end: pushed + declined filters compose correctly
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 2000)
+        .load()
+        .filter((F.col("event_id") < 100) & (F.col("event_type") == "click"))
+    )
+    expect = [synth_row(i) for i in range(100) if synth_row(i)[2] == "click"]
+    assert sorted(map(tuple, df.collect())) == sorted(expect)
