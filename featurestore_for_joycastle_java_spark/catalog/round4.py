@@ -944,3 +944,132 @@ def layout_morton_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         y.alias("y"),
         morton_key(x, y).cast("bigint").alias("morton"),
     )
+
+
+@query(
+    "quality_constraint_checks",
+    oracle="""
+SELECT * FROM (
+SELECT 'events.event_id unique' AS constraint_name,
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_violations
+FROM events
+UNION ALL
+SELECT 'events.user_id not null',
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events.value in [0, 1000)',
+       CAST(SUM(CASE WHEN value < 0 OR value >= 1000 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'orders.o_custkey references customer',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+) t
+""",
+)
+def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate — the validation pass a feature
+    store runs before publishing a table: uniqueness, non-null, value
+    range, and referential integrity, each as one aggregate returning a
+    violation count (0 = constraint holds; the driver's value hash pins
+    every count). Shapes: uniqueness = count vs distinct (one shuffle),
+    RI = left-anti against the broadcastable dimension — all
+    constant-output regardless of fact size, so the gate costs one scan
+    per table at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    u = ev.agg(
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n_violations")
+    ).select(
+        F.lit("events.event_id unique").alias("constraint_name"), "n_violations"
+    )
+    nn = ev.agg(
+        F.sum(F.col("user_id").isNull().cast("long")).alias("n_violations")
+    ).select(
+        F.lit("events.user_id not null").alias("constraint_name"), "n_violations"
+    )
+    rng = ev.agg(
+        F.sum(
+            ((F.col("value") < 0) | (F.col("value") >= 1000)).cast("long")
+        ).alias("n_violations")
+    ).select(
+        F.lit("events.value in [0, 1000)").alias("constraint_name"),
+        "n_violations",
+    )
+    ri = (
+        orders.join(
+            F.broadcast(cust),
+            orders.o_custkey == cust.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.lit("orders.o_custkey references customer").alias(
+                "constraint_name"
+            ),
+            "n_violations",
+        )
+    )
+    return u.unionByName(nn).unionByName(rng).unionByName(ri)
+
+
+@query(
+    "profile_events_columns",
+    # Column profiling with CROSS-ENGINE-EXACT numbers: null counts and
+    # distinct counts are integers; min/max of value are exact doubles;
+    # no averages of floats (engine-order-dependent) — the profile is
+    # hash-comparable without tolerance.
+    oracle="""
+SELECT 'event_id' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(event_id) AS DOUBLE) AS min_value,
+       CAST(MAX(event_id) AS DOUBLE) AS max_value
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT),
+       CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE)
+FROM events
+""",
+)
+def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (the DESCRIBE-EXTENDED/data-card pass): per
+    numeric column — rows, nulls, exact distinct, min, max. One
+    aggregation pass per column over the same cached scan; outputs are
+    integers and exact extrema, so the profile hash-matches across
+    engines with no tolerance."""
+    ev = load_table(spark, sf_dir, "events").cache()
+
+    def prof(col: str) -> DataFrame:
+        return ev.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(F.col(col)).cast("double").alias("min_value"),
+            F.max(F.col(col)).cast("double").alias("max_value"),
+        ).select(
+            F.lit(col).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_value",
+            "max_value",
+        )
+
+    return prof("event_id").unionByName(prof("user_id")).unionByName(
+        prof("value")
+    )
