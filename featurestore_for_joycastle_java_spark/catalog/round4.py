@@ -1117,3 +1117,81 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(5).cast("int").alias("k"),
         (F.col("n_hits") / (F.col("n_queries") * 5) >= 0.6).alias("recall_ok"),
     )
+
+
+@query(
+    "feature_scd2_lookup",
+    # PIT lookup = as-of backward join against the SCD2 change rows, so
+    # the plan is ONE shuffle on user_id — not an interval range join
+    # (which explodes on long validity spans). The oracle does it the
+    # declarative way: join on valid_from <= t < valid_to — two routes,
+    # one answer.
+    oracle="""
+WITH p AS (
+    SELECT user_id, event_id, value, epoch_us(ts) AS t
+    FROM events WHERE event_type = 'purchase'),
+chg AS (
+    SELECT *, CASE WHEN value IS DISTINCT FROM
+                        LAG(value) OVER (PARTITION BY user_id
+                                         ORDER BY t, event_id)
+                   THEN 1 ELSE 0 END AS is_chg
+    FROM p),
+hist AS (
+    SELECT user_id, value AS tier_value, t AS valid_from_us,
+           LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS valid_to_us
+    FROM chg WHERE is_chg = 1),
+clicks AS (
+    SELECT event_id, user_id, epoch_us(ts) AS t_us
+    FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, h.tier_value
+FROM clicks c
+LEFT JOIN hist h
+  ON c.user_id = h.user_id
+ AND h.valid_from_us <= c.t_us
+ AND (h.valid_to_us IS NULL OR c.t_us < h.valid_to_us)
+""",
+)
+def feature_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history: for
+    every click, the purchase-value tier IN EFFECT at click time —
+    leakage-free feature retrieval from an effective-dated dimension.
+    Implemented as an as-of backward join on the CHANGE rows (validity
+    intervals are contiguous per user, so 'latest change at-or-before t'
+    ≡ 'interval containing t'): one user_id shuffle, no interval range
+    join, no explode. Clicks before the user's first purchase get null
+    (left-outer)."""
+    from featurestore_for_joycastle_java_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros(F.col("ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value", "t_us"
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    chg = (
+        p.withColumn(
+            "is_chg",
+            (~F.col("value").eqNullSafe(F.lag("value").over(w))).cast("int"),
+        )
+        .filter(F.col("is_chg") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("tier_value"),
+            F.col("t_us"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "t_us"
+    )
+    out = asof_join(
+        clicks,
+        chg,
+        on=["user_id"],
+        left_ts="t_us",
+        right_ts="t_us",
+        right_cols=["tier_value"],
+        direction="backward",
+    )
+    return out.select("event_id", "user_id", "tier_value")
