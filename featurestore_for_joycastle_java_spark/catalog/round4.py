@@ -1195,3 +1195,105 @@ def feature_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="backward",
     )
     return out.select("event_id", "user_id", "tier_value")
+
+
+@query(
+    "agg_countmin_user_counts",
+    # The sketch is deterministic md5 arithmetic, so unlike HLL this one
+    # replays COMPLETELY cross-engine: DuckDB rebuilds all d×w counters,
+    # re-derives every key's d cells, takes the same min — full value
+    # oracle on the estimates themselves, plus the structural
+    # never-underestimates boolean.
+    oracle="""
+WITH cells AS (
+    SELECT i.i AS row_i,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' || i.i),
+                                1, 15)) AS BIGINT) % 64 AS col_j,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events CROSS JOIN range(4) AS i(i)
+    GROUP BY 1, 2),
+keys AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM events GROUP BY 1),
+est AS (
+    SELECT k.user_id, k.n_exact, MIN(c.c) AS cms_est
+    FROM keys k
+    CROSS JOIN range(4) AS i(i)
+    JOIN cells c
+      ON c.row_i = i.i
+     AND c.col_j = CAST(('0x' || substr(md5(CAST(k.user_id AS VARCHAR)
+                                            || '_' || i.i), 1, 15))
+                        AS BIGINT) % 64
+    GROUP BY 1, 2)
+SELECT user_id, n_exact, cms_est, cms_est >= n_exact AS never_under
+FROM est
+""",
+)
+def agg_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter counts (Cormode & Muthukrishnan
+    2005): d=4 hash rows × w=64 counters estimate every user's event
+    count from a 256-cell table — constant memory regardless of key
+    cardinality, mergeable across partitions/streams by cell-wise
+    addition (the partial aggregation IS the merge). Hashing is
+    md5-derived (engine-portable, no seed), so the oracle rebuilds the
+    identical sketch and the VALUE of every estimate is checked, not
+    just a bound; ``never_under`` pins CMS's one-sided error
+    structurally. Build shape: explode d rows per event → groupBy
+    (row, col) map-side-combines to d·w cells before the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    d, wdt = 4, 64
+
+    def cell(key_col, i):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(key_col.cast("string"), F.lit(f"_{i}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % wdt
+
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row_i"),
+                            cell(F.col("user_id"), i).alias("col_j"),
+                        )
+                        for i in range(d)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .groupBy("rc.row_i", "rc.col_j")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    lookups = keys.select(
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        cell(F.col("user_id"), i).alias("col_j"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("rc"),
+    ).select("user_id", "n_exact", "rc.row_i", "rc.col_j")
+    est = (
+        lookups.join(F.broadcast(cells), ["row_i", "col_j"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "n_exact",
+        "cms_est",
+        (F.col("cms_est") >= F.col("n_exact")).alias("never_under"),
+    )
