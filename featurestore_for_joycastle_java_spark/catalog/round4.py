@@ -712,7 +712,9 @@ WITH er AS (
     FROM events WHERE event_type = 'error'),
 cl AS (
     SELECT event_id AS click_event_id, user_id, epoch_us(ts) AS t
-    FROM events WHERE event_type = 'click'),
+    FROM events WHERE event_type = 'click'
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                               ORDER BY event_id) = 1),
 b AS (
     SELECT er.event_id, er.user_id, er.t,
            c.click_event_id AS b_id, c.t AS b_t
@@ -749,8 +751,20 @@ def asof_nearest_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "t_us"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("nearest_click_id"), "user_id", "t_us"
+    # as-of results are UNDEFINED on (key, ts) right-side ties (both
+    # engines pick arbitrarily — the operators module doc requires a
+    # deduplicated right side); keep the min-event_id click per
+    # (user, µs). Dedup via lag over the SAME user_id partitioning the
+    # as-of windows use — ordering (t_us, event_id) makes the first row
+    # of each instant the min event_id, and the shared partitioning
+    # means Catalyst reuses one exchange for dedup + both fills (the
+    # plan gate pins exactly one shuffle).
+    w_user = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("__prev_t", F.lag("t_us").over(w_user))
+        .filter(F.col("__prev_t").isNull() | (F.col("__prev_t") != F.col("t_us")))
+        .select(F.col("event_id").alias("nearest_click_id"), "user_id", "t_us")
     )
     out = asof_join_nearest(
         errors,
@@ -773,7 +787,7 @@ def asof_nearest_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matters at scale and the property a broken merge would break.
     oracle="""
 SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
-       CAST(5 AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_parts,
        TRUE AS est_ok
 FROM events
 """,
@@ -914,11 +928,16 @@ from featurestore_for_joycastle_java_spark.operators.layout import (  # noqa: E4
     morton_sql,
 )
 
+# bits=17: the engine's own quality gate pins value < 1000, so
+# y = floor(value·100) needs 17 bits (99,999 < 2^17); 16 would silently
+# collide distinct y values at larger fixtures while every value-level
+# oracle stayed green. morton_key also refuses out-of-range inputs
+# executor-side.
 _MORTON_ORACLE = f"""
 SELECT event_id,
        user_id AS x,
        CAST(FLOOR(value * 100) AS BIGINT) AS y,
-       CAST({morton_sql("user_id", "CAST(FLOOR(value * 100) AS BIGINT)")}
+       CAST({morton_sql("user_id", "CAST(FLOOR(value * 100) AS BIGINT)", bits=17)}
             AS BIGINT) AS morton
 FROM events
 """
@@ -942,7 +961,7 @@ def layout_morton_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         x.alias("x"),
         y.alias("y"),
-        morton_key(x, y).cast("bigint").alias("morton"),
+        morton_key(x, y, bits=17).cast("bigint").alias("morton"),
     )
 
 
@@ -1129,7 +1148,9 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH p AS (
     SELECT user_id, event_id, value, epoch_us(ts) AS t
-    FROM events WHERE event_type = 'purchase'),
+    FROM events WHERE event_type = 'purchase'
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                               ORDER BY event_id DESC) = 1),
 chg AS (
     SELECT *, CASE WHEN value IS DISTINCT FROM
                         LAG(value) OVER (PARTITION BY user_id
@@ -1166,8 +1187,20 @@ def feature_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "t_us", F.unix_micros(F.col("ts"))
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "value", "t_us"
+    # latest-wins dedup per (user, µs): two purchases in the same
+    # microsecond would otherwise tie the as-of lookup, whose winner is
+    # undefined in both engines (see operators/asof.py module doc).
+    # lag over the same user_id partitioning as every later window
+    # (ordering (t_us, event_id DESC) ⇒ first row per instant = max
+    # event_id) so the whole pipeline shares one exchange.
+    w_dedup = Window.partitionBy("user_id").orderBy(
+        "t_us", F.col("event_id").desc()
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("__prev_t", F.lag("t_us").over(w_dedup))
+        .filter(F.col("__prev_t").isNull() | (F.col("__prev_t") != F.col("t_us")))
+        .select("user_id", "event_id", "value", "t_us")
     )
     w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     chg = (

@@ -74,7 +74,19 @@ def asof_join(
         *[F.col(c).alias(out_names[c]) for c in right_cols],
         F.col(right_ts).alias(matched_ts),
     )
-    unioned = l.unionByName(r)
+    # The payload travels as ONE struct per right row (non-null struct
+    # even when members are null), filled with a single last(ignorenulls)
+    # — filling each column independently would let a NULL payload value
+    # on the matched row pull a STALE value from an earlier right row,
+    # pairing fields of two different right rows (r4 review fix).
+    payload = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(
+            *[F.col(out_names[c]) for c in right_cols],
+            F.col(matched_ts).alias(matched_ts),
+        ),
+    )
+    unioned = l.unionByName(r).withColumn("__p", payload)
 
     # backward scans time ascending (right rows first at equal ts so ties
     # match); forward scans descending with the same tie rule.
@@ -85,19 +97,14 @@ def asof_join(
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     filled = unioned.select(
-        "*",
-        *[
-            F.last(out_names[c], ignorenulls=True).over(w).alias("__f_" + out_names[c])
-            for c in right_cols
-        ],
-        F.last(matched_ts, ignorenulls=True).over(w).alias("__f_" + matched_ts),
+        "*", F.last("__p", ignorenulls=True).over(w).alias("__f")
     )
     result = filled.filter(F.col(_SIDE) == 1).select(
         *on,
         F.col(ts).alias(left_ts),
         *[c for c in left_cols if c not in on and c != left_ts],
-        *[F.col("__f_" + out_names[c]).alias(out_names[c]) for c in right_cols],
-        F.col("__f_" + matched_ts).alias(matched_ts),
+        *[F.col("__f." + out_names[c]).alias(out_names[c]) for c in right_cols],
+        F.col("__f." + matched_ts).alias(matched_ts),
     )
     return result
 
@@ -180,7 +187,17 @@ def asof_join_nearest(
         *[F.col(c).alias(out_names[c]) for c in right_cols],
         F.col(right_ts).alias(matched_ts),
     )
-    unioned = l.unionByName(r)
+    # one struct per right row, filled once per direction — see
+    # asof_join's payload note (a per-column fill could mix fields of
+    # two different right rows when payload values are null)
+    payload = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(
+            *[F.col(out_names[c]) for c in right_cols],
+            F.col(matched_ts).alias(matched_ts),
+        ),
+    )
+    unioned = l.unionByName(r).withColumn("__p", payload)
 
     w_b = (
         Window.partitionBy(*on)
@@ -194,15 +211,10 @@ def asof_join_nearest(
     )
     filled = unioned.select(
         "*",
-        *[
-            F.last(out_names[c], ignorenulls=True).over(w).alias(p + out_names[c])
-            for c in right_cols
-            for p, w in (("__b_", w_b), ("__f_", w_f))
-        ],
-        F.last(matched_ts, ignorenulls=True).over(w_b).alias("__b_" + matched_ts),
-        F.last(matched_ts, ignorenulls=True).over(w_f).alias("__f_" + matched_ts),
+        F.last("__p", ignorenulls=True).over(w_b).alias("__b"),
+        F.last("__p", ignorenulls=True).over(w_f).alias("__f"),
     )
-    b_ts, f_ts = F.col("__b_" + matched_ts), F.col("__f_" + matched_ts)
+    b_ts, f_ts = F.col("__b." + matched_ts), F.col("__f." + matched_ts)
     use_b = b_ts.isNotNull() & (
         f_ts.isNull() | ((F.col(ts) - b_ts) <= (f_ts - F.col(ts)))
     )
@@ -211,8 +223,8 @@ def asof_join_nearest(
         F.col(ts).alias(left_ts),
         *[c for c in left_cols if c not in on and c != left_ts],
         *[
-            F.when(use_b, F.col("__b_" + out_names[c]))
-            .otherwise(F.col("__f_" + out_names[c]))
+            F.when(use_b, F.col("__b." + out_names[c]))
+            .otherwise(F.col("__f." + out_names[c]))
             .alias(out_names[c])
             for c in right_cols
         ],

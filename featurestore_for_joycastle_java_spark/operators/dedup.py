@@ -50,7 +50,8 @@ def token_jaccard_pairs(
     id_col: str,
     text_col: str,
     threshold: float,
-    small_vocab_max: int = 1024,
+    small_vocab_max: int | None = 1024,
+    bitmask_max_docs: int = 100_000,
 ) -> DataFrame:
     """Exact token-set Jaccard over all pairs sharing ≥1 token, via an
     inverted-index self-join (explode distinct tokens → equi-join on the
@@ -103,17 +104,34 @@ def token_jaccard_pairs(
     home turf) hit this path; natural-language corpora blow past the
     vocab bound and keep the inverted index. Identical output by
     construction: same distinct-token sets, same intersection counts,
-    same 6dp rounding."""
+    same 6dp rounding.
+
+    GATING (r4 review fixes): the bitmask path also requires
+    ``n_docs ≤ bitmask_max_docs`` — it broadcasts the whole mask table
+    and evaluates a nested-loop pair join, which is the right trade only
+    while the mask table broadcasts cheaply (note exact Jaccard on a
+    dense-overlap corpus is inherently ~quadratic in candidate PAIRS on
+    either path; the doc bound caps the broadcast, not the asymptotics).
+    The probe itself (one count over the cached token index) is an EAGER
+    action at plan-construction time — callers that must stay lazy (pure
+    EXPLAIN tooling) pass ``small_vocab_max=None`` to skip the probe and
+    keep the inverted index unconditionally."""
     toks = df.select(
         F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("tk")
     ).select(
         "id", F.size("tk").alias("n_toks"), F.explode("tk").alias("tok")
     ).cache()
 
-    vocab = toks.select("tok").distinct()
-    n_vocab = vocab.count()
-    if 0 < n_vocab <= small_vocab_max:
-        return _bitmask_jaccard_pairs(toks, vocab, n_vocab, threshold)
+    if small_vocab_max is not None:
+        stats = toks.agg(
+            F.countDistinct("tok").alias("v"),
+            F.countDistinct("id").alias("d"),
+        ).first()
+        n_vocab, n_docs = stats["v"], stats["d"]
+        if 0 < n_vocab <= small_vocab_max and n_docs <= bitmask_max_docs:
+            return _bitmask_jaccard_pairs(
+                toks, toks.select("tok").distinct(), n_vocab, threshold
+            )
 
     a, b = toks.alias("a"), toks.alias("b")
     inter = (

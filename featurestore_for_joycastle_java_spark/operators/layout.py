@@ -23,10 +23,29 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of two non-negative ints:
-    bit b of x → bit 2b, bit b of y → bit 2b+1. Caller guarantees
-    0 ≤ x,y < 2^bits (mask below enforces it rather than corrupting
-    higher-order interleaving)."""
-    terms = []
+    bit b of x → bit 2b, bit b of y → bit 2b+1.
+
+    Out-of-range inputs FAIL FAST executor-side (raise_error) instead of
+    silently truncating: a masked-off high bit would collide distant
+    values into one key and corrupt the clustering property while every
+    value-level oracle stayed green — the exact failure class a layout
+    operator must refuse (same guard philosophy as srp_codes' dim
+    check)."""
+    lim = 1 << bits
+    oob = (x < 0) | (x >= lim) | (y < 0) | (y >= lim)
+    guard = F.when(
+        oob,
+        F.raise_error(
+            F.concat(
+                F.lit(f"morton_key: inputs must be in [0, {lim}), got ("),
+                x.cast("string"),
+                F.lit(", "),
+                y.cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    terms = [guard]
     for b in range(bits):
         terms.append(
             F.shiftleft(

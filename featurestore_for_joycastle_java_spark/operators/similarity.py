@@ -642,17 +642,26 @@ def pq_encode(
 
     def best_code(sub):
         subvec = F.slice(F.col("__v"), sub["sub_id"] * sub_d + 1, sub_d)
-        return F.aggregate(
-            sub["entries"],
-            init,
-            lambda acc, e: F.when(
-                _sq_dist(subvec, e["__cb"]) < acc["d"],
-                F.struct(
-                    _sq_dist(subvec, e["__cb"]).alias("d"),
-                    e["code"].alias("code"),
+
+        def step(acc, e):
+            # bind the distance ONCE via the single-element-transform
+            # trick — Catalyst does no CSE across HOF lambdas, so an
+            # inline when(d < acc.d, struct(d, ...)) evaluates the whole
+            # subspace fold twice per entry (measured pattern, see
+            # operators/text.py)
+            cand = F.struct(
+                _sq_dist(subvec, e["__cb"]).alias("d"),
+                e["code"].alias("code"),
+            )
+            return F.element_at(
+                F.transform(
+                    F.array(cand),
+                    lambda c: F.when(c["d"] < acc["d"], c).otherwise(acc),
                 ),
-            ).otherwise(acc),
-        )["code"]
+                1,
+            )
+
+        return F.aggregate(sub["entries"], init, step)["code"]
 
     codes = F.transform(F.col("__books"), best_code)
     return (

@@ -215,17 +215,19 @@ def test_funnel_single_exchange(spark, sf_dir):
     assert plan.count("Window") >= 3, "three stacked window stages expected"
 
 
-def test_asof_nearest_single_exchange(spark, sf_dir):
-    """Dual-direction (nearest) as-of: both window fills must reuse one
-    user_id partitioning — a second shuffle would mean the descending
-    window re-exchanged the union."""
+def test_asof_nearest_exchanges(spark, sf_dir):
+    """Dual-direction (nearest) as-of: BOTH window fills share one
+    exchange of the union (a third shuffle would mean the descending
+    window re-exchanged it). Two exchanges total: the right-side
+    tie-dedup lag (clicks only — the union output can't inherit a
+    single branch's partitioning) and the union fill."""
     import re as _re
 
     plan = plan_of(spark, sf_dir, "asof_nearest_error_click")
     tree = plan.split("\n\n")[0]
     shuffles = _re.findall(r"(?<!Broadcast)Exchange \(\d+\)", tree)
-    assert len(shuffles) == 1, (
-        f"nearest as-of must shuffle exactly once on the join key: {tree}"
+    assert len(shuffles) == 2, (
+        f"nearest as-of: right-dedup + one union fill exchange: {tree}"
     )
 
 
@@ -254,16 +256,21 @@ def test_morton_cluster_layout_properties(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     x, y = F.col("user_id"), F.floor(F.col("value") * 100).cast("long")
     out = str(tmp_path / "zordered")
-    cluster_by_morton(ev.select("event_id", "user_id", "value"), x, y).write.parquet(
-        out
-    )
+    cluster_by_morton(
+        ev.select("event_id", "user_id", "value"), x, y, bits=17
+    ).write.parquet(out)
     back = spark.read.parquet(out)
     assert back.count() == ev.count()
 
     # per-file morton ranges must not overlap (range partitioning)
     stats = (
         back.withColumn(
-            "m", morton_key(F.col("user_id"), F.floor(F.col("value") * 100).cast("long"))
+            "m",
+            morton_key(
+                F.col("user_id"),
+                F.floor(F.col("value") * 100).cast("long"),
+                bits=17,
+            ),
         )
         .withColumn("f", F.input_file_name())
         .groupBy("f")
