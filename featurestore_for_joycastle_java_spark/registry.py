@@ -32,14 +32,15 @@ BENCH_SKIP: set[str] = set()
 #: registered queries only. Policy (r4+): least-recently-driver-verified
 #: rotation — each round leads with the new round module, then the modules
 #: whose latest driver row is oldest, so no query's newest driver row ages
-#: more than a couple of rounds. r3's window covered round3..scalars
-#: (50: round3, tpch3, tpch, text, dedup, similarity, windows, scalars);
-#: r4 leads with round4 (new) then the r1/r2-verified middle (asof,
-#: ingest, relational, round2, streaming, multimodal, training — 48-51
-#: land in-window). r5 should lead with the remainder (training tail,
-#: extras, advanced) plus whatever r5 adds. Everything outside the window
-#: stays protected by tests/test_oracle_parity.py and the full
-#: tools/driver_sim.py sweep.
+#: more than a couple of rounds. r3's window covered round3..scalars;
+#: r4's actual window = round4 (grew to 24 queries in-round: every new r4
+#: surface gets a driver row) + asof (6) + ingest (4) + the head of
+#: relational. r5 should lead with its new module, then round2/streaming/
+#: multimodal/training (last driver rows r2) and the relational tail.
+#: Everything outside the window stays protected by
+#: tests/test_oracle_parity.py and the full tools/driver_sim.py sweep
+#: (140/140 green at sf0.01 in-round r4; sf0.1 swept in chunks, ~1h of
+#: DuckDB-side quadratic oracle time).
 _CATALOG_MODULES = [
     "round4",
     "asof",
