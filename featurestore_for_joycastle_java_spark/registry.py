@@ -35,23 +35,27 @@ BENCH_SKIP: set[str] = set()
 #: more than a couple of rounds. r3's window covered round3..scalars;
 #: r4's actual window = round4 (grew to 24 queries in-round: every new r4
 #: surface gets a driver row) + asof (6) + ingest (4) + the head of
-#: relational. r5 should lead with its new module, then round2/streaming/
-#: multimodal/training (last driver rows r2) and the relational tail.
-#: Everything outside the window stays protected by
+#: relational. r5's window (this order) = round5 (7) + round2 (6) +
+#: streaming (7) + multimodal (4) + training (6) + extras (10) +
+#: advanced (10) = 50 — exactly the 43 queries whose latest driver row
+#: was r2, plus the new r5 surface. r6 should lead with round6 then the
+#: then-oldest modules (round4/asof/ingest/relational, last driver rows
+#: r4, and round3/tpch3/tpch/text/dedup/similarity/windows/scalars, last
+#: driver rows r3). Everything outside the window stays protected by
 #: tests/test_oracle_parity.py and the full tools/driver_sim.py sweep
-#: (140/140 green at sf0.01 in-round r4; sf0.1 swept in chunks, ~1h of
-#: DuckDB-side quadratic oracle time).
+#: (147/147 green at sf0.01 in-round r5).
 _CATALOG_MODULES = [
-    "round4",
-    "asof",
-    "ingest",
-    "relational",
+    "round5",
     "round2",
     "streaming",
     "multimodal",
     "training",
     "extras",
     "advanced",
+    "round4",
+    "asof",
+    "ingest",
+    "relational",
     "round3",
     "tpch3",
     "tpch",

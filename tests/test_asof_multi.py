@@ -1,0 +1,132 @@
+"""r5 as-of surface: multi-right single-shuffle join and the bucketed
+skew-mitigation path — both pinned result-identical to the plain
+asof_join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurestore_for_joycastle_java_spark.operators.asof import (
+    asof_join,
+    asof_join_bucketed,
+    multi_asof_join,
+)
+
+
+def _sorted(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_multi_asof_equals_chained_single_asofs(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (2, 5), (3, 40)], "k long, t long"
+    )
+    r1 = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 7, 700.0)],
+        "k long, t long, f1 double",
+    )
+    r2 = spark.createDataFrame(
+        [(1, 24, 11.0), (3, 40, 33.0)], "k long, t long, f2 double"
+    )
+    multi = multi_asof_join(
+        left, [(r1, "t", ["f1"], "a"), (r2, "t", ["f2"], "b")], ["k"], "t"
+    )
+    chained = asof_join(
+        asof_join(left, r1, ["k"], "t", "t", ["f1"], "backward").drop(
+            "t_matched"
+        ),
+        r2,
+        ["k"],
+        "t",
+        "t",
+        ["f2"],
+        "backward",
+    )
+    cols = ["k", "t", "f1", "f2"]
+    got = _sorted(multi, cols)
+    assert got == _sorted(chained, cols)
+    # spot values: backward-inclusive ties (k=1,t=10 matches r1@10;
+    # k=3,t=40 matches r2@40), misses stay null
+    assert got == [
+        (1, 10, 100.0, None),
+        (1, 25, 200.0, 11.0),
+        (2, 5, None, None),
+        (3, 40, None, 33.0),
+    ]
+
+
+def test_multi_asof_rejects_duplicate_payload_names(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    r = spark.createDataFrame([(1, 5, 1.0)], "k long, t long, f double")
+    with pytest.raises(ValueError, match="duplicate payload column"):
+        multi_asof_join(
+            left, [(r, "t", ["f"], "a"), (r, "t", ["f"], "b")], ["k"], "t"
+        )
+
+
+def test_multi_asof_payload_struct_is_atomic(spark):
+    """A matched row with a NULL payload value must yield (null value,
+    that row's ts) — never a stale value from an earlier right row."""
+    left = spark.createDataFrame([(1, 30)], "k long, t long")
+    r = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, None)], "k long, t long, f double"
+    )
+    row = multi_asof_join(left, [(r, "t", ["f"], "a")], ["k"], "t").collect()[0]
+    assert row["f"] is None and row["a_ts_matched"] == 20
+
+
+def _bucketed_equiv_check(spark, left, right, width):
+    plain = asof_join(
+        left, right, ["k"], "t", "t", ["v"], direction="backward"
+    )
+    buck = asof_join_bucketed(left, right, ["k"], "t", "t", ["v"], width)
+    cols = ["k", "t", "v", "t_matched"]
+    assert _sorted(buck, cols) == _sorted(plain, cols)
+
+
+def test_bucketed_asof_matches_plain_small(spark):
+    left = spark.createDataFrame(
+        [(1, t) for t in (0, 5, 10, 99, 100, 250)] + [(2, 50)],
+        "k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 1.0), (1, 10, 2.0), (1, 90, 3.0), (1, 200, 4.0)],
+        "k long, t long, v double",
+    )
+    # widths spanning within-bucket, adjacent-bucket and far-carry matches
+    for width in (7, 100, 1000):
+        _bucketed_equiv_check(spark, left, right, width)
+
+
+def test_bucketed_asof_matches_plain_on_hot_key(spark):
+    """Skewed fixture: one entity owns ~95% of rows. The bucketed path
+    must (a) return the identical result and (b) partition its heavy
+    window by (key, bucket) so the hot key splits across its time range
+    instead of serializing into one task."""
+    import contextlib
+    import io
+
+    n = 20_000
+    left = spark.range(n).select(
+        F.when(F.col("id") % 20 == 0, F.col("id") % 7).otherwise(0).alias("k"),
+        (F.col("id") * 13 % 100_000).alias("t"),
+    )
+    right = spark.range(n // 4).select(
+        F.when(F.col("id") % 20 == 0, F.col("id") % 7).otherwise(0).alias("k"),
+        (F.col("id") * 29 % 100_000).alias("t"),
+        (F.col("id") * 1.0).alias("v"),
+    ).groupBy("k", "t").agg(F.max("v").alias("v"))  # unique (k, t)
+    _bucketed_equiv_check(spark, left, right, 1000)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join_bucketed(
+            left, right, ["k"], "t", "t", ["v"], 1000
+        ).explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    assert re.search(r"hashpartitioning\(k#\d+L?, __asof_bkt", plan), (
+        "heavy window must partition by (key, bucket)"
+    )

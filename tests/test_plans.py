@@ -281,3 +281,60 @@ def test_morton_cluster_layout_properties(spark, sf_dir, tmp_path):
     assert len(spans) > 1
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next, f"overlapping morton ranges: {spans}"
+
+
+def test_pit_assembly_single_exchange(spark, sf_dir):
+    """feature_training_set_pit: the THREE as-of fills must share ONE
+    exchange + ONE Window over the union (the multi_asof_join contract)
+    — 4 shuffles total (3 per-feature windows + 1 assembly), never a
+    per-feature join chain that re-shuffles the spine."""
+    import re as _re
+
+    plan = plan_of(spark, sf_dir, "feature_training_set_pit")
+    tree = plan.split("\n\n")[0]
+    shuffles = _re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", tree)
+    windows = [int(m) for m in _re.findall(r"Window \((\d+)\)", tree)]
+    unions = [int(m) for m in _re.findall(r"Union \((\d+)\)", tree)]
+    assert len(shuffles) == 4, f"3 feature + 1 assembly exchange: {tree}"
+    assert len(unions) == 1
+    # node ids are postorder: exactly ONE Window sits above the union —
+    # all three fills fused into it
+    assert sum(1 for w in windows if w > unions[0]) == 1, tree
+
+
+def test_salted_distinct_two_stage(spark, sf_dir):
+    """agg_salted_distinct: stage 1 must shuffle on (event_type, salt) —
+    the 64x fan-out that breaks a hot group key — with stage 2 merging
+    per-salt partials."""
+    import re as _re
+
+    plan = plan_of(spark, sf_dir, "agg_salted_distinct")
+    # dedup phase spreads on (type, salt, user); the per-salt distinct
+    # count then shuffles on (type, salt) — one row per distinct user,
+    # split 64 ways — and only 64 pre-counted rows/type reach the final
+    # (type) exchange (the alias compiles to _groupingexpression)
+    assert _re.search(
+        r"hashpartitioning\(event_type#\d+, _groupingexpression#\d+, user_id",
+        plan,
+    ), "dedup exchange must carry (type, salt, user)"
+    assert _re.search(
+        r"hashpartitioning\(event_type#\d+, _groupingexpression#\d+, \d+\)",
+        plan,
+    ), "per-salt count exchange must carry (type, salt)"
+
+
+def test_scd2_apply_closed_rows_never_window(spark, sf_dir):
+    """feature_scd2_apply: the rebuild windows run over (open rows ∪
+    batch) only; closed history is a filter pass-through that unions in
+    ABOVE every Window (postorder ids: every Window node sits below the
+    final Union)."""
+    import re as _re
+
+    plan = plan_of(spark, sf_dir, "feature_scd2_apply")
+    tree = plan.split("\n\n")[0]
+    unions = [int(m) for m in _re.findall(r"Union \((\d+)\)", tree)]
+    windows = [int(m) for m in _re.findall(r"Window \((\d+)\)", tree)]
+    assert unions and windows
+    assert all(w < max(unions) for w in windows), (
+        f"closed rows must bypass the rebuild windows: {tree}"
+    )
