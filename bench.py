@@ -62,12 +62,23 @@ def main() -> None:
                 ).hexdigest()[:12],
             }
 
+    # Streaming queries append per-trigger progress here (catalog/
+    # streaming.DRAIN_PROGRESS); recording it per query makes cross-round
+    # stream_* drift attributable to a phase (state commit / empty
+    # finalization batch / planning) instead of a bare wall delta.
+    from featurestore_for_joycastle_java_spark.catalog import streaming as CS
+
+    stream_metrics: dict[str, list[dict]] = {}
+
     def run_once(name: str) -> float:
+        CS.DRAIN_PROGRESS.clear()
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         dt = round(time.monotonic() - t0, 3)
+        if CS.DRAIN_PROGRESS:
+            stream_metrics[name] = list(CS.DRAIN_PROGRESS)
         # each query is measured independently: drop cached blocks (e.g.
         # the LSH shingle table) so storage pressure from earlier queries
         # can't skew later ones — the per-query number is the query, not
@@ -131,6 +142,51 @@ def main() -> None:
                 flag["runs"] = runs
                 regressions[n] = flag
 
+    # Cross-round drift (VERDICT r4): the per-round gate compares only
+    # against HEAD, so a sub-gate slowdown each round ratchets invisibly
+    # (stream_stream_join 2.70 -> 4.28 s over two rounds, each step under
+    # 1.5x). bench_history.json keeps the last rounds' full per-query maps
+    # (committed); current timings are ALSO compared against the OLDEST
+    # retained round at the same sf, flagged at the same 1.5x/0.3s gate.
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_history.json"
+    )
+    history: list[dict] = []
+    try:
+        blob = subprocess.run(
+            ["git", "show", "HEAD:bench_history.json"],
+            capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=30,
+        )
+        if blob.returncode == 0:
+            history = json.loads(blob.stdout).get("rounds", [])
+    except (json.JSONDecodeError, OSError, subprocess.SubprocessError):
+        history = []
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    drift_vs_oldest: dict[str, dict[str, float]] = {}
+    same_sf = [h for h in history if h.get("sf") == sf_val]
+    if same_sf:
+        oldest = same_sf[0]
+        for n in names:
+            t_old = oldest.get("queries", {}).get(n)
+            t_now = timings[n]
+            if t_old and t_now > 1.5 * t_old and t_now - t_old > 0.3:
+                drift_vs_oldest[n] = {
+                    "oldest": t_old,
+                    "oldest_label": oldest.get("label", "?"),
+                    "now": t_now,
+                    "ratio": round(t_now / t_old, 2),
+                }
+    label = os.environ.get("SPARK_GRAFT_BENCH_LABEL") or time.strftime(
+        "%Y-%m-%d"
+    )
+    history = (history + [
+        {"label": label, "sf": sf_val, "queries": timings}
+    ])[-6:]
+    with open(hist_path, "w") as fh:
+        json.dump({"rounds": history}, fh, indent=1, sort_keys=True)
+
     # Full per-query map goes to a file; the one printed line stays compact
     # (the driver captures a bounded amount of stdout — r1's 108-entry line
     # got tail-truncated to "parsed": null).
@@ -139,11 +195,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "n_queries": len(names),
         "skipped": sorted(BENCH_SKIP),
         "regressions_vs_prior": regressions,
+        "drift_vs_oldest": drift_vs_oldest,
         "rerun_medians": reruns,
+        "stream_metrics": stream_metrics,
         "fixture": fixture,
     }
     with open(out_path, "w") as fh:
@@ -162,6 +220,7 @@ def main() -> None:
                 "sf": full["sf"],
                 "n_queries": len(names),
                 "n_regressions": len(regressions),
+                "n_drift_vs_oldest": len(drift_vs_oldest),
                 "full": "bench_queries.json",
             }
         )

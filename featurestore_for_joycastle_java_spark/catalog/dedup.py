@@ -72,7 +72,9 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide path is MinHash LSH below. Threshold applied on the 6dp-rounded
     value so the pair SET matches the oracle exactly."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
-    return D.token_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    return D.token_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.6, small_vocab_max=1024
+    )
 
 
 _SHINGLES = """
@@ -194,7 +196,9 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("source").isin("src0", "src1", "src2")
     )
-    edges = D.token_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    edges = D.token_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.6, small_vocab_max=1024
+    )
     cc = D.connected_components(docs, edges, id_col="doc_id")
     from pyspark.sql import Window
 

@@ -151,7 +151,9 @@ def dedup_pipeline_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("source").isin("src0", "src1", "src2")
     )
-    edges = D.token_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    edges = D.token_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.6, small_vocab_max=1024
+    )
     cc = D.connected_components(docs, edges, id_col="doc_id")
     w = Window.partitionBy("component").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")

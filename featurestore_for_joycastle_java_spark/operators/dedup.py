@@ -50,8 +50,8 @@ def token_jaccard_pairs(
     id_col: str,
     text_col: str,
     threshold: float,
-    small_vocab_max: int | None = 1024,
-    bitmask_max_docs: int = 100_000,
+    small_vocab_max: int | None = None,
+    bitmask_max_docs: int = 50_000,
 ) -> DataFrame:
     """Exact token-set Jaccard over all pairs sharing ≥1 token, via an
     inverted-index self-join (explode distinct tokens → equi-join on the
@@ -106,16 +106,29 @@ def token_jaccard_pairs(
     construction: same distinct-token sets, same intersection counts,
     same 6dp rounding.
 
-    GATING (r4 review fixes): the bitmask path also requires
-    ``n_docs ≤ bitmask_max_docs`` — it broadcasts the whole mask table
-    and evaluates a nested-loop pair join, which is the right trade only
-    while the mask table broadcasts cheaply (note exact Jaccard on a
-    dense-overlap corpus is inherently ~quadratic in candidate PAIRS on
-    either path; the doc bound caps the broadcast, not the asymptotics).
-    The probe itself (one count over the cached token index) is an EAGER
-    action at plan-construction time — callers that must stay lazy (pure
-    EXPLAIN tooling) pass ``small_vocab_max=None`` to skip the probe and
-    keep the inverted index unconditionally."""
+    GATING (r5, measurement-derived): the bitmask path is taken only when
+    ALL hold — (a) ``n_vocab ≤ small_vocab_max`` (mask fits a few longs);
+    (b) ``n_docs ≤ bitmask_max_docs`` (the broadcast mask table stays a
+    few MB); (c) the PAIR-COUNT heuristic ``n_docs² ≤ 2·Σ_tok df_tok²`` —
+    the bitmask's nested-loop evaluates ~n²/2 codegen long-ANDs while the
+    inverted index shuffles ~Σdf²/2 pair-token rows, and a shuffled row
+    costs roughly 2 evals (measured, local[8], 15-token sparse docs:
+    vocab 1000 @ 10k docs: inverted 4.2 s vs bitmask 4.5 s, n² ≈ 4·Σdf²
+    → heuristic picks inverted; @ 20k: 5.5 vs 4.7 s — the tie zone;
+    vocab 31 enum corpus @ 10k docs: inverted 15.3 s vs bitmask 3.3 s,
+    n² ≈ 0.5·Σdf² → bitmask, and @ 20k docs the inverted index OOMs a
+    1 GB heap on ~8×10⁸ pair-token rows while the bitmask finishes —
+    so for pigeonholed vocabularies the fallback order matters in BOTH
+    directions, which is exactly what the ratio test encodes). The old
+    r4 gate (docs-only, 100k bound) admitted ~5×10⁹ evals near the
+    bound — minutes of pair arithmetic (ADVICE r4); the pair heuristic
+    caps the eval count at twice what the index would shuffle anyway.
+
+    The probe (two small aggregations over the cached token index —
+    vocab/docs counts + Σdf²) is an EAGER action at plan-construction
+    time, so the fast path is OPT-IN (``small_vocab_max=None`` default,
+    ADVICE r4): plain calls stay lazy and keep the inverted index;
+    corpus-dedup callers (catalog dedup/round2) pass 1024."""
     toks = df.select(
         F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("tk")
     ).select(
@@ -129,9 +142,16 @@ def token_jaccard_pairs(
         ).first()
         n_vocab, n_docs = stats["v"], stats["d"]
         if 0 < n_vocab <= small_vocab_max and n_docs <= bitmask_max_docs:
-            return _bitmask_jaccard_pairs(
-                toks, toks.select("tok").distinct(), n_vocab, threshold
+            sum_df2 = (
+                toks.groupBy("tok")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .agg(F.sum(F.col("df") * F.col("df")).alias("s2"))
+                .first()["s2"]
             )
+            if n_docs * n_docs <= 2 * sum_df2:
+                return _bitmask_jaccard_pairs(
+                    toks, toks.select("tok").distinct(), n_vocab, threshold
+                )
 
     a, b = toks.alias("a"), toks.alias("b")
     inter = (

@@ -388,9 +388,17 @@ def srp_codes(
     # that work on a single core — spread it to the cluster width first.
     # At real scale inputs already arrive in ≥ parallelism partitions and
     # this is a no-op; the guard keeps the repartition (a full exchange of
-    # the vectors) from ever being paid when it buys nothing.
+    # the vectors) from ever being paid when it buys nothing. The probe is
+    # FILE metadata (inputFiles — a driver-side listing), not
+    # df.rdd.getNumPartitions(), which forces physical planning at call
+    # time and reads a pre-AQE width anyway (ADVICE r4); derived frames
+    # (inputFiles == []) skip the heuristic and keep their partitioning.
     sc = df.sparkSession.sparkContext
-    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        n_files = len(src.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < sc.defaultParallelism:
         src = src.repartition(sc.defaultParallelism)
 
     # per table: fold its planes in bit order, adding the bit value when

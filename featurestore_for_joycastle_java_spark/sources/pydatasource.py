@@ -88,10 +88,13 @@ class _SyntheticReader(DataSourceReader):
 
         for f in filters:
             attr = getattr(f, "attribute", None)
-            # some pushed filters carry no value (IsNotNull, ...)
-            if attr == ("event_id",) and isinstance(
-                getattr(f, "value", None), int
-            ):
+            # some pushed filters carry no value (IsNotNull, ...); the
+            # exact `type is int` check also declines bool (a bool IS an
+            # int in Python — absorbing EqualTo(col, True) as lo/hi=1..2
+            # would be wrong in principle, ADVICE r4)
+            if attr == ("event_id",) and type(
+                getattr(f, "value", None)
+            ) is int:
                 if isinstance(f, EqualTo):
                     self.lo = max(self.lo, f.value)
                     self.hi = min(self.hi, f.value + 1)
@@ -142,16 +145,32 @@ class SyntheticEventsDataSource(DataSource):
         return _SyntheticStreamReader(self.options)
 
 
-def register_synthetic_source(spark) -> None:
+def register_synthetic_source(spark, configure_pushdown: bool = True) -> None:
     """Idempotent registration (re-registering the same name is fine).
 
-    Also enables Python-source filter pushdown (runtime-settable SQL
-    conf, default false in Spark 4): with it off, a reader that
-    implements ``pushFilters`` fails planning outright — and the driver
-    contract runs on a vanilla session, so the source must carry its own
-    prerequisite. Enabling it changes no semantics for sources that
-    don't push."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ``configure_pushdown=True`` (default) also enables Python-source
+    filter pushdown (``spark.sql.python.filterPushdown.enabled``, a
+    runtime-settable SQL conf, default false in Spark 4): with it off, a
+    reader that implements ``pushFilters`` fails planning outright — and
+    the driver contract runs on a VANILLA session (no engine configs),
+    so the source must carry its own prerequisite there. NOTE this is a
+    session-global conf affecting every Python data source planned
+    afterwards (it changes no semantics for sources that don't push,
+    only whether pushFilters is consulted); sessions that manage the
+    conf themselves — ``get_spark`` sets it in ``_DEFAULT_CONF`` — can
+    pass ``configure_pushdown=False`` for a side-effect-free
+    registration (ADVICE r4)."""
+    if configure_pushdown:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    elif (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        != "true"
+    ):
+        raise RuntimeError(
+            "synthetic_events implements pushFilters, which requires "
+            "spark.sql.python.filterPushdown.enabled=true; enable it or "
+            "call register_synthetic_source(spark) to let it set the conf"
+        )
     spark.dataSource.register(SyntheticEventsDataSource)
 
 

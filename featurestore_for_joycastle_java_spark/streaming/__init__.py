@@ -91,11 +91,12 @@ def file_stream_source(
 
 def drain_to_memory(
     stream_df: DataFrame, table_name: str, output_mode: str = "complete"
-) -> None:
+):
     """Run a streaming query with availableNow (the reference's
     drain-then-stop, CMT:104-110) into an in-memory sink and await
     termination. Memory sink collects to the driver — test harness only;
-    production uses foreachBatch/parquet sinks below."""
+    production uses foreachBatch/parquet sinks below. Returns the
+    (terminated) StreamingQuery so callers can read its progress."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
@@ -104,6 +105,7 @@ def drain_to_memory(
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def demux_stream_sink(

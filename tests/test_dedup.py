@@ -184,15 +184,16 @@ def test_simhash_near_pairs_rejects_bad_banding(spark):
 def test_token_jaccard_paths_agree(spark, sf_dir):
     """The adaptive small-vocab bitmask path and the inverted-index path
     are the SAME operator: identical pair sets and 6dp jaccard values on
-    the fixture corpus (whose 31-token vocab takes the bitmask path by
-    default; small_vocab_max=0 forces the inverted index)."""
+    the fixture corpus (whose 31-token vocab passes every bitmask gate
+    under small_vocab_max=1024 — the catalog callers' setting; the r5
+    default is None = lazy inverted index, so the fast path is opt-in)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("source").isin("src0", "src1")
     )
     fast = {
         (r.id_a, r.id_b): r.jaccard
         for r in token_jaccard_pairs(
-            docs, "doc_id", "text", threshold=0.6
+            docs, "doc_id", "text", threshold=0.6, small_vocab_max=1024
         ).collect()
     }
     slow = {
@@ -214,7 +215,42 @@ def test_token_jaccard_bitmask_multiword_vocab(spark):
         spark,
         [shared + " extraA", shared + " extraB", "unrelated stuff here"],
     )
-    pairs = token_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    pairs = token_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, small_vocab_max=1024
+    ).collect()
     vals = {(p.id_a, p.id_b): p.jaccard for p in pairs}
     # |∩|=100, |∪|=102
     assert vals == {(0, 1): round(100 / 102, 6)}
+
+
+def test_token_jaccard_gate_pair_heuristic(spark):
+    """r5 gate: the bitmask path engages only when its ~n²/2 nested-loop
+    evals are within 2x of the inverted index's Σdf² pair-token shuffle
+    rows — a dense tiny-vocab corpus takes the bitmask (plan shows the
+    broadcast nested loop), while a small-vocab corpus whose tokens are
+    nearly unique (n² >> 2Σdf²) keeps the inverted index even though the
+    vocab fits the bound."""
+    import contextlib
+    import io
+
+    def plan(df):
+        q = token_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.6, small_vocab_max=1024
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        return buf.getvalue()
+
+    # dense: 40 docs over a 10-token vocab -> Σdf² ≈ 40²·tpd²/10 >> n²
+    dense = _docs(
+        spark,
+        [" ".join(f"t{(i + j) % 10}" for j in range(5)) for i in range(40)],
+    )
+    assert "BroadcastNestedLoopJoin" in plan(dense)
+
+    # sparse: 50 docs, 2 unique tokens each (df=1 -> Σdf²=100 < n²/2)
+    sparse = _docs(
+        spark, [f"u{2 * i} u{2 * i + 1}" for i in range(50)]
+    )
+    assert "BroadcastNestedLoopJoin" not in plan(sparse)
