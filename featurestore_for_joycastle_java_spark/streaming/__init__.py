@@ -317,3 +317,89 @@ def stream_stream_interval_join(
             f"AND {right_ts} <= {left_ts} + interval {within}"
         ),
     )
+
+
+def scd1_upsert_stream_sink(
+    stream_df: DataFrame,
+    dim_dir: str,
+    key_col: str,
+    order_col: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming DIMENSION MAINTENANCE: every micro-batch is reduced to
+    one latest row per key (``max_by`` over ``order_col``) and MERGED
+    into a dimension snapshot with ``operators.scd.scd1_upsert`` — the
+    write path a feature store runs continuously to keep an
+    overwrite-in-place (SCD type-1) entity table current off the event
+    stream. The reference's INSERT-only sink (CMT:163-201) appends
+    duplicates forever; this keeps one row per entity.
+
+    Snapshots are VERSIONED (``dim_dir/v=<batch_id>``), because a
+    parquet directory cannot be overwritten while the same job reads it:
+    batch b merges the newest snapshot with version < b and writes
+    ``v=b`` whole. That also makes delivery exactly-once: a batch
+    replayed after a sink write but before the checkpoint commit
+    re-reads the same predecessor (versions >= its own id are ignored)
+    and deterministically rewrites its own snapshot. Read the current
+    dimension with ``read_dim_latest``; retire old versions out-of-band.
+
+    Scale: the merge cost per batch is O(|dim| + |batch|) scan + one
+    key-hash shuffle — at 100 TB dimensions use a mergeable table format
+    for the same semantics; the versioned-snapshot shape is the plain-
+    parquet expression of it, and the per-batch reduce keeps the merge
+    input at one row per touched key."""
+    from featurestore_for_joycastle_java_spark.operators.scd import scd1_upsert
+
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="fs_ckpt_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        payload = [c for c in batch_df.columns if c != key_col]
+        newest = batch_df.groupBy(key_col).agg(
+            *[
+                F.max_by(F.col(c), F.col(order_col)).alias(c)
+                if c != order_col
+                else F.max(F.col(order_col)).alias(order_col)
+                for c in payload
+            ]
+        )
+        prev = [
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(dim_dir) if os.path.isdir(dim_dir) else [])
+            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+        ]
+        prev = [v for v in prev if v < batch_id]
+        if prev:
+            dim = spark.read.parquet(os.path.join(dim_dir, f"v={max(prev)}"))
+            merged = scd1_upsert(dim, newest, key_col)
+        else:
+            merged = newest
+        merged.write.mode("overwrite").parquet(
+            os.path.join(dim_dir, f"v={batch_id}")
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    # availableNow on a SimpleDataSourceStreamReader drains only the
+    # batch prefetched at query start (its "available" horizon is one
+    # read() call) — pass available_now=False and stop() explicitly to
+    # pump a multi-batch Python source (see tests); file/Kafka sources
+    # drain fully either way.
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_dim_latest(spark: SparkSession, dim_dir: str) -> DataFrame:
+    """Current dimension = the highest committed snapshot version under
+    ``dim_dir`` (see ``scd1_upsert_stream_sink``)."""
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(dim_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no dimension snapshots under {dim_dir}")
+    return spark.read.parquet(os.path.join(dim_dir, f"v={max(versions)}"))

@@ -170,3 +170,102 @@ def test_token_jaccard_inverted_path_matches_reference(spark, docs):
             if jac >= t:
                 want.add((i, j, jac))
     assert got == want, f"{got} != {want}"
+
+
+# --- r5 as-of operators: randomized-structure equivalence ------------------
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=300),  # ts
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _py_asof_backward(left_rows, right_map):
+    """Python reference: for (k, t) return the right value at the
+    largest right ts' <= t for that key, else None."""
+    out = []
+    for k, t in left_rows:
+        cands = [(ts, v) for (kk, ts), v in right_map.items() if kk == k and ts <= t]
+        out.append((k, t, max(cands)[1] if cands else None))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(_asof_rows, _asof_rows, st.sampled_from([7, 50, 1000]))
+def test_bucketed_asof_matches_python_reference(spark, lrows, rrows, width):
+    """asof_join_bucketed == plain backward as-of == a Python reference,
+    for random key/ts structures and bucket widths spanning many-buckets
+    through one-bucket regimes (right side deduped per (key, ts) — the
+    operator contract)."""
+    from featurestore_for_joycastle_java_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    right_map = {}
+    for i, (k, t) in enumerate(rrows):  # last write wins -> unique (k, t)
+        right_map[(k, t)] = float(i)
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k long, t long, i long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in right_map.items()], "k long, t long, v double"
+    )
+    want = sorted(
+        (k, t, i, v)
+        for (k, t, v), (_, _, i) in zip(
+            _py_asof_backward(lrows, right_map),
+            [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        )
+    )
+    for df in (
+        asof_join(left, right, ["k"], "t", "t", ["v"], "backward"),
+        asof_join_bucketed(left, right, ["k"], "t", "t", ["v"], width),
+    ):
+        got = sorted(
+            (r["k"], r["t"], r["i"], r["v"]) for r in df.collect()
+        )
+        assert got == want, f"width={width}: {got} != {want}"
+
+
+@settings(**_SETTINGS)
+@given(_asof_rows, _asof_rows, _asof_rows)
+def test_multi_asof_matches_python_reference(spark, lrows, r1rows, r2rows):
+    """multi_asof_join fills each right independently with backward-
+    inclusive semantics — against the same Python reference per right."""
+    from featurestore_for_joycastle_java_spark.operators.asof import (
+        multi_asof_join,
+    )
+
+    m1 = {}
+    for i, (k, t) in enumerate(r1rows):
+        m1[(k, t)] = float(i)
+    m2 = {}
+    for i, (k, t) in enumerate(r2rows):
+        m2[(k, t)] = float(1000 + i)
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k long, t long, i long"
+    )
+    r1 = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in m1.items()], "k long, t long, f1 double"
+    )
+    r2 = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in m2.items()], "k long, t long, f2 double"
+    )
+    out = multi_asof_join(
+        left, [(r1, "t", ["f1"], "a"), (r2, "t", ["f2"], "b")], ["k"], "t"
+    )
+    got = sorted((r["k"], r["t"], r["i"], r["f1"], r["f2"]) for r in out.collect())
+    want = sorted(
+        (k, t, i, w1, w2)
+        for ((k, t, w1), (_, _, w2), (_, _, i)) in zip(
+            _py_asof_backward(lrows, m1),
+            _py_asof_backward(lrows, m2),
+            [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        )
+    )
+    assert got == want

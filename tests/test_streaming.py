@@ -170,3 +170,66 @@ def test_python_streaming_source_exactly_once(spark, tmp_path):
     assert sorted(map(tuple, spark.table("synth_eo").collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_scd1_upsert_stream_sink_maintains_dimension(spark, tmp_path):
+    """Streaming dimension maintenance: micro-batches of the synthetic
+    stream upsert a latest-wins (SCD1) user dimension; the final
+    snapshot must equal latest-per-key over the whole stream, with one
+    versioned snapshot per micro-batch and one row per user."""
+    from pyspark.sql import functions as F
+
+    from featurestore_for_joycastle_java_spark import streaming as ST
+    from featurestore_for_joycastle_java_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    src = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 1200)
+        .option("batchRows", 400)
+        .load()
+    )
+    dim_dir = str(tmp_path / "dim")
+    q = ST.scd1_upsert_stream_sink(
+        src,
+        dim_dir,
+        key_col="user_id",
+        order_col="event_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=False,  # pump all 3 micro-batches of the Python source
+    )
+    import os as _os
+    import time as _time
+
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            done = _os.path.isdir(dim_dir) and sorted(
+                d for d in _os.listdir(dim_dir) if d.startswith("v=")
+            ) >= ["v=0", "v=1", "v=2"]
+            if done:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+
+    dim = ST.read_dim_latest(spark, dim_dir)
+    expected = (
+        spark.read.format("synthetic_events")
+        .option("rows", 1200)
+        .load()
+        .groupBy("user_id")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("event_type", "event_id").alias("event_type"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    got = sorted(map(tuple, dim.select("user_id", "event_id", "event_type", "value").collect()))
+    want = sorted(map(tuple, expected.select("user_id", "event_id", "event_type", "value").collect()))
+    assert got == want and len(got) == dim.count()
+    # one snapshot per micro-batch (1200/400 = 3), versioned by batch id
+    versions = sorted(d for d in _os.listdir(dim_dir) if d.startswith("v="))
+    assert versions[:3] == ["v=0", "v=1", "v=2"], versions

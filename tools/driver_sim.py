@@ -49,6 +49,7 @@ def main() -> int:
     names = list(qs)[:first_n] if first_n else list(qs)
     names = names[skip_n:]
     fails: list[str] = []
+    results: dict[str, dict] = {}
     t_all = time.monotonic()
     for i, name in enumerate(names):
         t0 = time.monotonic()
@@ -61,13 +62,41 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
             status = f"FAIL {str(ex)[:200]}"
             fails.append(name)
-        print(
-            f"[{i + 1:03d}/{len(names)}] {name}: {status} "
-            f"({time.monotonic() - t0:.1f}s)",
-            flush=True,
-        )
+        dt = round(time.monotonic() - t0, 1)
+        results[name] = {"status": status, "sec": dt}
+        print(f"[{i + 1:03d}/{len(names)}] {name}: {status} ({dt}s)", flush=True)
         spark.catalog.clearCache()
     print(f"TOTAL {time.monotonic() - t_all:.0f}s FAILURES: {fails}", flush=True)
+
+    # Optional committed artifact (VERDICT r4 #7): one JSON recording the
+    # whole sweep, so a full-registry run at any SF is a checkable claim
+    # instead of a transcript anecdote. SPARK_GRAFT_SIM_OUT=path enables;
+    # appends/overwrites per-query rows so a chunked sweep (skip_n/first_n
+    # resumes) accumulates into ONE file.
+    out = os.environ.get("SPARK_GRAFT_SIM_OUT")
+    if out:
+        import json
+
+        doc = {"sf_dir": sf, "queries": {}}
+        if os.path.exists(out):
+            try:
+                with open(out) as fh:
+                    doc = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                pass
+        doc["sf_dir"] = sf
+        doc["queries"].update(results)
+        doc["n_queries"] = len(doc["queries"])
+        doc["n_fail"] = sum(
+            1
+            for r in doc["queries"].values()
+            if str(r.get("status", "")).startswith("FAIL")
+        )
+        doc["total_sec"] = round(
+            sum(r.get("sec", 0) for r in doc["queries"].values()), 1
+        )
+        with open(out, "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
     return 1 if fails else 0
 
 
