@@ -65,14 +65,19 @@ def main() -> int:
         dt = round(time.monotonic() - t0, 1)
         results[name] = {"status": status, "sec": dt}
         print(f"[{i + 1:03d}/{len(names)}] {name}: {status} ({dt}s)", flush=True)
+        _flush_artifact(sf, dict(results))
         spark.catalog.clearCache()
     print(f"TOTAL {time.monotonic() - t_all:.0f}s FAILURES: {fails}", flush=True)
+    return 1 if fails else 0
 
-    # Optional committed artifact (VERDICT r4 #7): one JSON recording the
-    # whole sweep, so a full-registry run at any SF is a checkable claim
-    # instead of a transcript anecdote. SPARK_GRAFT_SIM_OUT=path enables;
-    # appends/overwrites per-query rows so a chunked sweep (skip_n/first_n
-    # resumes) accumulates into ONE file.
+
+def _flush_artifact(sf: str, results: dict) -> None:
+    """Optional committed artifact (VERDICT r4 #7): one JSON recording the
+    whole sweep, so a full-registry run at any SF is a checkable claim
+    instead of a transcript anecdote. SPARK_GRAFT_SIM_OUT=path enables;
+    merges per-query rows so chunked sweeps (skip_n/first_n resumes)
+    accumulate into ONE file — flushed after every query, so a hung sweep
+    still leaves its completed rows on disk."""
     out = os.environ.get("SPARK_GRAFT_SIM_OUT")
     if out:
         import json
@@ -97,7 +102,6 @@ def main() -> int:
         )
         with open(out, "w") as fh:
             json.dump(doc, fh, indent=1, sort_keys=True)
-    return 1 if fails else 0
 
 
 if __name__ == "__main__":
