@@ -181,9 +181,14 @@ def main() -> None:
     label = os.environ.get("SPARK_GRAFT_BENCH_LABEL") or time.strftime(
         "%Y-%m-%d"
     )
-    history = (history + [
-        {"label": label, "sf": sf_val, "queries": timings}
-    ])[-6:]
+    history = history + [{"label": label, "sf": sf_val, "queries": timings}]
+    # retain the last 6 rounds PER scale factor — a shared window would
+    # let frequent runs at one SF silently evict the other SF's drift
+    # baseline (r5 review fix)
+    by_sf: dict = {}
+    for h in history:
+        by_sf.setdefault(h.get("sf"), []).append(h)
+    history = [h for sf_rounds in by_sf.values() for h in sf_rounds[-6:]]
     with open(hist_path, "w") as fh:
         json.dump({"rounds": history}, fh, indent=1, sort_keys=True)
 
@@ -200,6 +205,9 @@ def main() -> None:
         "skipped": sorted(BENCH_SKIP),
         "regressions_vs_prior": regressions,
         "drift_vs_oldest": drift_vs_oldest,
+        # 0 means the gate had NO committed same-sf baseline (inert run) —
+        # commit bench_history.json at round close or drift can't fire
+        "drift_baseline_rounds": len(same_sf),
         "rerun_medians": reruns,
         "stream_metrics": stream_metrics,
         "fixture": fixture,

@@ -526,7 +526,9 @@ WITH p AS (
     SELECT user_id, event_id, value, epoch_us(ts) AS t
     FROM events WHERE event_type = 'purchase'),
 chg AS (
-    SELECT *, CASE WHEN value IS DISTINCT FROM
+    SELECT *, CASE WHEN LAG(t) OVER (PARTITION BY user_id
+                                     ORDER BY t, event_id) IS NULL
+                     OR value IS DISTINCT FROM
                         LAG(value) OVER (PARTITION BY user_id
                                          ORDER BY t, event_id)
                    THEN 1 ELSE 0 END AS is_chg
@@ -559,8 +561,11 @@ def feature_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     chg = p.withColumn(
         "is_chg",
+        # first row per user always opens a version, even a NULL value
+        # (lag-ts null test; aligned with operators/scd.py, r5)
         (
-            ~F.col("value").eqNullSafe(F.lag("value").over(w))
+            F.lag("t").over(w).isNull()
+            | ~F.col("value").eqNullSafe(F.lag("value").over(w))
         ).cast("int"),
     ).filter(F.col("is_chg") == 1)
     w2 = Window.partitionBy("user_id").orderBy("t", "event_id")
@@ -1152,7 +1157,9 @@ WITH p AS (
     QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
                                ORDER BY event_id DESC) = 1),
 chg AS (
-    SELECT *, CASE WHEN value IS DISTINCT FROM
+    SELECT *, CASE WHEN LAG(t) OVER (PARTITION BY user_id
+                                     ORDER BY t, event_id) IS NULL
+                     OR value IS DISTINCT FROM
                         LAG(value) OVER (PARTITION BY user_id
                                          ORDER BY t, event_id)
                    THEN 1 ELSE 0 END AS is_chg
@@ -1206,7 +1213,10 @@ def feature_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chg = (
         p.withColumn(
             "is_chg",
-            (~F.col("value").eqNullSafe(F.lag("value").over(w))).cast("int"),
+            (
+                F.lag("t_us").over(w).isNull()
+                | ~F.col("value").eqNullSafe(F.lag("value").over(w))
+            ).cast("int"),
         )
         .filter(F.col("is_chg") == 1)
         .select(

@@ -73,7 +73,9 @@ WITH p AS (
     SELECT user_id, event_id, value, epoch_us(ts) AS t
     FROM events WHERE event_type = 'purchase'),
 chg AS (
-    SELECT *, CASE WHEN value IS DISTINCT FROM
+    SELECT *, CASE WHEN LAG(t) OVER (PARTITION BY user_id
+                                     ORDER BY t, event_id) IS NULL
+                     OR value IS DISTINCT FROM
                         LAG(value) OVER (PARTITION BY user_id
                                          ORDER BY t, event_id)
                    THEN 1 ELSE 0 END AS is_chg

@@ -267,7 +267,10 @@ def multi_asof_join(
     left_cols = list(left.columns)
     taken = set(left_cols)
     for _, _, cols, tag in rights:
-        for c in cols:
+        # the generated matched-ts name participates in the uniqueness
+        # check too (r5 review fix: duplicate tags — or a left column
+        # named like one — would emit ambiguous output columns)
+        for c in [*cols, f"{tag}_ts_matched"]:
             if c in taken:
                 raise ValueError(f"duplicate payload column: {c}")
             taken.add(c)
@@ -411,24 +414,37 @@ def asof_join_bucketed(
 
     # stitch: within-bucket match wins; else the carry — the matched ts
     # is the non-null witness of a real within match (payload values may
-    # legitimately be null on a matched row)
-    stitched = within.join(carry, on + [bkt], "left")
-    has_within = F.col(matched_ts).isNotNull()
+    # legitimately be null on a matched row). The join is NULL-SAFE on
+    # the keys (r5 review fix): Window.partitionBy groups NULL keys into
+    # one partition, so the plain as-of matches them — a null-unsafe
+    # equi-join here would silently drop their cross-bucket carry.
+    from functools import reduce as _reduce
+
+    w_al, c_al = within.alias("__wb"), carry.alias("__cb")
+    cond = _reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"__wb.{c}").eqNullSafe(F.col(f"__cb.{c}"))
+            for c in on + [bkt]
+        ],
+    )
+    stitched = w_al.join(c_al, cond, "left")
+    has_within = F.col(f"__wb.{matched_ts}").isNotNull()
     return stitched.select(
-        *on,
-        left_ts,
+        *[F.col(f"__wb.{c}").alias(c) for c in on],
+        F.col(f"__wb.{left_ts}").alias(left_ts),
         *[
-            c
+            F.col(f"__wb.{c}").alias(c)
             for c in left.columns
             if c not in on and c != left_ts and c != bkt
         ],
         *[
-            F.when(has_within, F.col(out_names[c]))
-            .otherwise(F.col(f"__c.{out_names[c]}"))
+            F.when(has_within, F.col(f"__wb.{out_names[c]}"))
+            .otherwise(F.col(f"__cb.__c.{out_names[c]}"))
             .alias(out_names[c])
             for c in right_cols
         ],
-        F.coalesce(F.col(matched_ts), F.col(f"__c.{matched_ts}")).alias(
-            matched_ts
-        ),
+        F.coalesce(
+            F.col(f"__wb.{matched_ts}"), F.col(f"__cb.__c.{matched_ts}")
+        ).alias(matched_ts),
     )

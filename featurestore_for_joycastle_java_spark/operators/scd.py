@@ -33,11 +33,21 @@ def scd2_build(
     fold is total and engine-replayable.
 
     One shuffle: both windows share the ``key_col`` partitioning.
+
+    NULL semantics (r5 review fix): a key's FIRST row always opens a
+    version, even when its value is NULL — detected via ``lag(ts_col)``
+    being null, because ``eqNullSafe(NULL value, NULL lag)`` is true and
+    would otherwise silently collapse it (which broke ``scd2_apply``'s
+    identity on open rows with NULL values: the seed row vanished).
+    NULL→NULL runs still collapse; NULL→x and x→NULL are changes.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
     chg = changes.withColumn(
         "__is_chg",
-        (~F.col(value_col).eqNullSafe(F.lag(value_col).over(w))).cast("int"),
+        (
+            F.lag(ts_col).over(w).isNull()
+            | ~F.col(value_col).eqNullSafe(F.lag(value_col).over(w))
+        ).cast("int"),
     ).filter(F.col("__is_chg") == 1)
     return chg.select(
         key_col,

@@ -356,20 +356,24 @@ def scd1_upsert_stream_sink(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         payload = [c for c in batch_df.columns if c != key_col]
-        newest = batch_df.groupBy(key_col).agg(
-            *[
-                F.max_by(F.col(c), F.col(order_col)).alias(c)
-                if c != order_col
-                else F.max(F.col(order_col)).alias(order_col)
-                for c in payload
-            ]
+        # ONE max_by over a struct of the whole payload — independent
+        # per-column max_by calls could stitch fields of two different
+        # input rows on an order_col tie (same non-atomic-payload bug
+        # class as the r4 asof struct-fill fix)
+        newest = (
+            batch_df.groupBy(key_col)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in payload]), F.col(order_col)
+                ).alias("__s")
+            )
+            .select(key_col, *[F.col(f"__s.{c}").alias(c) for c in payload])
         )
         prev = [
-            int(d.split("=", 1)[1])
-            for d in (os.listdir(dim_dir) if os.path.isdir(dim_dir) else [])
-            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+            v
+            for v in _committed_versions(dim_dir)
+            if v < batch_id
         ]
-        prev = [v for v in prev if v < batch_id]
         if prev:
             dim = spark.read.parquet(os.path.join(dim_dir, f"v={max(prev)}"))
             merged = scd1_upsert(dim, newest, key_col)
@@ -392,14 +396,26 @@ def scd1_upsert_stream_sink(
     return writer.start()
 
 
-def read_dim_latest(spark: SparkSession, dim_dir: str) -> DataFrame:
-    """Current dimension = the highest committed snapshot version under
-    ``dim_dir`` (see ``scd1_upsert_stream_sink``)."""
-    versions = [
+def _committed_versions(dim_dir: str) -> list[int]:
+    """Snapshot versions whose parquet COMMIT MARKER (_SUCCESS) exists —
+    a version directory appears at write START, so listing alone would
+    let a reader (or a merging batch) observe a partial snapshot."""
+    if not os.path.isdir(dim_dir):
+        return []
+    return [
         int(d.split("=", 1)[1])
         for d in os.listdir(dim_dir)
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+        if d.startswith("v=")
+        and d.split("=", 1)[1].isdigit()
+        and os.path.exists(os.path.join(dim_dir, d, "_SUCCESS"))
     ]
+
+
+def read_dim_latest(spark: SparkSession, dim_dir: str) -> DataFrame:
+    """Current dimension = the highest COMMITTED snapshot version under
+    ``dim_dir`` (see ``scd1_upsert_stream_sink``; versions without a
+    _SUCCESS marker are in-flight or aborted writes and are skipped)."""
+    versions = _committed_versions(dim_dir)
     if not versions:
-        raise FileNotFoundError(f"no dimension snapshots under {dim_dir}")
+        raise FileNotFoundError(f"no committed dimension snapshots under {dim_dir}")
     return spark.read.parquet(os.path.join(dim_dir, f"v={max(versions)}"))

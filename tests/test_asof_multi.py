@@ -15,7 +15,10 @@ from featurestore_for_joycastle_java_spark.operators.asof import (
 
 
 def _sorted(df, cols):
-    return sorted(tuple(r) for r in df.select(*cols).collect())
+    return sorted(
+        (tuple(r) for r in df.select(*cols).collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
 
 
 def test_multi_asof_equals_chained_single_asofs(spark):
@@ -130,3 +133,34 @@ def test_bucketed_asof_matches_plain_on_hot_key(spark):
     assert re.search(r"hashpartitioning\(k#\d+L?, __asof_bkt", plan), (
         "heavy window must partition by (key, bucket)"
     )
+
+
+def test_bucketed_asof_matches_plain_on_null_keys(spark):
+    """r5 review fix: NULL join keys group into one window partition in
+    the plain as-of, so the bucketed path's carry stitch must join
+    null-safely — including cross-bucket carries for NULL-key rows."""
+    left = spark.createDataFrame(
+        [(None, 100), (None, 5), (1, 100)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(None, 3, 7.0), (1, 4, 9.0)], "k long, t long, v double"
+    )
+    _bucketed_equiv_check(spark, left, right, 50)
+    got = {
+        (r["k"], r["t"]): r["v"]
+        for r in asof_join_bucketed(
+            left, right, ["k"], "t", "t", ["v"], 50
+        ).collect()
+    }
+    # cross-bucket carry for the NULL key (t=100 matches right @3)
+    assert got == {(None, 100): 7.0, (None, 5): 7.0, (1, 100): 9.0}
+
+
+def test_multi_asof_rejects_duplicate_tags(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    r1 = spark.createDataFrame([(1, 5, 1.0)], "k long, t long, f1 double")
+    r2 = spark.createDataFrame([(1, 5, 2.0)], "k long, t long, f2 double")
+    with pytest.raises(ValueError, match="duplicate payload column"):
+        multi_asof_join(
+            left, [(r1, "t", ["f1"], "a"), (r2, "t", ["f2"], "a")], ["k"], "t"
+        )

@@ -21,9 +21,13 @@ def _log(spark, rows):
 
 def _rows(df):
     return sorted(
-        tuple(r) for r in df.select(
-            "user_id", "value", "valid_from", "valid_to", "is_current"
-        ).collect()
+        (
+            tuple(r)
+            for r in df.select(
+                "user_id", "value", "valid_from", "valid_to", "is_current"
+            ).collect()
+        ),
+        key=lambda t: tuple((v is None, v) for v in t),
     )
 
 
@@ -115,3 +119,45 @@ def test_scd1_upsert_latest_wins_and_passthrough(spark):
         tuple(r) for r in scd1_upsert(dim, batch, "user_id").collect()
     )
     assert out == [(1, 1.0), (2, 9.0), (3, 3.0)]
+
+
+def test_scd2_apply_preserves_null_valued_open_row(spark):
+    """r5 review fix: an open row whose current value is NULL must
+    survive an apply (the seed row used to collapse against its own
+    null lag), and the composition law must hold through NULL runs."""
+    log = spark.createDataFrame(
+        [(1, 10, 1.0, 1), (1, 20, None, 2), (1, 30, 2.0, 3)],
+        "user_id long, t long, value double, event_id long",
+    )
+    full = _rows(scd2_build(log, "user_id", "t", "value", "event_id"))
+    assert full == [
+        (1, 1.0, 10, 20, False),
+        (1, 2.0, 30, None, True),
+        (1, None, 20, 30, False),
+    ]
+    for cut in (15, 25, 35):
+        dim = scd2_build(
+            log.filter(F.col("t") < cut), "user_id", "t", "value", "event_id"
+        )
+        applied = scd2_apply(
+            dim,
+            log.filter(F.col("t") >= cut),
+            "user_id",
+            "t",
+            "value",
+            "event_id",
+        )
+        assert _rows(applied) == full, f"split at {cut} diverged"
+    # identity: applying an EMPTY batch must return the dimension as-is
+    dim = scd2_build(log, "user_id", "t", "value", "event_id")
+    empty = log.filter(F.lit(False))
+    assert _rows(scd2_apply(dim, empty, "user_id", "t", "value", "event_id")) == full
+
+
+def test_scd2_build_keeps_null_first_value(spark):
+    """A key whose FIRST change-log value is NULL still opens a version."""
+    log = _log(spark, [(9, 5, None, 1), (9, 6, None, 2), (9, 7, 3.0, 3)])
+    assert _rows(scd2_build(log, "user_id", "t", "value", "event_id")) == [
+        (9, 3.0, 7, None, True),
+        (9, None, 5, 7, False),
+    ]

@@ -206,10 +206,11 @@ def test_scd1_upsert_stream_sink_maintains_dimension(spark, tmp_path):
     try:
         deadline = _time.time() + 120
         while _time.time() < deadline:
-            done = _os.path.isdir(dim_dir) and sorted(
-                d for d in _os.listdir(dim_dir) if d.startswith("v=")
-            ) >= ["v=0", "v=1", "v=2"]
-            if done:
+            from featurestore_for_joycastle_java_spark.streaming import (
+                _committed_versions,
+            )
+
+            if {0, 1, 2} <= set(_committed_versions(dim_dir)):
                 break
             _time.sleep(0.5)
     finally:
@@ -231,5 +232,8 @@ def test_scd1_upsert_stream_sink_maintains_dimension(spark, tmp_path):
     want = sorted(map(tuple, expected.select("user_id", "event_id", "event_type", "value").collect()))
     assert got == want and len(got) == dim.count()
     # one snapshot per micro-batch (1200/400 = 3), versioned by batch id
-    versions = sorted(d for d in _os.listdir(dim_dir) if d.startswith("v="))
-    assert versions[:3] == ["v=0", "v=1", "v=2"], versions
+    from featurestore_for_joycastle_java_spark.streaming import (
+        _committed_versions,
+    )
+
+    assert {0, 1, 2} <= set(_committed_versions(dim_dir))

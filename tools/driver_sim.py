@@ -86,7 +86,13 @@ def _flush_artifact(sf: str, results: dict) -> None:
         if os.path.exists(out):
             try:
                 with open(out) as fh:
-                    doc = json.load(fh)
+                    loaded = json.load(fh)
+                # tolerate foreign/stale files: only adopt a dict with a
+                # dict "queries" — anything else is reset, never crashed on
+                if isinstance(loaded, dict) and isinstance(
+                    loaded.get("queries"), dict
+                ):
+                    doc = loaded
             except (json.JSONDecodeError, OSError):
                 pass
         doc["sf_dir"] = sf
