@@ -546,7 +546,7 @@ WITH ps AS (
     WHERE r_name = 'EUROPE' AND p_size < 10 AND p_type = 'LARGE'
     GROUP BY 1, 2, 3, 4, 5)
 SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
-       ROUND(cost, 6) AS cost
+       cost
 FROM ps a
 WHERE cost = (SELECT MIN(cost) FROM ps b WHERE b.p_partkey = a.p_partkey)
 """,
@@ -558,7 +558,12 @@ def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the fact table, and partitioned on the same key the
     aggregate just shuffled on, so the window adds no extra exchange.
     Ties (several suppliers at the exact min) all surface, as in the
-    spec. The min compares identical double divisions in both engines."""
+    spec. The min compares identical double divisions in both engines,
+    and the cost is emitted as the RAW double: both engines hold the
+    bit-identical value, so repr-comparison is exact — whereas rounding
+    it to 6dp diverged at sf0.1 (r5): Spark's round(double) goes through
+    BigDecimal.valueOf (shortest decimal repr, "…8125" -> …813) while
+    DuckDB rounds the full binary value ("…81249999…" -> …812)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") < 10) & (F.col("p_type") == "LARGE")
@@ -586,6 +591,6 @@ def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "s_name",
             "n_name",
-            F.round("cost", 6).alias("cost"),
+            "cost",
         )
     )
