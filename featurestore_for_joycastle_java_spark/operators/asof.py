@@ -45,6 +45,7 @@ def asof_join(
     right_cols: list[str],
     direction: str = "backward",
     suffix: str = "_matched",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """As-of join: every left row + the right payload as of its timestamp.
 
@@ -52,9 +53,18 @@ def asof_join(
     ``suffix`` if they collide with left columns). The matched right
     timestamp is exposed as ``<right_ts><suffix>``. Left rows with no
     qualifying right row keep nulls (left-outer semantics).
-    """
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=...)``, r5): maximum
+    allowed |l.ts - r.ts| for a match — the bounded-staleness contract a
+    feature store serves ("use the latest value, but never older than
+    X"). Matches beyond it are nulled wholesale (payload + matched ts
+    together — atomic, never a half-expired row). Requires NUMERIC
+    timestamps (epoch seconds/µs) so the distance is exact integer math;
+    the plan cost is unchanged (one post-fill comparison per row)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
 
     ts = "__asof_ts"
     out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
@@ -102,6 +112,15 @@ def asof_join(
     filled = unioned.select(
         "*", F.last("__p", ignorenulls=True).over(w).alias("__f")
     )
+    if tolerance is not None:
+        # one condition gates payload AND matched ts — a match either
+        # survives whole or nulls whole (same atomicity rule as the fill)
+        fresh = F.abs(F.col(ts) - F.col("__f." + matched_ts)) <= F.lit(
+            tolerance
+        )
+        filled = filled.withColumn(
+            "__f", F.when(fresh, F.col("__f"))
+        )
     result = filled.filter(F.col(_SIDE) == 1).select(
         *on,
         F.col(ts).alias(left_ts),

@@ -164,3 +164,40 @@ def test_multi_asof_rejects_duplicate_tags(spark):
         multi_asof_join(
             left, [(r1, "t", ["f1"], "a"), (r2, "t", ["f2"], "a")], ["k"], "t"
         )
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    """r5: tolerance nulls matches older than the bound — payload and
+    matched ts together (atomic), fresh matches untouched, and
+    tolerance=None keeps full backward semantics."""
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 50)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, 9.5), (1, 120, 1.2), (2, 10, 0.1)], "k long, t long, v double"
+    )
+
+    def got(tol):
+        return {
+            (r["k"], r["t"]): (r["v"], r["t_matched"])
+            for r in asof_join(
+                left, right, ["k"], "t", "t", ["v"], "backward",
+                tolerance=tol,
+            ).collect()
+        }
+
+    assert got(None) == {
+        (1, 100): (9.5, 95),
+        (1, 200): (1.2, 120),
+        (2, 50): (0.1, 10),
+    }
+    # tol=40: (2,50) matched @10 is 40 old -> inclusive boundary survives;
+    # tol=39 expires it; (1,200) matched @120 is 80 old -> needs tol>=80
+    assert got(40) == {
+        (1, 100): (9.5, 95),
+        (1, 200): (None, None),
+        (2, 50): (0.1, 10),
+    }
+    assert got(39)[(2, 50)] == (None, None)
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, right, ["k"], "t", "t", ["v"], tolerance=-1)
