@@ -38,12 +38,13 @@ BENCH_SKIP: set[str] = set()
 #: relational. r5's window (this order) = round5 (7) + round2 (6) +
 #: streaming (7) + multimodal (4) + training (6) + extras (10) +
 #: advanced (10) = 50 — exactly the 43 queries whose latest driver row
-#: was r2, plus the new r5 surface. r6 should lead with round6 then the
-#: then-oldest modules (round4/asof/ingest/relational, last driver rows
-#: r4, and round3/tpch3/tpch/text/dedup/similarity/windows/scalars, last
-#: driver rows r3). Everything outside the window stays protected by
+#: was r2, plus the new r5 surface. r6 should lead with round6, then
+#: round5b (r5 late additions — NO driver row yet), then the then-oldest
+#: modules (round4/asof/ingest/relational, last driver rows r4, and
+#: round3/tpch3/tpch/text/dedup/similarity/windows/scalars, last driver
+#: rows r3). Everything outside the window stays protected by
 #: tests/test_oracle_parity.py and the full tools/driver_sim.py sweep
-#: (147/147 green at sf0.01 in-round r5).
+#: (150/150 green at sf0.01 AND sf0.1 in-round r5 — SIM_r05_*.json).
 _CATALOG_MODULES = [
     "round5",
     "round2",
@@ -52,6 +53,9 @@ _CATALOG_MODULES = [
     "training",
     "extras",
     "advanced",
+    # below the 50-query driver window from here (round5b: r5 late
+    # additions — driver rows due in r6's window)
+    "round5b",
     "round4",
     "asof",
     "ingest",
