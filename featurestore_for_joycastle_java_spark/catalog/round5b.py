@@ -13,6 +13,10 @@ sweep.
   exact component sums → deterministic double means) and each vector's
   distance to its own label's centroid — the embedding-space outlier
   score.
+- ``dedup_ngram_jaccard``: character-trigram Jaccard near-dup pairs —
+  the n-gram member of the north-star dedup list.
+- ``train_weighted_sample``: temperature-weighted source mixing with an
+  engine-replayable sequential fold for the share denominator.
 """
 
 from __future__ import annotations
@@ -215,4 +219,137 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "vec_id", "label", F.round(F.sqrt(d2), 6).alias("centroid_dist")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    # Character trigrams: substr positions 1..len-2 of the lowered text;
+    # docs shorter than 3 chars get an empty set. Quadratic verify scope
+    # on one source (the scale path stays MinHash LSH).
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(lower(text)) - 2, 0) + 1),
+               i -> substr(lower(text), i, 3))) AS gs
+    FROM documents WHERE source = 'src1')
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(LEN(list_intersect(a.gs, b.gs)) AS DOUBLE)
+             / (LEN(a.gs) + LEN(b.gs) - LEN(list_intersect(a.gs, b.gs))),
+             6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE ROUND(CAST(LEN(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            / (LEN(a.gs) + LEN(b.gs) - LEN(list_intersect(a.gs, b.gs))),
+            6) >= 0.6
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character n-gram (trigram) Jaccard near-dup pairs — the dedup
+    family word tokenization misses (typos, spacing, inflection share
+    most trigrams but few exact tokens). Same inverted-index engine as
+    the token path (``token_jaccard_pairs`` with the ``char_ngrams``
+    tokenizer, r5): length-band prune before the pair shuffle, cached
+    gram index feeding both join sides. Completes the north-star dedup
+    list (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+    embedding-cosine) with its n-gram member."""
+    from featurestore_for_joycastle_java_spark.operators.dedup import (
+        token_jaccard_pairs,
+    )
+    from featurestore_for_joycastle_java_spark.operators.text import char_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == "src1"
+    )
+    return token_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.6, tokenizer=char_ngrams
+    )
+
+
+@query(
+    "train_weighted_sample",
+    # Temperature-weighted source mixing: shares q_s = sqrt(c_s) / Σ_t
+    # sqrt(c_t) (alpha = 0.5 flattens the source distribution), target
+    # corpus = half the docs, per-source keep rate = min(1, q_s·N/2 /
+    # c_s), membership decided by a 48-bit md5 uniform — fully
+    # deterministic and replayed verbatim by the oracle. The only
+    # cross-engine float hazard, the Σ sqrt(c_t) denominator, is a
+    # SEQUENTIAL fold over the source-name-ordered count list in BOTH
+    # engines (the EWMA IEEE-fold pattern), so every double matches
+    # bit-for-bit.
+    oracle="""
+WITH c AS (
+    SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+d AS (
+    SELECT list_reduce(
+               list_transform(list({'s': source, 'c': c} ORDER BY source),
+                              r -> SQRT(CAST(r.c AS DOUBLE))),
+               (a, x) -> a + x) AS denom,
+           CAST(SUM(c) AS DOUBLE) AS n_all
+    FROM c),
+r AS (
+    SELECT c.source, c.c,
+           LEAST(1.0, (SQRT(CAST(c.c AS DOUBLE)) / d.denom)
+                          * (0.5 * d.n_all) / CAST(c.c AS DOUBLE)) AS rate
+    FROM c, d),
+k AS (
+    SELECT doc_id, source,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                     AS BIGINT) AS DOUBLE) / 281474976710656.0 AS u
+    FROM documents)
+SELECT r.source,
+       CAST(r.c AS BIGINT) AS n_total,
+       ROUND(r.rate, 6) AS rate,
+       CAST(SUM(CASE WHEN k.u < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept
+FROM k JOIN r USING (source)
+GROUP BY 1, 2, 3
+""",
+)
+def train_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (multilingual-LM style): keep
+    probability per source ∝ count^0.5 share, scaled to a half-size
+    target corpus and capped at 1 — upsamples (keeps whole) small
+    sources, downsamples dominant ones. Membership is an md5-keyed
+    48-bit uniform per doc: reproducible across engines, runs and
+    repartitions, stateless map-side filter at 100 TB (the rates frame
+    is per-source tiny and broadcast). Summarized per source; the
+    oracle recomputes rates AND membership exactly (see fold note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    d = c.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("source", "c"))),
+                lambda s: F.sqrt(s["c"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("denom"),
+        F.sum("c").cast("double").alias("n_all"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.sqrt(F.col("c").cast("double")) / F.col("denom"))
+        * (F.lit(0.5) * F.col("n_all"))
+        / F.col("c").cast("double"),
+    )
+    r = c.crossJoin(F.broadcast(d)).select("source", "c", rate.alias("rate"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+        ).cast("double")
+        / F.lit(281474976710656.0)
+    )
+    k = docs.select("source", u.alias("u"))
+    return (
+        k.join(F.broadcast(r), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("c").alias("n_total"),
+            F.round(F.any_value("rate"), 6).alias("rate"),
+            F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
     )

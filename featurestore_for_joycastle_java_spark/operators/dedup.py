@@ -52,6 +52,7 @@ def token_jaccard_pairs(
     threshold: float,
     small_vocab_max: int | None = None,
     bitmask_max_docs: int = 50_000,
+    tokenizer=tokens,
 ) -> DataFrame:
     """Exact token-set Jaccard over all pairs sharing ≥1 token, via an
     inverted-index self-join (explode distinct tokens → equi-join on the
@@ -130,7 +131,8 @@ def token_jaccard_pairs(
     ADVICE r4): plain calls stay lazy and keep the inverted index;
     corpus-dedup callers (catalog dedup/round2) pass 1024."""
     toks = df.select(
-        F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("tk")
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokenizer(F.col(text_col))).alias("tk"),
     ).select(
         "id", F.size("tk").alias("n_toks"), F.explode("tk").alias("tok")
     ).cache()

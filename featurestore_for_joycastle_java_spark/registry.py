@@ -44,7 +44,7 @@ BENCH_SKIP: set[str] = set()
 #: round3/tpch3/tpch/text/dedup/similarity/windows/scalars, last driver
 #: rows r3). Everything outside the window stays protected by
 #: tests/test_oracle_parity.py and the full tools/driver_sim.py sweep
-#: (150/150 green at sf0.01 AND sf0.1 in-round r5 — SIM_r05_*.json).
+#: (152/152 green at sf0.01 AND sf0.1 in-round r5 — SIM_r05_*.json).
 _CATALOG_MODULES = [
     "round5",
     "round2",

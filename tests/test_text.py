@@ -99,3 +99,22 @@ def test_winnow_short_docs_empty(spark):
         ).collect()
     ]
     assert got == [0, 0, 0, 1]
+
+
+def test_char_ngrams_basic_and_short_text(spark):
+    """char_ngrams: distinct lowercased trigrams; texts shorter than n
+    yield an empty set (not an error — the sequence(1,0)-descends trap)."""
+    from featurestore_for_joycastle_java_spark.operators.text import char_ngrams
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "AbAb"), (2, "xy"), (3, ""), (4, "aaa a")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: sorted(r["g"])
+        for r in df.select("id", char_ngrams(F.col("text")).alias("g")).collect()
+    }
+    assert got[1] == ["aba", "bab"]      # lowered, distinct
+    assert got[2] == [] and got[3] == []
+    assert got[4] == ["a a", "aa ", "aaa"]
