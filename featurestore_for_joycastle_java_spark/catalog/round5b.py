@@ -9,10 +9,10 @@ sweep.
 - ``feature_time_to_convert``: click → next-purchase conversion latency
   within a window (forward as-of + tolerance), the label-generation
   read for conversion models.
-- ``sim_label_centroid_dist``: per-label embedding centroids (decimal-
-  exact component sums → deterministic double means) and each vector's
-  distance to its own label's centroid — the embedding-space outlier
-  score.
+- ``sim_label_centroid_dist``: per-label embedding centroids (scaled-
+  integer component sums → bit-deterministic double means) and each
+  vector's distance to its own label's centroid — the embedding-space
+  outlier score.
 - ``dedup_ngram_jaccard``: character-trigram Jaccard near-dup pairs —
   the n-gram member of the north-star dedup list.
 - ``train_weighted_sample``: temperature-weighted source mixing with an
@@ -147,29 +147,40 @@ def feature_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_label_centroid_dist",
-    # Determinism engineering: centroid component means come from
-    # DECIMAL(27,12) sums (order-independent exact addition; both
-    # engines convert the same doubles to the same 12dp decimals) cast
-    # to DOUBLE and divided by the exact count — the same bit pattern in
-    # both engines. The distance then composes the verified
-    # list_inner_product primitive: sqrt(v·v - 2 v·c + c·c), rounded 6.
+    # Determinism engineering (r5 review fix): centroid component means
+    # come from SCALED-INTEGER sums — floor(x * 1e12) per component
+    # (identical IEEE multiply + floor in both engines), summed as exact
+    # BIGINTs, then one identical double expression for the mean. The
+    # earlier DECIMAL(27,12) cast was NOT cross-engine-deterministic:
+    # Spark rounds double→decimal HALF_UP, DuckDB HALF_EVEN, and the
+    # fixtures contain exact-12dp ties (e.g. 0.1983642578125). The
+    # distance composes the verified list_inner_product primitive:
+    # sqrt(greatest(v·v - 2 v·c + c·c, 0)) — clamped, because float
+    # cancellation can land the expanded form at a tiny NEGATIVE value
+    # when a vector ~equals its centroid, which Spark sqrt maps to NaN
+    # but DuckDB REFUSES outright. Dims come from len(v), not a literal.
     oracle="""
 WITH e AS (
     SELECT vec_id, label,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings),
 comp AS (
-    SELECT e.label, d.ord,
-           CAST(SUM(CAST(e.v[d.ord] AS DECIMAL(27,12))) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE) AS m
-    FROM e, range(1, 65) AS d(ord)
+    SELECT label, ord,
+           CAST(SUM(CAST(FLOOR(x * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0) AS m
+    FROM (
+        SELECT label,
+               UNNEST(generate_series(1, len(v))) AS ord,
+               UNNEST(v) AS x
+        FROM e)
     GROUP BY 1, 2),
 cent AS (
     SELECT label, list(m ORDER BY ord) AS c FROM comp GROUP BY 1)
 SELECT e.vec_id, e.label,
-       ROUND(SQRT(list_inner_product(e.v, e.v)
-                  - 2 * list_inner_product(e.v, cent.c)
-                  + list_inner_product(cent.c, cent.c)), 6) AS centroid_dist
+       ROUND(SQRT(GREATEST(list_inner_product(e.v, e.v)
+                           - 2 * list_inner_product(e.v, cent.c)
+                           + list_inner_product(cent.c, cent.c), 0.0)),
+             6) AS centroid_dist
 FROM e JOIN cent USING (label)
 """,
 )
@@ -183,10 +194,12 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries one row per (label, dim)), centroids rebuild per label via
     sort_array over 64-element lists, and the tiny centroid frame
     broadcasts back onto the vectors for a stateless per-row HOF
-    distance — no self-join, no window over the vectors. Decimal
-    component sums make the centroid bit-deterministic (see oracle
-    comment); the distance composes dot products bit-matched to
-    DuckDB's list_inner_product (r3-verified primitive)."""
+    distance — no self-join, no window over the vectors. Scaled-integer
+    component sums (floor(x*1e12) summed as exact BIGINTs) make the
+    centroid bit-deterministic (see oracle comment — the decimal-cast
+    route diverges on HALF_UP vs HALF_EVEN ties); the clamped distance
+    composes dot products bit-matched to DuckDB's list_inner_product
+    (r3-verified primitive)."""
     from featurestore_for_joycastle_java_spark.operators.similarity import (
         as_double,
         dot,
@@ -200,8 +213,10 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "ord")
         .agg(
             (
-                F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
-                / F.count(F.lit(1)).cast("double")
+                F.sum(
+                    F.floor(F.col("x") * F.lit(1e12)).cast("bigint")
+                ).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1e12))
             ).alias("m")
         )
     )
@@ -212,10 +227,11 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     )
     joined = emb.join(F.broadcast(cent), "label")
-    d2 = (
+    d2 = F.greatest(
         dot(F.col("v"), F.col("v"))
         - F.lit(2.0) * dot(F.col("v"), F.col("c"))
-        + dot(F.col("c"), F.col("c"))
+        + dot(F.col("c"), F.col("c")),
+        F.lit(0.0),
     )
     return joined.select(
         "vec_id", "label", F.round(F.sqrt(d2), 6).alias("centroid_dist")
@@ -239,7 +255,8 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              / (LEN(a.gs) + LEN(b.gs) - LEN(list_intersect(a.gs, b.gs))),
              6) AS jaccard
 FROM t a JOIN t b ON a.doc_id < b.doc_id
-WHERE ROUND(CAST(LEN(list_intersect(a.gs, b.gs)) AS DOUBLE)
+WHERE LEN(list_intersect(a.gs, b.gs)) >= 1
+  AND ROUND(CAST(LEN(list_intersect(a.gs, b.gs)) AS DOUBLE)
             / (LEN(a.gs) + LEN(b.gs) - LEN(list_intersect(a.gs, b.gs))),
             6) >= 0.6
 """,

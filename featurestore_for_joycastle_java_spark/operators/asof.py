@@ -91,9 +91,13 @@ def asof_join(
     # even when members are null), filled with a single last(ignorenulls)
     # — filling each column independently would let a NULL payload value
     # on the matched row pull a STALE value from an earlier right row,
-    # pairing fields of two different right rows (r4 review fix).
+    # pairing fields of two different right rows (r4 review fix). Right
+    # rows with a NULL timestamp carry NO payload (r5 review fix): a
+    # NULL ts can never satisfy l.ts >= r.ts / <= r.ts — DuckDB ASOF
+    # matches nothing — but they sort first/last in the window and would
+    # otherwise fill a half-row (payload with null matched ts).
     payload = F.when(
-        F.col(_SIDE) == 0,
+        (F.col(_SIDE) == 0) & F.col(matched_ts).isNotNull(),
         F.struct(
             *[F.col(out_names[c]) for c in right_cols],
             F.col(matched_ts).alias(matched_ts),
@@ -210,10 +214,10 @@ def asof_join_nearest(
         F.col(right_ts).alias(matched_ts),
     )
     # one struct per right row, filled once per direction — see
-    # asof_join's payload note (a per-column fill could mix fields of
-    # two different right rows when payload values are null)
+    # asof_join's payload notes (per-column fills could mix rows; NULL-ts
+    # right rows carry no payload)
     payload = F.when(
-        F.col(_SIDE) == 0,
+        (F.col(_SIDE) == 0) & F.col(matched_ts).isNotNull(),
         F.struct(
             *[F.col(out_names[c]) for c in right_cols],
             F.col(matched_ts).alias(matched_ts),
@@ -308,9 +312,13 @@ def multi_asof_join(
                 *on,
                 F.col(right_ts).alias(ts),
                 F.lit(0).alias(_SIDE),
-                F.struct(
-                    *[F.col(c) for c in cols],
-                    F.col(right_ts).alias(f"{tag}_ts_matched"),
+                # NULL-ts right rows carry no payload (see asof_join)
+                F.when(
+                    F.col(right_ts).isNotNull(),
+                    F.struct(
+                        *[F.col(c) for c in cols],
+                        F.col(right_ts).alias(f"{tag}_ts_matched"),
+                    ),
                 ).alias(f"__p{i}"),
             )
         )
@@ -402,7 +410,9 @@ def asof_join_bucketed(
         *[F.col(c).alias(out_names[c]) for c in right_cols],
         F.col(right_ts).alias(matched_ts),
     )
-    r_latest = rb.groupBy(*on, bkt).agg(
+    # NULL-ts right rows can never match (see asof_join) and their bucket
+    # is NULL anyway — drop them before the carry aggregation
+    r_latest = rb.filter(F.col(right_ts).isNotNull()).groupBy(*on, bkt).agg(
         F.max_by(payload_t, F.col(right_ts)).alias("__carry")
     )
     l_buckets = lb.select(*on, bkt).distinct()

@@ -54,9 +54,7 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
             )
         )
 
-    return F.element_at(
-        F.transform(F.array(F.lower(col)), lambda s: build(s)), 1
-    )
+    return bind_once(F.lower(col), build)
 
 
 def punct_ratio(col: Column) -> Column:
@@ -65,15 +63,21 @@ def punct_ratio(col: Column) -> Column:
     return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(F.lit(0.0))
 
 
-def _bind_tokens(col: Column, build) -> Column:
-    """Tokenize ``col`` ONCE and apply ``build(token_array)``.
+def bind_once(expr: Column, build) -> Column:
+    """Evaluate ``expr`` ONCE per row and apply ``build(expr)``.
 
     Catalyst does no common-subexpression elimination across HOF lambda
-    boundaries (same trap documented in ``shingles``): a scorer that
-    references ``tokens(col)`` k times re-tokenizes the document k times.
-    Routing through a single-element ``transform`` lambda pins the token
-    array to one evaluation per row, whatever ``build`` does with it."""
-    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
+    boundaries (same trap documented in ``shingles``): a builder that
+    references ``expr`` k times re-evaluates it k times. Routing through
+    a single-element ``transform`` lambda pins it to one evaluation per
+    row, whatever ``build`` does with it (r5: generalized from the
+    tokens-only helper — one documented home for the workaround)."""
+    return F.element_at(F.transform(F.array(expr), build), 1)
+
+
+def _bind_tokens(col: Column, build) -> Column:
+    """Tokenize ``col`` ONCE and apply ``build(token_array)``."""
+    return bind_once(tokens(col), build)
 
 
 def _hits_in(tk: Column, stopwords: list[str]) -> Column:

@@ -201,3 +201,34 @@ def test_asof_tolerance_bounds_staleness(spark):
     assert got(39)[(2, 50)] == (None, None)
     with pytest.raises(ValueError, match="tolerance"):
         asof_join(left, right, ["k"], "t", "t", ["v"], tolerance=-1)
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """r5 review fix: a right row with NULL timestamp can never satisfy
+    l.ts >= r.ts (DuckDB ASOF matches nothing) — it must not fill a
+    half-row (payload with null matched ts), with or without tolerance,
+    in any as-of variant."""
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, None, 5.0), (1, 10, 7.0)], "k long, t long, v double"
+    )
+    for kwargs in ({}, {"tolerance": 1000}):
+        row = asof_join(
+            left, right, ["k"], "t", "t", ["v"], "backward", **kwargs
+        ).collect()[0]
+        assert (row["v"], row["t_matched"]) == (7.0, 10), kwargs
+    # with ONLY a null-ts right row: no match at all
+    right_null = spark.createDataFrame([(1, None, 5.0)], "k long, t long, v double")
+    row = asof_join(
+        left, right_null, ["k"], "t", "t", ["v"], "backward"
+    ).collect()[0]
+    assert (row["v"], row["t_matched"]) == (None, None)
+    # multi-right and bucketed variants follow the same rule
+    row = multi_asof_join(
+        left, [(right_null, "t", ["v"], "a")], ["k"], "t"
+    ).collect()[0]
+    assert (row["v"], row["a_ts_matched"]) == (None, None)
+    row = asof_join_bucketed(
+        left, right_null, ["k"], "t", "t", ["v"], 50
+    ).collect()[0]
+    assert (row["v"], row["t_matched"]) == (None, None)
