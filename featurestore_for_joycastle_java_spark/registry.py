@@ -56,6 +56,7 @@ _CATALOG_MODULES = [
     # below the 50-query driver window from here (round5b: r5 late
     # additions — driver rows due in r6's window)
     "round5b",
+    "round5c",
     "round4",
     "asof",
     "ingest",
