@@ -526,6 +526,147 @@ def sim_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_anomaly_mad",
+    # All arithmetic on floor(value·1e6) BIGINTs: medians interpolate
+    # integers (or exact-half devs) at factor 0.5 → dyadic doubles,
+    # exactly representable in both engines; 3·1.4826 enters as one
+    # double literal so the threshold multiply is a single identical
+    # IEEE op. (quantile_cont's a+(b-a)·0.5 equals (a+b)/2 exactly for
+    # same-scale dyadics — no formula-difference hazard.)
+    oracle="""
+WITH e AS (
+    SELECT event_type,
+           CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v6
+    FROM events),
+m AS (
+    SELECT event_type, quantile_cont(v6, 0.5) AS med6
+    FROM e GROUP BY 1),
+d AS (
+    SELECT e.event_type, ABS(e.v6 - m.med6) AS dev6, m.med6
+    FROM e JOIN m USING (event_type)),
+md AS (
+    SELECT event_type, quantile_cont(dev6, 0.5) AS mad6
+    FROM d GROUP BY 1)
+SELECT d.event_type,
+       ANY_VALUE(d.med6) / 1000000.0 AS median_v,
+       ANY_VALUE(md.mad6) / 1000000.0 AS mad_v,
+       CAST(SUM(CASE WHEN d.dev6 > 4.4478 * md.mad6 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN md USING (event_type)
+GROUP BY 1
+""",
+)
+def quality_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD instead of
+    mean / stddev (one extreme value cannot drag the threshold — the
+    z-score detector's known blind spot, complementing
+    ``feature_anomaly_zscore``). Flags |x − median| > 3·1.4826·MAD
+    (1.4826 scales MAD to σ under normality). Two grouped exact medians
+    over ≤|types| partitions with tiny broadcast stats frames between —
+    no fact-table window; scaled-integer values keep every median and
+    threshold bit-deterministic (see oracle note)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("v6"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.percentile("v6", F.lit(0.5)).alias("med6")
+    )
+    d = ev.join(F.broadcast(m), "event_type").select(
+        "event_type", "med6", F.abs(F.col("v6") - F.col("med6")).alias("dev6")
+    )
+    md = d.groupBy("event_type").agg(
+        F.percentile("dev6", F.lit(0.5)).alias("mad6")
+    )
+    return (
+        d.join(F.broadcast(md), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.any_value("med6") / F.lit(1e6)).alias("median_v"),
+            (F.any_value("mad6") / F.lit(1e6)).alias("mad_v"),
+            F.sum(
+                F.when(
+                    F.col("dev6") > F.lit(4.4478) * F.col("mad6"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT user_id // 64) AS n_words
+FROM events
+GROUP BY 1
+""",
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (roaring-style
+    chunking): user ids bucket into 64-bit words (id DIV 64 → bit_or of
+    shifted bits), then popcounts sum per group. Unlike HLL partials
+    (`agg_hll_mergeable_distinct`) the merge is exact, and unlike plain
+    countDistinct the shuffled state is one row per OCCUPIED word
+    (≥64× row compression on dense id spaces, and words merge
+    associatively — rollups stay metadata-cost). n_words doubles as the
+    state-size audit the bitmap-vs-HLL decision needs. Dense-id
+    assumption documented: sparse 64-bit id spaces should hash-compact
+    ids first or fall back to HLL."""
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("user_id DIV 64").alias("w"),
+            F.expr("shiftleft(1L, CAST(user_id % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+
+
+@query(
+    "stream_hourly_active_users",
+    oracle="""
+SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       COUNT(DISTINCT user_id) AS n_active
+FROM events
+GROUP BY 1
+""",
+)
+def stream_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly active users: watermarked dropDuplicates on
+    (hour, user) — the streaming DISTINCT operator, state = one row per
+    in-flight (hour, user) — feeding a per-hour count. The streaming
+    twin of the sliding-distinct family: counting users, not events,
+    under exactly-once dedup state. Batch/stream equivalence under
+    availableNow drain is the oracle."""
+    src = ST.file_stream_source(spark, sf_dir)
+    dedup = (
+        src.withWatermark("ts", "2 hours")
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "user_id",
+            F.col("ts"),
+        )
+        .dropDuplicates(["hour_ts", "user_id"])
+    )
+    agg = dedup.groupBy("hour_ts").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    out = _run(spark, agg, "complete")
+    return out.select(
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_active",
+    )
+
+
 _LATERAL_TOPN_TEXT = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n, LATERAL (

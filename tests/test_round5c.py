@@ -157,6 +157,54 @@ def test_pagerank_deterministic_across_widths(spark, sf_dir):
     assert a == b
 
 
+def test_bitmap_distinct_matches_countdistinct(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        r["event_type"]: (r["n_users"], r["n_words"])
+        for r in QUERIES["agg_bitmap_exact_distinct"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(exact)
+    for t, (n_users, n_words) in got.items():
+        assert n_users == exact[t]
+        assert n_words <= n_users  # compression, never inflation
+
+
+def test_mad_ignores_single_extreme(spark):
+    """Median/MAD must not move when ONE extreme value is injected —
+    the robustness property that motivates MAD over z-score."""
+    base = [(i, float(v)) for i, v in enumerate([10, 11, 12, 13, 14] * 5)]
+    clean = spark.createDataFrame(base, "event_id long, value double")
+    dirty = clean.union(
+        spark.createDataFrame([(99, 1e9)], "event_id long, value double")
+    )
+
+    def med_mad(df):
+        v6 = F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
+        m = df.select(v6.alias("v6")).agg(
+            F.percentile("v6", F.lit(0.5)).alias("med6")
+        )
+        med6 = m.collect()[0]["med6"]
+        mad6 = (
+            df.select(F.abs(v6 - F.lit(med6)).alias("dev6"))
+            .agg(F.percentile("dev6", F.lit(0.5)).alias("mad6"))
+            .collect()[0]["mad6"]
+        )
+        return med6, mad6
+
+    med_c, mad_c = med_mad(clean)
+    med_d, mad_d = med_mad(dirty)
+    assert med_c == med_d == 12_000_000.0
+    assert mad_c == mad_d == 1_000_000.0
+    # and the planted point is exactly the one past 3*1.4826*MAD
+    assert abs(1e9 * 1e6 - med_d) > 4.4478 * mad_d
+
+
 def test_transitions_single_user_partition_window(spark, sf_dir):
     plan = _plan(QUERIES["feature_event_transitions"](spark, sf_dir))
     # the per-user lead window partitions by user_id — never a global
