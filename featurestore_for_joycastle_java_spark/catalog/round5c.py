@@ -667,6 +667,167 @@ def stream_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_hll_sliding_wau",
+    # Verification-harness shape (the agg_hll_mergeable_distinct
+    # pattern): the oracle recomputes the EXACT per-day WAU and asserts
+    # the per-day sketch estimate landed within 5% (lgConfigK=12 ≈ 1.6%
+    # rel. error — the bound trips on a broken merge, not variance).
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+    FROM events),
+days AS (SELECT DISTINCT d FROM du)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT du.user_id) AS n_exact,
+       TRUE AS est_ok
+FROM du JOIN days ON days.d BETWEEN du.d AND du.d + 6
+GROUP BY 1
+""",
+    bench=False,  # verification harness (sketch path + exact twin)
+)
+def agg_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for `agg_sliding_distinct_wau`: ONE HLL sketch
+    per (day) — built once, each the size of a rollup-table cell — then
+    every 7-day window is a union-merge of ≤7 day sketches (a metadata
+    operation; the raw data is never re-scanned per window). The exact
+    rewrite explodes 7× the distinct pairs; the sketch path explodes 7×
+    the DAYS. Per-day estimates must land within 5% of the exact WAU
+    (computed alongside as the verification twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id")
+    day_sk = du.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    days = day_sk.select("d").withColumnRenamed("d", "day_d")
+    contrib = day_sk.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "day_d"
+        ),
+        "sk",
+    )
+    est = (
+        contrib.join(F.broadcast(days), "day_d")
+        .groupBy("day_d")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        du.distinct()
+        .select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("day_d"),
+            "user_id",
+        )
+        .join(F.broadcast(days), "day_d")
+        .groupBy("day_d")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return exact.join(est, "day_d").select(
+        F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            <= 0.05
+        ).alias("est_ok"),
+    )
+
+
+@query(
+    "train_length_bucket_stats",
+    oracle="""
+WITH b AS (
+    SELECT (n_chars - 1) // 256 AS bucket_id, n_chars
+    FROM documents WHERE n_chars > 0)
+SELECT bucket_id,
+       (bucket_id + 1) * 256 AS cap,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM((bucket_id + 1) * 256 - n_chars) AS BIGINT) AS pad_chars,
+       CAST((SUM((bucket_id + 1) * 256 - n_chars) * 1000000)
+            // ((bucket_id + 1) * 256 * COUNT(*)) AS BIGINT) AS pad_ppm
+FROM b
+GROUP BY 1
+""",
+)
+def train_length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit for sequence packing: docs bucket
+    by 256-char bands; per bucket, the padding a bucket-capped batch
+    would waste (pad-to-cap vs pad-to-global-max is the batching
+    decision this measures — `train_pack_sequences` is the other
+    strategy). pad_ppm is PURE integer arithmetic (scaled ppm floor
+    division) — no float anywhere. One map-side-combined groupBy on a
+    derived key; trivially partition-parallel at any scale."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    b = docs.select(
+        F.expr("(n_chars - 1) DIV 256").alias("bucket_id"), "n_chars"
+    )
+    cap = (F.col("bucket_id") + 1) * 256
+    return (
+        b.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(cap - F.col("n_chars")).alias("pad_chars"),
+        )
+        .select(
+            "bucket_id",
+            cap.alias("cap"),
+            "n_docs",
+            "total_chars",
+            "pad_chars",
+            F.expr(
+                "(pad_chars * 1000000) DIV ((bucket_id + 1) * 256 * n_docs)"
+            ).alias("pad_ppm"),
+        )
+    )
+
+
+@query(
+    "join_incremental_delta",
+    # The oracle is the FULL recompute: the incremental 4-way delta
+    # composition must reproduce it exactly — the identity
+    # (A∪ΔA)⋈(B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB.
+    oracle="""
+SELECT l.l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(23,6))) AS DOUBLE)
+           AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+""",
+)
+def join_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN: with a new batch ΔA, ΔB
+    arriving on top of base A, B, the maintained join is the base result
+    plus three delta joins (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB) — each sized by the
+    DELTA, so the per-batch cost is O(|Δ|·fanout), never a re-scan of
+    the full join (the identity `agg_incremental_merge` provides for
+    aggregates, extended to joins). Base/delta split here is a
+    deterministic key slice (orderkey mod 5); the aggregate over the
+    4-way union must equal the full recompute, which is the oracle."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    oa = o.filter(F.col("o_orderkey") % 5 != 0)
+    od = o.filter(F.col("o_orderkey") % 5 == 0)
+    la = li.filter(F.col("l_orderkey") % 3 != 0)
+    ld = li.filter(F.col("l_orderkey") % 3 == 0)
+
+    def j(left, right):
+        return left.join(
+            right, left.o_orderkey == right.l_orderkey
+        ).select("l_returnflag", "l_extendedprice")
+
+    inc = j(oa, la).union(j(od, la)).union(j(oa, ld)).union(j(od, ld))
+    return inc.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum(F.col("l_extendedprice")).alias("revenue"),
+    )
+
+
 _LATERAL_TOPN_TEXT = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n, LATERAL (
