@@ -828,6 +828,214 @@ def join_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_k_anonymity",
+    oracle="""
+WITH g AS (
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+    FROM customer GROUP BY 1, 2)
+SELECT COUNT(*) AS n_groups,
+       MIN(n) AS min_group_size,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_small_groups,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+           AS n_rows_at_risk
+FROM g
+""",
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation, market
+    segment): how many equivalence classes fall under k=5, and how many
+    rows sit in them — the re-identification risk measurement that
+    gates sharing a 'de-identified' extract (pseudonymized ids,
+    `quality_pii_pseudonymize`, do NOT protect rows whose QI combination
+    is near-unique). One map-side-combined groupBy + a one-row summary;
+    generalization/suppression decisions consume this measurement."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("n").alias("min_group_size"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).alias(
+            "n_small_groups"
+        ),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+    )
+
+
+@query(
+    "feature_target_encoding",
+    # Leave-one-out arithmetic on floor(acctbal·1e6) BIGINTs: the group
+    # sum and each row's exclusion are exact integers; ONE double
+    # division at the end (identical IEEE both engines, no ROUND).
+    oracle="""
+WITH c AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal * 1000000.0) AS BIGINT) AS v6
+    FROM customer),
+g AS (
+    SELECT c_mktsegment, CAST(SUM(v6) AS BIGINT) AS sum6,
+           COUNT(*) AS n
+    FROM c GROUP BY 1)
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       CASE WHEN g.n > 1
+            THEN CAST(g.sum6 - c.v6 AS DOUBLE)
+                 / (1000000.0 * CAST(g.n - 1 AS DOUBLE)) END AS loo_enc
+FROM c JOIN g USING (c_mktsegment)
+""",
+)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of market segment by account
+    balance: each row's category is replaced by the mean target of the
+    OTHER members ((Σ−x)/(n−1)) — the encoding that feeds categorical
+    features to models without leaking the row's own label (plain mean
+    encoding does). Scale shape: one tiny per-category stats frame
+    broadcast back onto the rows — no window, no self-join; singleton
+    categories emit NULL (no peers to borrow from). Exact integer
+    accumulation, one final double division."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * F.lit(1e6)).cast("bigint").alias("v6"),
+    )
+    g = cust.groupBy("c_mktsegment").agg(
+        F.sum("v6").alias("sum6"), F.count(F.lit(1)).alias("n")
+    )
+    return cust.join(F.broadcast(g), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(
+            F.col("n") > 1,
+            (F.col("sum6") - F.col("v6")).cast("double")
+            / (F.lit(1e6) * (F.col("n") - 1).cast("double")),
+        ).alias("loo_enc"),
+    )
+
+
+@query(
+    "window_streak_longest",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events),
+i AS (
+    SELECT user_id, d,
+           d - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+    FROM du),
+s AS (
+    SELECT user_id, island, COUNT(*) AS len
+    FROM i GROUP BY 1, 2)
+SELECT user_id,
+       MAX(len) AS longest_streak,
+       COUNT(*) AS n_streaks
+FROM s GROUP BY 1
+""",
+)
+def window_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus streak
+    count) — the classic gaps-and-islands read and a staple retention
+    feature. Dedup to (user, day) first (bounds everything by distinct
+    pairs), then day − row_number() labels each run of consecutive days
+    with a constant island key; two combine-friendly groupBys finish.
+    The only window is per-user over the deduped day list."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    i = du.select(
+        "user_id",
+        F.date_sub(
+            F.col("d"), F.row_number().over(w)
+        ).alias("island"),
+    )
+    s = i.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@query(
+    "window_cume_nth",
+    # (value, event_id) is a total order ⇒ cume_dist has no peer groups
+    # and equals position/n — an integer ratio, bit-identical both
+    # engines. Purchase slice keeps the per-type partitions bounded.
+    oracle="""
+SELECT event_id, event_type,
+       CUME_DIST() OVER (
+           PARTITION BY event_type ORDER BY value, event_id) AS cume_d,
+       NTH_VALUE(value, 2) OVER (
+           PARTITION BY event_type ORDER BY value, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_lowest
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+""",
+)
+def window_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST + NTH_VALUE — the two remaining ranked-window forms the
+    window family didn't exercise (rank/dense/ntile/percent_rank/lag/
+    lead/first_last are covered). Per-type partitions on a filtered
+    slice; the scale-safe route for global variants is the two-pass
+    rank (`window_rank_scalable`), which composes the same way here."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wf = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.cume_dist().over(w).alias("cume_d"),
+        F.nth_value("value", 2).over(wf).alias("second_lowest"),
+    )
+
+
+@query(
+    "dedup_canonicalize",
+    oracle="""
+WITH g AS (
+    SELECT md5(text) AS h,
+           MIN(doc_id) AS canon_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           array_to_string(list_sort(list(DISTINCT source)), ',')
+               AS sources
+    FROM documents
+    GROUP BY 1)
+SELECT canon_id, n_members, total_chars, sources
+FROM g WHERE n_members >= 2
+""",
+)
+def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write AFTER dedup: collapse each exact-duplicate group into
+    one canonical record — survivor id (min), member count, merged
+    metadata (summed sizes, sorted distinct source list) — the record
+    the corpus actually keeps. `dedup_exact_survivors` picks rows;
+    this MERGES group metadata so provenance survives the collapse.
+    One md5-keyed shuffle with map-side combine; the set-valued merge
+    (collect_set) is bounded by the tiny source vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("canon_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").alias("total_chars"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+            "sources"
+        ),
+    )
+    return g.filter(F.col("n_members") >= 2).select(
+        "canon_id", "n_members", "total_chars", "sources"
+    )
+
+
 _LATERAL_TOPN_TEXT = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n, LATERAL (

@@ -39,12 +39,15 @@ BENCH_SKIP: set[str] = set()
 #: streaming (7) + multimodal (4) + training (6) + extras (10) +
 #: advanced (10) = 50 — exactly the 43 queries whose latest driver row
 #: was r2, plus the new r5 surface. r6 should lead with round6, then
-#: round5b (r5 late additions — NO driver row yet), then the then-oldest
+#: round5b (5) + round5c (24) — the r5 continuation additions with NO
+#: driver row yet — then fill the remainder from the then-oldest
 #: modules (round4/asof/ingest/relational, last driver rows r4, and
 #: round3/tpch3/tpch/text/dedup/similarity/windows/scalars, last driver
-#: rows r3). Everything outside the window stays protected by
-#: tests/test_oracle_parity.py and the full tools/driver_sim.py sweep
-#: (152/152 green at sf0.01 AND sf0.1 in-round r5 — SIM_r05_*.json).
+#: rows r3); with round6 likely >21 queries this takes two windows —
+#: prioritize round5b/round5c first, r4-row modules after. Everything
+#: outside the window stays protected by tests/test_oracle_parity.py
+#: and the full tools/driver_sim.py sweep (170+/170+ green at sf0.01
+#: AND sf0.1 in-round r5 — SIM_r05_*.json).
 _CATALOG_MODULES = [
     "round5",
     "round2",
