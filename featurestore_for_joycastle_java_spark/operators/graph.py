@@ -27,6 +27,8 @@ as the CC loop does).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["pagerank_int"]
@@ -52,6 +54,29 @@ def pagerank_int(
     floor. ``damping_pct`` is an integer percentage so the damping step
     stays in integer arithmetic.
     """
+    spark = edges.sparkSession
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    # Iteration frames are one row per node/edge — tiny relative to any
+    # fact table — so the session's fact-sized shuffle width only adds
+    # task-scheduling overhead here (measured at sf0.1: 32 → 8 halves
+    # the loop's wall clock). Safe to scope to this function: every
+    # iteration materializes INSIDE it (eager localCheckpoint below), so
+    # nothing planned under the narrow width escapes. On a real cluster
+    # size this to node-count / executor-memory, as the streaming drains
+    # do for state stores.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_GRAPH_SHUFFLE", "8"),
+    )
+    try:
+        return _pagerank_loop(edges, src, dst, iterations, damping_pct)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+
+
+def _pagerank_loop(
+    edges: DataFrame, src: str, dst: str, iterations: int, damping_pct: int
+) -> DataFrame:
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg, "src").cache()
@@ -60,6 +85,9 @@ def pagerank_int(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # nodes participates in every iteration's left join — materialize it
+    # once instead of re-deriving the union+distinct five times
+    nodes = nodes.localCheckpoint(eager=True)
     r = nodes.select("node", F.lit(SCALE).cast("bigint").alias("r"))
     floor_term = (SCALE * (100 - damping_pct)) // 100
     for _ in range(iterations):
@@ -80,4 +108,11 @@ def pagerank_int(
                 )
             ).alias("r"),
         )
+        # truncate lineage per round (the CC-loop pattern): without this
+        # each action re-analyzes/re-compiles the whole k-deep join
+        # stack, and planning — not data — dominates (measured at sf0.1
+        # for k=5: 10.2 s no-checkpoint → 6.8 s per-round checkpoint →
+        # ~4 s with width 8); the ranks frame is one small row per node,
+        # so the materialization is cheap at any scale
+        r = r.localCheckpoint(eager=True)
     return r.select("node", F.col("r").alias("rank_micro"))

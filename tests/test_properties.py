@@ -269,3 +269,113 @@ def test_multi_asof_matches_python_reference(spark, lrows, r1rows, r2rows):
         )
     )
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=40
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=2000), min_size=1, max_size=60
+    ),
+)
+def test_bloom_prune_superset_of_semi_join(spark, small_keys, big_keys):
+    """Randomized no-false-negatives: bloom_prune(big, small) must keep
+    every big row whose key appears in small, for arbitrary overlap."""
+    from featurestore_for_joycastle_java_spark.operators.bloom import (
+        bloom_prune,
+    )
+
+    small = spark.createDataFrame([(k,) for k in set(small_keys)], "k long")
+    big = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(big_keys)], "id long, k long"
+    )
+    kept = {
+        r["id"]
+        for r in bloom_prune(big, small, "k", "k", num_bits=1 << 10).collect()
+    }
+    want = {i for i, k in enumerate(big_keys) if k in set(small_keys)}
+    assert want <= kept
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # orderkey
+            st.integers(min_value=0, max_value=3),  # lines per order
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_incremental_join_identity(spark, orders):
+    """Random base/delta slices: the 4-way delta-join union must equal
+    the full join row-for-row (the IVM identity join_incremental_delta
+    relies on)."""
+    o_rows = [(k,) for k, _ in orders]
+    l_rows = [(k, j) for k, n in orders for j in range(n)]
+    if not l_rows:
+        l_rows = [(-1, 0)]  # non-matching placeholder keeps schema
+    o = spark.createDataFrame(o_rows, "ok long").distinct()
+    li = spark.createDataFrame(l_rows, "lk long, ln long")
+    oa, od = o.filter("ok % 2 = 0"), o.filter("ok % 2 = 1")
+    la, ld = li.filter("lk % 3 = 0"), li.filter("lk % 3 <> 0")
+
+    def j(a, b):
+        return a.join(b, a.ok == b.lk).select("ok", "ln")
+
+    inc = sorted(
+        map(
+            tuple,
+            j(oa, la)
+            .union(j(od, la))
+            .union(j(oa, ld))
+            .union(j(od, ld))
+            .collect(),
+        )
+    )
+    full = sorted(map(tuple, j(o, li).collect()))
+    assert inc == full
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # t (µs)
+            st.integers(min_value=-5_000_000, max_value=5_000_000),  # v6
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=1_000_000),
+)
+def test_twa_shift_invariant(spark, points, shift):
+    """Time-weighted average is invariant under a uniform time shift —
+    the property a plain AVG lacks under irregular sampling. Computed
+    with the same exact wide-integer accumulation as the query."""
+    rows = [(i, t, v) for i, (t, v) in enumerate(points)]
+
+    def twa(offset):
+        df = spark.createDataFrame(rows, "id long, t long, v6 long").select(
+            "id", (F.col("t") + F.lit(offset)).alias("t"), "v6"
+        )
+        from pyspark.sql import Window
+
+        w = Window.orderBy("t", "id")
+        d = df.select(
+            "v6", (F.lead("t").over(w) - F.col("t")).alias("dt")
+        ).filter(F.col("dt").isNotNull())
+        r = d.agg(
+            F.sum(F.col("v6").cast("decimal(38,0)") * F.col("dt")).alias(
+                "num"
+            ),
+            F.sum("dt").alias("den"),
+        ).first()
+        if not r["den"]:
+            return None
+        return (r["num"], r["den"])
+
+    assert twa(0) == twa(shift)
