@@ -1036,6 +1036,178 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "eval_feature_auc",
+    # Mann-Whitney AUC in EXACT integers: per distinct score v, the
+    # positive mass there pairs with negatives strictly below (beats
+    # them) and negatives at v (half credit): Σ n_pos(v)·(2·cumneg<(v) +
+    # n_neg(v)) = 2·U; AUC = that / (2·P·N) — ONE double division at the
+    # end, no float accumulation, no per-row ranks.
+    oracle="""
+WITH e AS (
+    SELECT value AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events),
+g AS (
+    SELECT v, CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+    FROM e GROUP BY 1),
+c AS (
+    SELECT v, n_pos, n_neg,
+           COALESCE(SUM(n_neg) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS cumneg
+    FROM g)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(n_pos * (2 * cumneg + n_neg)) AS BIGINT) AS u2,
+       CAST(SUM(n_pos * (2 * cumneg + n_neg)) AS DOUBLE)
+           / (2.0 * CAST(SUM(n_pos) AS DOUBLE)
+                  * CAST(SUM(n_neg) AS DOUBLE)) AS auc
+FROM c
+""",
+)
+def eval_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate feature screening: exact ROC-AUC of `value` as a
+    predictor of the purchase label (Mann-Whitney U with average-rank
+    tie handling) — the metric a feature store uses to rank candidate
+    features before training anything. Scale shape: one map-side-
+    combined groupBy on the score VALUE collapses the fact table to the
+    distinct-score frame; the cumulative window runs over that frame
+    (bounded by score cardinality, not rows — same class as the global-
+    rank twin; bucket the score first if its cardinality explodes). All
+    pair-counting in exact BIGINTs; AUC is one final division."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = ev.groupBy("v").agg(
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("cumneg"),
+    )
+    u2 = F.sum(
+        F.col("n_pos") * (F.lit(2) * F.col("cumneg") + F.col("n_neg"))
+    )
+    return c.agg(
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+        u2.alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        (
+            F.col("u2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            )
+        ).alias("auc"),
+    )
+
+
+@query(
+    "quality_ks_drift",
+    # KS distance without a single float comparison: sup|F1−F2| =
+    # max|cum1·n2 − cum2·n1| / (n1·n2) — the max is over exact integer
+    # cross-products on the distinct-value frame; one division at the
+    # end. Split = first vs second half of the observed time range (the
+    # PSI monitor's convention).
+    oracle="""
+WITH b AS (
+    SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+e AS (
+    SELECT value AS v,
+           CASE WHEN epoch_us(ts) * 2 < b.lo + b.hi THEN 0 ELSE 1 END
+               AS half
+    FROM events, b),
+g AS (
+    SELECT v,
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2
+    FROM e GROUP BY 1),
+c AS (
+    SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
+           SUM(c2) OVER (ORDER BY v) AS cum2
+    FROM g),
+n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2 FROM g)
+SELECT n.n1 AS n_first,
+       n.n2 AS n_second,
+       CAST(MAX(ABS(c.cum1 * n.n2 - c.cum2 * n.n1)) AS BIGINT) AS ks_num,
+       CAST(MAX(ABS(c.cum1 * n.n2 - c.cum2 * n.n1)) AS DOUBLE)
+           / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)) AS ks_stat
+FROM c, n
+GROUP BY n.n1, n.n2
+""",
+)
+def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov drift statistic for the value distribution,
+    first half vs second half of the time range — the distribution-free
+    companion to the binned PSI monitor (`quality_psi_drift`): PSI needs
+    bucket choices, KS is the exact sup-distance between the two
+    empirical CDFs. Same scale shape as the AUC screen: collapse to the
+    distinct-value frame first, cumulate there, and keep the sup-search
+    in integer cross-products (|cum1·n2 − cum2·n1|) so the max is exact
+    — floats appear only in the final division."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", F.unix_micros(F.col("ts")).alias("t")
+    )
+    b = ev.agg(
+        F.min("t").alias("lo"), F.max("t").alias("hi")
+    )
+    e = ev.crossJoin(F.broadcast(b)).select(
+        F.col("value").alias("v"),
+        F.when(
+            F.col("t") * 2 < F.col("lo") + F.col("hi"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    g = e.groupBy("v").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("v")
+    c = g.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    n = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    # cross-products in DECIMAL(38,0) (DuckDB side rides HUGEINT): at
+    # extreme row counts cum·n exceeds int64, and Spark would overflow
+    # silently under ANSI-off
+    num = F.abs(
+        F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(F.max(num).cast("bigint").alias("ks_num"))
+        .select(
+            F.col("n1").alias("n_first"),
+            F.col("n2").alias("n_second"),
+            "ks_num",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )
+
+
 _LATERAL_TOPN_TEXT = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n, LATERAL (
