@@ -1208,6 +1208,39 @@ def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ps_frontend_priority_stats",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1
+""",
+)
+def ps_frontend_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTH API door: pandas-on-Spark (``pyspark.pandas``) — the
+    same engine surface a pandas user reaches without learning the
+    DataFrame DSL (the other doors: programmatic DataFrame, two
+    SQL-text frontends, and the connector API). The pandas-style
+    groupby/agg compiles to the identical Catalyst aggregation plan;
+    chosen aggregates (count/min/max) are order-independent so the door
+    adds API coverage without a float-determinism surface."""
+    import pyspark.pandas as pps
+
+    sdf = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    psdf = sdf.pandas_api()
+    out = psdf.groupby("o_orderpriority").agg(
+        n_orders=("o_orderkey", "count"),
+        min_price=("o_totalprice", "min"),
+        max_price=("o_totalprice", "max"),
+    )
+    return out.reset_index().to_spark()
+
+
 _LATERAL_TOPN_TEXT = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n, LATERAL (
