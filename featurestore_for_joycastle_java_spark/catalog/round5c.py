@@ -1241,6 +1241,136 @@ def ps_frontend_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.reset_index().to_spark()
 
 
+@query(
+    "join_null_safe_eq",
+    oracle="""
+WITH d AS (
+    SELECT DISTINCT NULLIF(n_nationkey % 5, 4) AS bucket FROM nation),
+c AS (
+    SELECT NULLIF(c_nationkey % 5, 4) AS bucket, c_custkey FROM customer)
+SELECT d.bucket, COUNT(c.c_custkey) AS n_customers
+FROM d JOIN c ON d.bucket IS NOT DISTINCT FROM c.bucket
+GROUP BY 1
+""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
+    dimensions with an 'unknown' (NULL) key need — a plain equi-join
+    silently drops every NULL-keyed row on both sides; null-safe
+    matches NULL to NULL exactly once. Still hash-joinable (Spark plans
+    BroadcastHashJoin on the null-safe key, not a nested loop). The
+    NULL bucket row in the output is the point of the query."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    d = nation.select(
+        F.nullif(F.col("n_nationkey") % 5, F.lit(4)).alias("bucket")
+    ).distinct()
+    c = cust.select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("cb"),
+        "c_custkey",
+    )
+    return (
+        d.join(c, d.bucket.eqNullSafe(c.cb))
+        .groupBy("bucket")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@query(
+    "scalar_try_funcs",
+    # Under Spark 4's ANSI-on default, plain CAST/divide THROW on bad
+    # input — the try_* family is the engine-hardening surface ETL needs
+    # (null-on-error, row survives). DuckDB mirrors with TRY_CAST and an
+    # explicit zero guard.
+    oracle="""
+SELECT doc_id,
+       TRY_CAST(lang AS INT) AS lang_int,
+       TRY_CAST(SUBSTR(lang, 1, 1) AS INT) AS first_digit,
+       CASE WHEN n_chars % 7 = 0 THEN NULL
+            ELSE CAST(n_chars AS DOUBLE) / CAST(n_chars % 7 AS DOUBLE)
+       END AS ratio7
+FROM documents
+""",
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar surface: `try_cast` on non-numeric strings and
+    `try_divide` with a zero denominator yield NULL instead of failing
+    the job — load-bearing under Spark 4's ANSI-mode default, where the
+    plain forms THROW and one malformed row would kill a 100 TB ETL.
+    The rows all survive; the NULLs mark the failures for quarantine."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Column.try_cast exists in the DataFrame API; the SQL expression
+    # form covers the function spelling
+    return docs.select(
+        "doc_id",
+        F.col("lang").try_cast("int").alias("lang_int"),
+        F.expr("try_cast(substring(lang, 1, 1) AS INT)").alias(
+            "first_digit"
+        ),
+        F.try_divide(
+            F.col("n_chars").cast("double"),
+            (F.col("n_chars") % 7).cast("double"),
+        ).alias("ratio7"),
+    )
+
+
+@query(
+    "eval_feature_corr",
+    # Pearson r from five EXACT wide-integer sums (DECIMAL(38,0) /
+    # HUGEINT): n·Σxy−Σx·Σy and the variance terms are exact integers
+    # converted to double ONCE, then one identical IEEE expression.
+    # Never F.corr/corr(): float running sums are order-dependent.
+    oracle="""
+WITH e AS (
+    SELECT CAST(FLOOR(value * 1000000.0) AS BIGINT) AS x,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+    FROM events),
+s AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx,
+           CAST(SUM(y) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+    FROM e)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+              * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_value_hour
+FROM s
+""",
+)
+def eval_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation between event value and hour-of-day —
+    the pairwise-screening companion to `eval_feature_auc` (is a
+    candidate feature redundant with a calendar effect?). The engine's
+    `corr()` runs float running sums (order-dependent — unverifiable);
+    this computes the five moment sums as exact wide integers in ONE
+    map-side-combined pass and spends doubles only on the final closed
+    form. Same one-pass shape at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("x"),
+        F.hour("ts").cast("bigint").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = dec(F.col("n")), dec(F.col("sx")), dec(F.col("sy"))
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    dx = F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+    dy = F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        (num / (dx * dy)).alias("corr_value_hour"),
+    )
+
+
 _LATERAL_TOPN_TEXT = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n, LATERAL (
