@@ -205,6 +205,41 @@ def test_mad_ignores_single_extreme(spark):
     assert abs(1e9 * 1e6 - med_d) > 4.4478 * mad_d
 
 
+def test_target_encoding_broadcasts_stats(spark, sf_dir):
+    """LOO encoding must ride a broadcast of the tiny category-stats
+    frame — no window over the rows, no shuffle join."""
+    plan = _plan(QUERIES["feature_target_encoding"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """eqNullSafe must still plan as a hash join (the coalesced-key
+    rewrite), never a nested-loop scan."""
+    plan = _plan(QUERIES["join_null_safe_eq"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_auc_combines_before_distinct_frame_window(spark, sf_dir):
+    """The fact table must collapse via partial aggregation BEFORE the
+    cumulative window (which then sees only the distinct-score frame)."""
+    plan = _plan(QUERIES["eval_feature_auc"](spark, sf_dir))
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Window" in plan
+
+
+def test_corr_single_aggregation_pass(spark, sf_dir):
+    """All five moment sums in ONE aggregate over one scan — no window,
+    no join, no second exchange."""
+    plan = _plan(QUERIES["eval_feature_corr"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange (") <= 1
+
+
 def test_transitions_single_user_partition_window(spark, sf_dir):
     plan = _plan(QUERIES["feature_event_transitions"](spark, sf_dir))
     # the per-user lead window partitions by user_id — never a global
