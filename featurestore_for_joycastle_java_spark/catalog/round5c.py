@@ -1371,6 +1371,92 @@ def eval_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_CHAIN_TEXT = """
+WITH RECURSIVE ord AS (
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS nxt,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders),
+walk (o_custkey, o_orderkey, nxt, depth) AS (
+    SELECT o_custkey, o_orderkey, nxt, 1 FROM ord WHERE rn = 1
+    UNION ALL
+    SELECT o.o_custkey, o.o_orderkey, o.nxt, w.depth + 1
+    FROM walk w JOIN ord o ON o.o_orderkey = w.nxt)
+SELECT o_custkey, MAX(depth) AS chain_len, MAX(o_orderkey) AS max_orderkey
+FROM walk
+GROUP BY o_custkey
+"""
+
+
+@query(
+    "sql_recursive_chain",
+    oracle=_RECURSIVE_CHAIN_TEXT,
+    # API-door correctness query, kept out of the bench: Spark executes
+    # one full join round per recursion level with no lineage
+    # truncation (12 s at sf0.1 for ~25 levels — cost is per-level
+    # planning, the same failure mode the hand-built loops fix with
+    # localCheckpoint). The engine's PERFORMANT iterative paths are the
+    # CC hop-shortcut loop and pagerank_int; this door exists so
+    # recursive SQL text a user brings still runs and verifies.
+    bench=False,
+)
+def sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE door (NEW in Spark 4.0): the IDENTICAL `WITH
+    RECURSIVE` text runs through `spark.sql` and DuckDB — a successor
+    walk down each customer's date-ordered order chain (seeded at the
+    first order, stepping through a LEAD-built successor table until it
+    ends). The aggregate (chain length = order count, max key) is
+    independently checkable, so the recursion itself is what's under
+    test: per-iteration the engine joins the frontier to the successor
+    table — O(longest chain) rounds, frontier never exceeds one row per
+    customer. Spark's recursion currently supports UNION ALL only
+    (UNION-distinct raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so
+    the walk is structured to never revisit a row instead of relying on
+    dedup — the pattern cyclic graphs need rethinking for (the CC
+    operator's hop-shortcut loop is the engine's cycle-safe path)."""
+    from featurestore_for_joycastle_java_spark.sources import (
+        register_temp_views,
+    )
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CHAIN_TEXT)
+
+
+@query(
+    "ingest_variant_props",
+    oracle="""
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                 IS NULL THEN 0 ELSE 1 END AS has_k
+FROM events
+""",
+)
+def ingest_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingest through Spark 4's VARIANT type:
+    `parse_json` once, then typed `variant_get` path extraction — the
+    open-schema alternative to `from_json`-with-declared-schema
+    (`ingest_json_props`): fields can appear/vanish per row without a
+    schema migration, and the binary variant encoding scans faster than
+    re-parsing JSON text per access. DuckDB mirrors with its JSON
+    extraction; the null-marker column pins the missing-field
+    contract."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.variant_get(F.col("v"), "$.k", "int")
+    return v.select(
+        "event_id",
+        k.alias("k_int"),
+        F.when(k.isNull(), 0).otherwise(1).alias("has_k"),
+    )
+
+
 _LATERAL_TOPN_TEXT = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n, LATERAL (
