@@ -1457,6 +1457,150 @@ def ingest_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bm25_topk",
+    # Float discipline (the tfidf precedent: both engines' ln agreed on
+    # fixture inputs, pinned by that query since r1): per-term idf and
+    # the per-doc score are built in ONE fixed term order (join to an
+    # ordered term dim, aggregate via a sorted-struct fold), outputs
+    # rounded at 6dp with doc_id tie-break so both engines pick the
+    # identical top set.
+    oracle="""
+WITH q(term, ord) AS (
+    SELECT * FROM (VALUES ('spark', 1), ('stream', 2), ('join', 3))),
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS toks
+    FROM documents),
+dl AS (
+    SELECT doc_id, LEN(toks) AS dl FROM toks),
+stats AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl),
+tf AS (
+    SELECT t.doc_id, q.term, q.ord,
+           LEN(list_filter(t.toks, x -> x = q.term)) AS tf
+    FROM toks t CROSS JOIN q),
+idf AS (
+    SELECT q.term,
+           LN((CAST(s.n_docs AS DOUBLE)
+               - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5) + 1.0) AS idf
+    FROM q
+    JOIN (SELECT term, COUNT(*) AS df FROM tf WHERE tf > 0 GROUP BY 1) d
+        USING (term)
+    CROSS JOIN stats s),
+scored AS (
+    SELECT tf.doc_id,
+           ROUND(list_reduce(
+               list_transform(
+                   list({'o': tf.ord,
+                         'v': idf.idf * (CAST(tf.tf AS DOUBLE) * 2.2)
+                              / (CAST(tf.tf AS DOUBLE) + 1.2
+                                 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                               / s.avgdl))}
+                        ORDER BY tf.ord),
+                   r -> r.v),
+               (a, x) -> a + x), 6) AS score
+    FROM tf
+    JOIN dl USING (doc_id) CROSS JOIN stats s
+    JOIN idf USING (term)
+    GROUP BY tf.doc_id, dl.dl, s.avgdl
+    HAVING SUM(tf.tf) > 0)
+SELECT doc_id, score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 20
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query
+    over the corpus, top-20 — the lexical-retrieval op the text family
+    lacked (TF-IDF ranks a doc's own terms; BM25 ranks DOCS for a
+    query — the RAG/eval-retrieval read). Scale shape: tokens bind
+    once, per-(doc, term) tf is a filtered HOF count against a
+    broadcast 3-row term dim (no explode of the corpus), idf and avgdl
+    ride 1-row/3-row broadcast stats, and the per-doc score folds the
+    ≤3 term contributions in FIXED term order (sorted-struct fold — the
+    EWMA pattern) so the float sum is bit-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    from featurestore_for_joycastle_java_spark.operators import text as T
+
+    terms = ["spark", "stream", "join"]
+    q = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(terms)], "term string, ord int"
+    )
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = toks.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        "term",
+        "ord",
+        F.size(
+            F.filter(F.col("toks"), lambda x: x == F.col("term"))
+        ).alias("tf"),
+    )
+    df_ = tf.filter(F.col("tf") > 0).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = (
+        q.join(df_, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                (
+                    F.col("n_docs").cast("double")
+                    - F.col("df").cast("double")
+                    + F.lit(0.5)
+                )
+                / (F.col("df").cast("double") + F.lit(0.5))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    contrib = F.col("idf") * (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(idf), "term")
+        .select("doc_id", "ord", "tf", contrib.alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("ord", "v"))
+                        ),
+                        lambda s: s["v"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("score"),
+            F.sum("tf").alias("tf_total"),
+        )
+        .filter(F.col("tf_total") > 0)
+        .drop("tf_total")
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
 _LATERAL_TOPN_TEXT = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n, LATERAL (
