@@ -31,6 +31,23 @@ Gap analysis behind the picks (VERDICT r4 + SURVEY §2 delta):
 - ``quality_pii_pseudonymize``: masking + keyed surrogate for direct
   identifiers — the anonymization write every shared training corpus
   needs.
+
+Later additions in this module (same below-window registration):
+``graph_pagerank_int`` (integer-deterministic PageRank),
+``join_lateral_topn`` / ``sql_recursive_chain`` /
+``ps_frontend_priority_stats`` (LATERAL, WITH RECURSIVE, and
+pandas-on-Spark doors), ``ingest_variant_props`` (Spark 4 VARIANT),
+``quality_anomaly_mad`` / ``quality_ks_drift`` / ``quality_k_anonymity``
+(robust-outlier, drift, privacy audits), ``agg_bitmap_exact_distinct`` /
+``agg_hll_sliding_wau`` (exact-mergeable and sketch distinct paths),
+``stream_hourly_active_users`` (streaming DISTINCT),
+``train_length_bucket_stats`` (padding audit), ``join_incremental_delta``
+(join IVM identity), ``feature_target_encoding`` (LOO encoding),
+``window_streak_longest`` / ``window_cume_nth`` (islands, remaining
+ranked forms), ``dedup_canonicalize`` (provenance-merging collapse),
+``eval_feature_auc`` / ``eval_feature_corr`` (exact-integer screening
+metrics), ``join_null_safe_eq`` / ``scalar_try_funcs`` (NULL-key joins,
+ANSI-safe scalars), ``text_bm25_topk`` (lexical retrieval).
 """
 
 from __future__ import annotations
