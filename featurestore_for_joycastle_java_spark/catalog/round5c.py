@@ -1618,6 +1618,131 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
 
 
+@query(
+    "train_contamination_check",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents),
+s AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(toks) - 3),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                              toks[i+3], toks[i+4]))) AS sh
+    FROM t WHERE len(toks) >= 5),
+b AS (
+    SELECT doc_id, UNNEST(sh) AS g FROM s WHERE doc_id % 97 = 0),
+tr AS (
+    SELECT doc_id, UNNEST(sh) AS g FROM s WHERE doc_id % 97 <> 0),
+hits AS (
+    SELECT DISTINCT tr.doc_id AS train_id, b.doc_id AS bench_id
+    FROM tr JOIN b USING (g))
+SELECT (SELECT COUNT(*) FROM s WHERE doc_id % 97 = 0) AS n_benchmark,
+       (SELECT COUNT(*) FROM s WHERE doc_id % 97 <> 0) AS n_training,
+       (SELECT COUNT(DISTINCT train_id) FROM hits) AS n_contaminated,
+       (SELECT COUNT(*) FROM hits) AS n_doc_pairs
+""",
+)
+def train_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: which training documents share a
+    5-token shingle with any held-out benchmark document (deterministic
+    1/97 doc slice stands in for the benchmark) — the pre-training
+    check that keeps eval numbers honest. Inverted-index join on the
+    shingle (the dedup family's engine — never doc×doc), distinct at
+    the (train, bench) pair level, summarized to the four numbers a
+    pipeline gates on. At 100 TB the shingle join is the same
+    near-linear shape as MinHash candidate generation; hash the
+    shingles (md5_hash60) if string shuffle width ever dominates."""
+    from featurestore_for_joycastle_java_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", T.shingles(F.col("text"), k=5).alias("sh")
+    ).filter(F.size("sh") >= 1)
+    s = s.cache()
+    is_bench = F.col("doc_id") % 97 == 0
+    b = s.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), F.explode("sh").alias("g")
+    )
+    tr = s.filter(~is_bench).select(
+        F.col("doc_id").alias("train_id"), F.explode("sh").alias("g")
+    )
+    hits = tr.join(b, "g").select("train_id", "bench_id").distinct()
+    counts = s.agg(
+        F.sum(F.when(is_bench, 1).otherwise(0)).alias("n_benchmark"),
+        F.sum(F.when(is_bench, 0).otherwise(1)).alias("n_training"),
+    )
+    h = hits.agg(
+        F.countDistinct("train_id").alias("n_contaminated"),
+        F.count(F.lit(1)).alias("n_doc_pairs"),
+    )
+    return counts.crossJoin(h)
+
+
+@query(
+    "eval_calibration_bins",
+    # Pure-integer calibration: score_ppm = v6·1e6 DIV max6 (exact),
+    # deciles from score_ppm, per-bin rates in ppm floor division — not
+    # one float anywhere.
+    oracle="""
+WITH e AS (
+    SELECT CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v6,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events),
+m AS (SELECT MAX(v6) AS max6 FROM e),
+s AS (
+    SELECT LEAST(9, (v6 * 1000000 // m.max6) // 100000) AS bin,
+           (v6 * 1000000 // m.max6) AS score_ppm, y
+    FROM e, m),
+g AS (
+    SELECT bin,
+           COUNT(*) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS avg_score_ppm
+    FROM s GROUP BY 1)
+SELECT CAST(bin AS BIGINT) AS bin, n, n_pos, pos_rate_ppm, avg_score_ppm
+FROM g
+""",
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability bins: scores (value, max-normalized)
+    cut into deciles; per bin the observed positive rate vs the mean
+    score — the curve that says whether a score can be read as a
+    probability (the third leg of the eval family: AUC = ranking,
+    correlation = redundancy, calibration = probability quality). Every
+    number is exact integer arithmetic (scaled-ppm floor division) —
+    one groupBy after a broadcast max, nothing else."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("v6"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    m = ev.agg(F.max("v6").alias("max6"))
+    s = ev.crossJoin(F.broadcast(m)).select(
+        F.expr("(v6 * 1000000) DIV max6").alias("score_ppm"), "y"
+    )
+    g = s.select(
+        F.least(F.lit(9), F.expr("score_ppm DIV 100000")).alias("bin"),
+        "score_ppm",
+        "y",
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.expr("(SUM(y) * 1000000) DIV COUNT(*)").alias("pos_rate_ppm"),
+        F.expr("SUM(score_ppm) DIV COUNT(*)").alias("avg_score_ppm"),
+    )
+    return g.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n",
+        "n_pos",
+        "pos_rate_ppm",
+        "avg_score_ppm",
+    )
+
+
 _LATERAL_TOPN_TEXT = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n, LATERAL (
