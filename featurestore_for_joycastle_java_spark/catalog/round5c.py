@@ -1743,6 +1743,66 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "feature_expanding_mean",
+    # Expanding sums stay exact BIGINTs (floor-scaled values, window
+    # cumsum); the mean is FLOOR of one identical double ratio per row
+    # (the interarrival no-ROUND rule).
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS t,
+           CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v6
+    FROM events)
+SELECT event_id, user_id,
+       CASE WHEN COUNT(*) OVER w - 1 > 0 THEN
+           CAST(FLOOR(
+               CAST(SUM(v6) OVER w - v6 AS DOUBLE)
+               / CAST(COUNT(*) OVER w - 1 AS DOUBLE)
+           ) AS BIGINT) END AS expanding_mean_v6,
+       CAST(COUNT(*) OVER w - 1 AS BIGINT) AS n_prior
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def feature_expanding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free expanding mean: each event gets the mean of the
+    user's STRICTLY PRIOR values (cumulative window minus self) — the
+    time-aware sibling of LOO target encoding
+    (`feature_target_encoding` excludes self across the whole group;
+    this excludes self AND the future, which is what a training row
+    sampled mid-history must see). First event per user → NULL (0/0
+    guarded by n_prior=0). Per-user cumulative window, exact integer
+    sums, floor of one double ratio."""
+    e = _events_us(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "t",
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("v6"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_prior = F.count(F.lit(1)).over(w) - 1
+    # explicit NULL at n_prior=0: engines disagree on float 0/0 (Spark
+    # NaN — which an ANSI bigint cast then rejects — vs DuckDB NULL)
+    mean = F.when(
+        n_prior > 0,
+        F.floor(
+            (F.sum("v6").over(w) - F.col("v6")).cast("double")
+            / n_prior.cast("double")
+        ).cast("bigint"),
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        mean.alias("expanding_mean_v6"),
+        n_prior.cast("bigint").alias("n_prior"),
+    )
+
+
 _LATERAL_TOPN_TEXT = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n, LATERAL (
