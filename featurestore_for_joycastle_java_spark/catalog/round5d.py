@@ -1,0 +1,613 @@
+"""Round-5 second-continuation additions (registered below the 50-query
+driver window, after ``round5c``) — driver rows due in the r6 rotation;
+until then covered by tests/test_oracle_parity.py and the full-registry
+sweeps (SIM_r05_*.json).
+
+Gap analysis behind the picks (SURVEY §2 delta after round5c):
+
+- ``feature_winsorize``: exact percentile clipping (p05/p95) — the
+  outlier-*treatment* companion to the outlier-*detection* pair
+  (z-score, MAD); every tabular feature pipeline clips before scaling.
+- ``eval_linreg_fit``: closed-form simple regression from the same five
+  exact wide-integer moments as ``eval_feature_corr`` — trend
+  *magnitude* (slope/intercept) where corr gives only direction.
+- ``feature_hashing_trick``: signed feature hashing (hashing trick,
+  Weinberger et al. 2009) — the fixed-dimension categorical/text
+  featurization that needs no vocabulary pass at all.
+- ``text_rarity``: rare-token quality scoring (the integer-exact core
+  of CCNet-style LM filtering: documents dominated by rare tokens are
+  boilerplate/noise candidates) — pure integer ppm, no logs, so the
+  oracle matches bit-for-bit.
+- ``layout_compaction_bins``: small-file compaction planning (next-fit
+  bin packing over the file manifest) — the table-maintenance step that
+  keeps scan task counts sane; planner input is O(files) metadata.
+- ``dedup_hamming1_neighbors``: single-substitution neighbor detection
+  via lossless interleaved signature blocking + exact verify — the
+  fixed-width-identifier near-collision audit (PassJoin-style
+  partition signatures, Li/Deng/Feng PVLDB 2011, specialized to tau=1
+  with even/odd interleaving to defeat shared-prefix key skew).
+- ``sort_skyline_suppliers``: 2-D Pareto frontier (skyline) over an
+  aggregated entity frame — multi-objective "best suppliers" reads that
+  no single ORDER BY can express.
+- ``layout_partition_prune``: hive-partitioned write + partition-pruned
+  read-back — the storage-layout half of predicate pushdown (the scan
+  never opens non-matching date directories; plan-gated in
+  tests/test_round5d.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from featurestore_for_joycastle_java_spark.registry import query
+from featurestore_for_joycastle_java_spark.sources import (
+    load_table,
+    write_any,
+)
+
+
+@query(
+    "feature_winsorize",
+    # Thresholds are TYPE-1 (discrete) quantiles picked by pure-integer
+    # rank arithmetic: k = ceil(p*n) computed as (p_pct*n + 99) DIV 100,
+    # then "smallest value whose cumulative count reaches k" — no
+    # engine quantile function, no interpolation, so both engines agree
+    # bit-for-bit. The winsorized mean is FLOOR of an identical double
+    # ratio of exact integers (the repo's standard mean pattern).
+    oracle="""
+WITH e AS (
+    SELECT event_type, CAST(FLOOR(value * 1000000.0) AS BIGINT) AS x
+    FROM events),
+d AS (
+    SELECT event_type, x, COUNT(*) AS c FROM e GROUP BY 1, 2),
+cum AS (
+    SELECT event_type, x, c,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cc
+    FROM d),
+tot AS (
+    SELECT event_type, SUM(c) AS n FROM d GROUP BY 1),
+ks AS (
+    SELECT event_type, n,
+           (5 * n + 99) // 100 AS k_lo,
+           (95 * n + 99) // 100 AS k_hi
+    FROM tot),
+thr AS (
+    SELECT k.event_type, k.n,
+           MIN(CASE WHEN cum.cc >= k.k_lo THEN cum.x END) AS lo_micro,
+           MIN(CASE WHEN cum.cc >= k.k_hi THEN cum.x END) AS hi_micro
+    FROM ks k JOIN cum ON cum.event_type = k.event_type
+    GROUP BY 1, 2)
+SELECT e.event_type,
+       CAST(t.n AS BIGINT) AS n,
+       t.lo_micro, t.hi_micro,
+       CAST(SUM(CASE WHEN e.x < t.lo_micro THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clip_lo,
+       CAST(SUM(CASE WHEN e.x > t.hi_micro THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clip_hi,
+       CAST(SUM(LEAST(GREATEST(e.x, t.lo_micro), t.hi_micro)) AS BIGINT)
+           AS wins_sum_micro,
+       CAST(FLOOR(
+           CAST(SUM(LEAST(GREATEST(e.x, t.lo_micro), t.hi_micro)) AS DOUBLE)
+           / CAST(t.n AS DOUBLE)) AS BIGINT) AS wins_mean_micro
+FROM e JOIN thr t USING (event_type)
+GROUP BY e.event_type, t.n, t.lo_micro, t.hi_micro
+""",
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p05/p95 winsorization of event values per type — the
+    outlier-treatment step (clip, then scale) of a tabular feature
+    pipeline, with exact discrete-quantile thresholds.
+
+    Scale shape: pass 1 collapses the fact table to the distinct-value
+    frame per type (map-side-combined groupBy — the eval_feature_auc
+    pattern) and runs the cumulative window there, never over raw rows;
+    pass 2 re-scans the fact with the 5-row threshold frame broadcast.
+    At extreme value cardinality the distinct frame degrades toward the
+    fact size — then the binned two-pass (agg_value_histogram's frame
+    to locate the quantile bin, exact sort inside one bin) is the
+    drop-in replacement; per-type partitions keep the window
+    partition-parallel either way.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("x"),
+    )
+    d = e.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cc", F.sum("c").over(w))
+    ks = (
+        d.groupBy("event_type")
+        .agg(F.sum("c").alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.expr("(5 * n + 99) DIV 100").alias("k_lo"),
+            F.expr("(95 * n + 99) DIV 100").alias("k_hi"),
+        )
+    )
+    thr = (
+        cum.join(F.broadcast(ks), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.min(F.when(F.col("cc") >= F.col("k_lo"), F.col("x"))).alias(
+                "lo_micro"
+            ),
+            F.min(F.when(F.col("cc") >= F.col("k_hi"), F.col("x"))).alias(
+                "hi_micro"
+            ),
+        )
+    )
+    clamped = F.least(
+        F.greatest(F.col("x"), F.col("lo_micro")), F.col("hi_micro")
+    )
+    return (
+        e.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "n", "lo_micro", "hi_micro")
+        .agg(
+            F.sum(
+                F.when(F.col("x") < F.col("lo_micro"), 1).otherwise(0)
+            ).alias("n_clip_lo"),
+            F.sum(
+                F.when(F.col("x") > F.col("hi_micro"), 1).otherwise(0)
+            ).alias("n_clip_hi"),
+            F.sum(clamped).alias("wins_sum_micro"),
+            F.floor(
+                F.sum(clamped).cast("double") / F.col("n").cast("double")
+            )
+            .cast("bigint")
+            .alias("wins_mean_micro"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            "lo_micro",
+            "hi_micro",
+            "n_clip_lo",
+            "n_clip_hi",
+            "wins_sum_micro",
+            "wins_mean_micro",
+        )
+    )
+
+
+@query(
+    "eval_linreg_fit",
+    # Same five exact wide-integer moments as eval_feature_corr; the
+    # closed-form slope/intercept spends doubles only on the final
+    # identical IEEE expressions, so both engines agree bit-for-bit.
+    oracle="""
+WITH e AS (
+    SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+           CAST(FLOOR(value * 1000000.0) AS BIGINT) AS y
+    FROM events),
+s AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx,
+           CAST(SUM(y) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+    FROM e)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_micro_per_hour,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept_micro
+FROM s
+""",
+)
+def eval_linreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form simple linear regression (value-micro on hour-of-day)
+    from exact integer moments — the trend-magnitude companion to
+    `eval_feature_corr` (slope answers "how much per hour", corr only
+    "which way"). Never an iterative solver and never float running
+    sums: one map-side-combined pass accumulates n/Σx/Σy/Σxy/Σx² as
+    wide integers; doubles appear only in the final closed form, the
+    identical expression on both engines. One-pass at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").cast("bigint").alias("x"),
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = dec(F.col("n")), dec(F.col("sx")), dec(F.col("sy"))
+    slope = (n * F.col("sxy") - sx * sy).cast("double") / (
+        n * F.col("sxx") - sx * sx
+    ).cast("double")
+    intercept = (
+        sy.cast("double") - slope * sx.cast("double")
+    ) / n.cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope_micro_per_hour"),
+        intercept.alias("intercept_micro"),
+    )
+
+
+@query(
+    "feature_hashing_trick",
+    # Bucket and sign derive from md5 (the repo's cross-engine hash):
+    # bucket = first 8 hex chars mod 64, sign = parity of the 9th hex
+    # char — identical arithmetic both engines, so weights (including
+    # collision cancellations to 0) match exactly.
+    oracle="""
+WITH t AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+           CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+                THEN 1 ELSE -1 END AS sgn
+    FROM t)
+SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS weight
+FROM h GROUP BY 1, 2
+""",
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (the hashing trick, Weinberger et al.,
+    ICML 2009): every token maps to one of 64 buckets with a ±1 sign,
+    per-document weights are the signed counts — fixed-dimension text
+    featurization with NO vocabulary pass, no dictionary state, and an
+    unbiased inner-product estimate (the sign bit cancels collision
+    bias). Scale shape: explode → one map-side-combined groupBy on
+    (doc, bucket); output is bounded by docs × 64 regardless of corpus
+    vocabulary — the property that makes the trick work at 100 TB where
+    a vocabulary dim would itself be a big table."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    h = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % 64
+        ).alias("bucket"),
+        F.when(
+            F.conv(F.substring(F.md5("tok"), 9, 1), 16, 10).cast("bigint")
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return h.groupBy("doc_id", "bucket").agg(
+        F.sum("sgn").cast("bigint").alias("weight")
+    )
+
+
+@query(
+    "text_rarity",
+    # Rare = corpus count < 1% of all tokens (integer comparison —
+    # scale-invariant, no float threshold); ppm is integer floor
+    # division on nonnegative integers, identical both engines.
+    oracle="""
+WITH t AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(c.cnt) AS BIGINT) AS sum_freq,
+       CAST((SUM(CASE WHEN c.cnt * 100 < tot.total THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*) AS BIGINT) AS rare_ppm
+FROM t JOIN c USING (tok) CROSS JOIN tot
+GROUP BY 1
+""",
+)
+def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token quality scoring — the integer-exact core of
+    CCNet-style LM filtering: per document, total corpus frequency of
+    its tokens and the ppm share of rare tokens (corpus count < 1% of
+    all tokens). Documents dominated by rare tokens are
+    noise/boilerplate candidates; unlike log-prob scoring this stays in
+    exact integers (no transcendental functions, whose libm results
+    differ across engines), so the oracle matches bit-for-bit.
+
+    Scale shape: the vocabulary frame is Zipf-small relative to the
+    corpus (here 31 tokens; at web scale still millions of rows vs
+    billions of docs) → broadcast to the exploded token stream; one
+    map-side-combined groupBy per doc. The 1-row total attaches via the
+    scalar-stats broadcast cross join."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(F.broadcast(c), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("sum_freq"),
+            F.expr(
+                "(sum(CASE WHEN cnt * 100 < total THEN 1 ELSE 0 END)"
+                " * 1000000) DIV count(1)"
+            )
+            .cast("bigint")
+            .alias("rare_ppm"),
+        )
+    )
+
+
+@query(
+    "layout_compaction_bins",
+    # Next-fit packing is a running sum + integer division over the
+    # manifest — deterministic given manifest order (fileno), so both
+    # engines produce identical bins.
+    oracle="""
+WITH f AS (
+    SELECT doc_id // 50 AS fileno,
+           CAST(SUM(n_chars) AS BIGINT) AS bytes
+    FROM documents GROUP BY 1),
+cum AS (
+    SELECT fileno, bytes,
+           SUM(bytes) OVER (ORDER BY fileno
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cc
+    FROM f)
+SELECT CAST((cc - bytes) // 65536 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+       MIN(fileno) AS first_fileno,
+       MAX(fileno) AS last_fileno
+FROM cum GROUP BY 1
+""",
+)
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: pack the file manifest into
+    ~64 KiB output bins by next-fit over manifest order (bin = floor of
+    the preceding cumulative size / target) — the table-maintenance
+    step that keeps scan task counts proportional to data, not to
+    historical write patterns. Files are simulated as 50-doc groups of
+    the documents table (the fixture ships one parquet per table).
+
+    Scale shape: the planner's input is the FILE MANIFEST — O(number of
+    files) metadata, not O(rows) — so the single global running-sum
+    window is a metadata operation (same accept as the rank twins'
+    dim-sized windows); the expensive part, actually rewriting each
+    bin, is embarrassingly parallel per bin."""
+    f = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.expr("doc_id DIV 50").alias("fileno"))
+        .agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+    )
+    w = Window.orderBy("fileno").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = f.withColumn("cc", F.sum("bytes").over(w))
+    return (
+        cum.groupBy(
+            F.expr("(cc - bytes) DIV 65536").cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bin_bytes"),
+            F.min("fileno").alias("first_fileno"),
+            F.max("fileno").alias("last_fileno"),
+        )
+    )
+
+
+@query(
+    "dedup_hamming1_neighbors",
+    # Lossless blocking: pad to even length (sentinel outside the
+    # alphabet), then a single substitution changes exactly one of the
+    # even-position / odd-position character subsequences — the pair
+    # shares the other one, plus length. Verify = levenshtein == 1
+    # (same-length strings: edit distance 1 ⟺ Hamming distance 1).
+    # The oracle replays blocking + verify; the blocking's losslessness
+    # is the pigeonhole argument above, and tests/test_round5d.py pins
+    # it against a brute-force quadratic check on a slice.
+    oracle="""
+WITH s AS (
+    SELECT c_custkey,
+           CASE WHEN length(c_name) % 2 = 1
+                THEN c_name || chr(1) ELSE c_name END AS nm
+    FROM customer),
+k AS (
+    SELECT c_custkey, nm, 1 AS side,
+           regexp_replace(nm, '(.)(.)', '\\1', 'g') AS kf
+    FROM s
+    UNION ALL
+    SELECT c_custkey, nm, 2,
+           regexp_replace(nm, '(.)(.)', '\\2', 'g')
+    FROM s),
+cand AS (
+    SELECT DISTINCT a.c_custkey AS k1, b.c_custkey AS k2,
+           a.nm AS n1, b.nm AS n2
+    FROM k a JOIN k b
+      ON a.side = b.side AND a.kf = b.kf
+     AND length(a.nm) = length(b.nm)
+     AND a.c_custkey < b.c_custkey),
+v AS (
+    SELECT k1, k2 FROM cand WHERE levenshtein(n1, n2) = 1),
+u AS (
+    SELECT k1 AS c_custkey FROM v
+    UNION ALL
+    SELECT k2 FROM v)
+SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_ham1
+FROM u GROUP BY 1
+""",
+)
+def dedup_hamming1_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-substitution neighbor detection on customer names — the
+    fixed-width-identifier near-collision audit (one mistyped digit in
+    an ID): per customer, how many other names differ in exactly one
+    character.
+
+    Algorithm: PassJoin-style partition signatures (Li, Deng, Feng,
+    PVLDB 2011) specialized to tau=1, with INTERLEAVED partitions (the
+    even-position and odd-position character subsequences) instead of
+    prefix/suffix halves — fixed-width keys share long constant
+    prefixes ("Customer#…"), which would put every row in one prefix
+    block (quadratic); interleaving spreads the varying digits across
+    both signatures, so blocks stay small (max block 200 of 15 000 at
+    sf0.1). A substituted character lies in exactly one subsequence, so
+    any Hamming-1 pair shares the other signature — the blocking is
+    lossless, candidates are Σ per-block pairs (never n²), and the
+    exact `levenshtein == 1` verify touches candidates only."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(
+            F.length("c_name") % 2 == 1,
+            F.concat(F.col("c_name"), F.expr("chr(1)")),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("nm"),
+    )
+    parts = []
+    for side, repl in ((1, "$1"), (2, "$2")):
+        parts.append(
+            c.select(
+                "c_custkey",
+                "nm",
+                F.lit(side).alias("side"),
+                F.regexp_replace("nm", "(.)(.)", repl).alias("kf"),
+            )
+        )
+    k = parts[0].unionAll(parts[1])
+    a, b = k.alias("a"), k.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.side") == F.col("b.side"))
+            & (F.col("a.kf") == F.col("b.kf"))
+            & (F.length("a.nm") == F.length("b.nm"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("k1"),
+            F.col("b.c_custkey").alias("k2"),
+            F.col("a.nm").alias("n1"),
+            F.col("b.nm").alias("n2"),
+        )
+        .distinct()
+    )
+    v = cand.filter(F.levenshtein("n1", "n2") == 1).select("k1", "k2")
+    u = v.select(F.col("k1").alias("c_custkey")).unionAll(
+        v.select(F.col("k2").alias("c_custkey"))
+    )
+    return u.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ham1")
+    )
+
+
+@query(
+    "sort_skyline_suppliers",
+    # The oracle is the DECLARATIVE dominance definition (NOT EXISTS a
+    # strictly-better supplier) — independent of the engine's
+    # sort-based algorithm, so it proves the rewrite, not just
+    # replays it.
+    oracle="""
+WITH s AS (
+    SELECT l_suppkey AS s_suppkey,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem GROUP BY 1)
+SELECT s_suppkey, total_qty, n_orders
+FROM s a
+WHERE NOT EXISTS (
+    SELECT 1 FROM s b
+    WHERE b.total_qty >= a.total_qty AND b.n_orders >= a.n_orders
+      AND (b.total_qty > a.total_qty OR b.n_orders > a.n_orders))
+""",
+)
+def sort_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of suppliers on (total quantity
+    shipped, distinct orders served), both maximized — the
+    multi-objective "best suppliers" read that no single ORDER BY can
+    express (Börzsönyi et al., ICDE 2001).
+
+    A supplier survives iff no other supplier is ≥ on both dimensions
+    and > on one. Instead of the quadratic NOT-EXISTS (the oracle), the
+    engine uses the sort-based rewrite: collapse to one row per
+    distinct total_qty (group max of n_orders), then a running max over
+    strictly-greater qty rows — a survivor must beat that running max
+    and be its own qty-group's max. The heavy work (the fact-table
+    aggregation) is fully distributed; the windows run on the
+    aggregated supplier frame — entity-dim-sized, the same accept as
+    the rank twins (a fact-sized skyline would first shrink through
+    this same per-key aggregation)."""
+    s = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("total_qty"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        )
+    )
+    g = s.groupBy("total_qty").agg(F.max("n_orders").alias("gmax"))
+    w = Window.orderBy(F.col("total_qty").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = g.withColumn("prevmax", F.max("gmax").over(w))
+    return (
+        s.join(F.broadcast(g), "total_qty")
+        .filter(
+            (F.col("prevmax").isNull() | (F.col("n_orders") > F.col("prevmax")))
+            & (F.col("n_orders") == F.col("gmax"))
+        )
+        .select("s_suppkey", "total_qty", "n_orders")
+    )
+
+
+@query(
+    "layout_partition_prune",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_value_micro
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+GROUP BY 1
+""",
+)
+def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-pruned read-back: events are
+    written `partitionBy(event_date)` and re-read with a single-date
+    filter — the storage-layout half of predicate pushdown. The scan
+    plans ONLY the matching date directory (PartitionFilters in the
+    scan node — plan-gated in tests/test_round5d.py); non-matching
+    partitions are never listed into tasks, the property that turns a
+    100 TB table into a 3 TB read for a one-day query. The checksum of
+    the pruned read must equal filtering the original table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias(
+            "value_micro"
+        ),
+        F.to_date("ts").alias("event_date"),
+    )
+    base = tempfile.mkdtemp(prefix="fs_part_")
+    path = os.path.join(base, "events_by_date")
+    write_any(ev, path, partition_by=["event_date"])
+    back = spark.read.parquet(path).filter(
+        F.col("event_date") == F.lit("2024-01-15").cast("date")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_micro").cast("bigint").alias("sum_value_micro"),
+    )

@@ -60,6 +60,7 @@ _CATALOG_MODULES = [
     # additions — driver rows due in r6's window)
     "round5b",
     "round5c",
+    "round5d",
     "round4",
     "asof",
     "ingest",
