@@ -465,7 +465,26 @@ def dedup_hamming1_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1). A substituted character lies in exactly one subsequence, so
     any Hamming-1 pair shares the other signature — the blocking is
     lossless, candidates are Σ per-block pairs (never n²), and the
-    exact `levenshtein == 1` verify touches candidates only."""
+    exact `levenshtein == 1` verify touches candidates only.
+
+    Plan notes (what made this fast, measured at sf0.1): the block join
+    runs on ONE xxhash64 bigint of (side, length, kf) rather than a
+    3-condition string/length key (hash collisions only ever ADD
+    candidates, which the exact verify then rejects — results
+    unchanged); the signature frame is explicitly hash-partitioned on
+    the block key BEFORE the self-join — AQE sizes the join stage from
+    the 30 k signature rows and would coalesce it to 2 tasks, but the
+    join fans out ~60× (1.86 M candidate pairs at sf0.1) and the
+    verify runs inside that stage, so the explicit repartition is what
+    keeps the expensive stage at full width (the
+    AQE-can't-see-the-explosion pitfall); the verify uses the
+    THRESHOLDED levenshtein (banded DP, O(L·1) per pair, Spark 4) not
+    the full O(L²) matrix; and the verify filter runs BEFORE the
+    pair-dedup, so the distinct shuffles only true Hamming-1 pairs. A
+    pair can only appear on both sides if both signatures match, i.e.
+    identical names (Hamming 0), which the verify drops — distinct
+    stays for the hash-collision path only. Together: 8.9 s → ~1 s at
+    sf0.1."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.when(
@@ -481,29 +500,31 @@ def dedup_hamming1_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.select(
                 "c_custkey",
                 "nm",
-                F.lit(side).alias("side"),
-                F.regexp_replace("nm", "(.)(.)", repl).alias("kf"),
+                F.xxhash64(
+                    F.lit(side),
+                    F.length("nm"),
+                    F.regexp_replace("nm", "(.)(.)", repl),
+                ).alias("blk"),
             )
         )
-    k = parts[0].unionAll(parts[1])
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    k = parts[0].unionAll(parts[1]).repartition(n_shuffle, "blk")
     a, b = k.alias("a"), k.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.side") == F.col("b.side"))
-            & (F.col("a.kf") == F.col("b.kf"))
-            & (F.length("a.nm") == F.length("b.nm"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.c_custkey").alias("k1"),
-            F.col("b.c_custkey").alias("k2"),
-            F.col("a.nm").alias("n1"),
-            F.col("b.nm").alias("n2"),
-        )
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("k1"),
+        F.col("b.c_custkey").alias("k2"),
+        F.col("a.nm").alias("n1"),
+        F.col("b.nm").alias("n2"),
+    )
+    v = (
+        cand.filter(F.levenshtein("n1", "n2", 1) == 1)
+        .select("k1", "k2")
         .distinct()
     )
-    v = cand.filter(F.levenshtein("n1", "n2") == 1).select("k1", "k2")
     u = v.select(F.col("k1").alias("c_custkey")).unionAll(
         v.select(F.col("k2").alias("c_custkey"))
     )

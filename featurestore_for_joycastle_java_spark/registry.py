@@ -61,6 +61,7 @@ _CATALOG_MODULES = [
     "round5b",
     "round5c",
     "round5d",
+    "round5e",
     "round4",
     "asof",
     "ingest",
