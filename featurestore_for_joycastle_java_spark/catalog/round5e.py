@@ -33,6 +33,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from featurestore_for_joycastle_java_spark.operators.graphs import (
+    cosupply_edges,
+    degrees,
+)
 from featurestore_for_joycastle_java_spark.operators.ranks import (
     global_row_number,
 )
@@ -507,30 +511,17 @@ def graph_triangles_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     even on power-law graphs — the "last reducer" (max-degree hub)
     never enumerates its quadratic neighborhood. The bipartite
     part→supplier projection dedups (part, supplier) BEFORE pairing,
-    and pairs are per-part (Σ per-part m² , never global n²)."""
-    bip = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 49.0)
-        .select(
-            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-        )
-        .distinct()
-    )
-    a, b = bip.alias("a"), bip.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("u").alias("x"))
-        .unionAll(e.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    and pairs are per-part (Σ per-part m² , never global n²).
+
+    Plan note (measured, sf0.1): the oriented edge list is referenced
+    by three join branches (e1/e2/e3) and the printed plan repeats the
+    subtree per reference (229 Exchange nodes in the STATIC text), but
+    at runtime ReuseExchange deduplicates the identical shuffles —
+    2.1 s as-is vs 4.0 s with the frames `.cache()`d (the cache's
+    materialization barrier costs more than the reuse saves; measured
+    both ways, cache rejected)."""
+    e = cosupply_edges(spark, sf_dir)
+    deg = degrees(e)
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
     ordered = (

@@ -62,6 +62,9 @@ _CATALOG_MODULES = [
     "round5c",
     "round5d",
     "round5e",
+    "round5f",
+    "round5g",
+    "round5h",
     "round4",
     "asof",
     "ingest",

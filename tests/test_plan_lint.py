@@ -29,6 +29,7 @@ from featurestore_for_joycastle_java_spark.registry import QUERIES
 _EAGER_CONSTRUCTION_PREFIXES = ("stream_",)
 _EAGER_CONSTRUCTION = {
     "graph_pagerank_int",  # eager localCheckpoint loop (tests/test_round5c.py)
+    "graph_kcore",  # eager peeling loop (tests/test_round5g.py)
     "dedup_cc_clusters",  # checkpointed CC loop (tests/test_dedup.py)
     "dedup_pipeline_lsh",  # composes the CC loop
     "dedup_pipeline_exact",  # composes the CC loop

@@ -37,6 +37,7 @@ def main() -> int:
     eager_prefixes = ("stream_",)
     eager = {
         "graph_pagerank_int",
+        "graph_kcore",
         "dedup_cc_clusters",
         "dedup_pipeline_lsh",
         "dedup_pipeline_exact",
