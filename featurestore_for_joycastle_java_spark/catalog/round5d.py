@@ -413,31 +413,36 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lossless blocking: pad to even length (sentinel outside the
     # alphabet), then a single substitution changes exactly one of the
     # even-position / odd-position character subsequences — the pair
-    # shares the other one, plus length. Verify = levenshtein == 1
-    # (same-length strings: edit distance 1 ⟺ Hamming distance 1).
+    # shares the other one, plus length. Verify = levenshtein == 1 on
+    # the RAW names with RAW-length equality (same-length strings: edit
+    # distance 1 ⟺ Hamming distance 1). The raw length — not the padded
+    # length — rides in the block key AND the verify (r5 ADVICE fix:
+    # padded-length matching made an odd-length name a "neighbor" of an
+    # even-length name one char longer, an insertion pair).
     # The oracle replays blocking + verify; the blocking's losslessness
     # is the pigeonhole argument above, and tests/test_round5d.py pins
-    # it against a brute-force quadratic check on a slice.
+    # it against a brute-force quadratic check on a slice plus a
+    # mixed-length fixture.
     oracle="""
 WITH s AS (
-    SELECT c_custkey,
+    SELECT c_custkey, c_name AS raw,
            CASE WHEN length(c_name) % 2 = 1
                 THEN c_name || chr(1) ELSE c_name END AS nm
     FROM customer),
 k AS (
-    SELECT c_custkey, nm, 1 AS side,
+    SELECT c_custkey, raw, 1 AS side,
            regexp_replace(nm, '(.)(.)', '\\1', 'g') AS kf
     FROM s
     UNION ALL
-    SELECT c_custkey, nm, 2,
+    SELECT c_custkey, raw, 2,
            regexp_replace(nm, '(.)(.)', '\\2', 'g')
     FROM s),
 cand AS (
     SELECT DISTINCT a.c_custkey AS k1, b.c_custkey AS k2,
-           a.nm AS n1, b.nm AS n2
+           a.raw AS n1, b.raw AS n2
     FROM k a JOIN k b
       ON a.side = b.side AND a.kf = b.kf
-     AND length(a.nm) = length(b.nm)
+     AND length(a.raw) = length(b.raw)
      AND a.c_custkey < b.c_custkey),
 v AS (
     SELECT k1, k2 FROM cand WHERE levenshtein(n1, n2) = 1),
