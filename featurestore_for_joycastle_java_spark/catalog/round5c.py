@@ -55,7 +55,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from featurestore_for_joycastle_java_spark import streaming as ST
-from featurestore_for_joycastle_java_spark.catalog.streaming import _run
+
+# NOTE: ``_run`` (micro-batch drain helper) lives in catalog/streaming,
+# whose import also REGISTERS that module's 7 stream_* queries. Importing
+# it lazily inside the two query bodies keeps registration order under
+# registry._CATALOG_MODULES' control (the driver's 50-query correctness
+# window is the first 50 registered names — an eager import here would
+# burn 7 window slots on queries the list deliberately ordered later).
 from featurestore_for_joycastle_java_spark.operators.bloom import bloom_prune
 from featurestore_for_joycastle_java_spark.operators.relational import (
     exact_sum,
@@ -193,6 +199,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         exact_sum(F.col("value")).alias("sum_value"),
     )
+    from featurestore_for_joycastle_java_spark.catalog.streaming import _run
+
     return _run(spark, agg, "complete")
 
 
@@ -677,6 +685,8 @@ def stream_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = dedup.groupBy("hour_ts").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+    from featurestore_for_joycastle_java_spark.catalog.streaming import _run
+
     out = _run(spark, agg, "complete")
     return out.select(
         F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),

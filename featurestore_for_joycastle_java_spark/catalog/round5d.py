@@ -492,6 +492,7 @@ def dedup_hamming1_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
+        F.col("c_name").alias("raw"),
         F.when(
             F.length("c_name") % 2 == 1,
             F.concat(F.col("c_name"), F.expr("chr(1)")),
@@ -504,10 +505,13 @@ def dedup_hamming1_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(
             c.select(
                 "c_custkey",
-                "nm",
+                "raw",
                 F.xxhash64(
                     F.lit(side),
-                    F.length("nm"),
+                    # RAW length in the block key: padded length would
+                    # block an odd-length name with the even-length name
+                    # one char longer (insertion pair, not Hamming-1).
+                    F.length("raw"),
                     F.regexp_replace("nm", "(.)(.)", repl),
                 ).alias("blk"),
             )
@@ -522,11 +526,17 @@ def dedup_hamming1_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.c_custkey").alias("k1"),
         F.col("b.c_custkey").alias("k2"),
-        F.col("a.nm").alias("n1"),
-        F.col("b.nm").alias("n2"),
+        F.col("a.raw").alias("n1"),
+        F.col("b.raw").alias("n2"),
     )
+    # Verify on the RAW names with explicit raw-length equality (the
+    # block key hashes raw length, but a hash collision could still pair
+    # different lengths; the equality guard keeps the verify exact).
     v = (
-        cand.filter(F.levenshtein("n1", "n2", 1) == 1)
+        cand.filter(
+            (F.length("n1") == F.length("n2"))
+            & (F.levenshtein("n1", "n2", 1) == 1)
+        )
         .select("k1", "k2")
         .distinct()
     )

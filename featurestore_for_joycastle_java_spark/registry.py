@@ -43,24 +43,24 @@ BENCH_SKIP: set[str] = set()
 #: driver row yet — then fill the remainder from the then-oldest
 #: modules (round4/asof/ingest/relational, last driver rows r4, and
 #: round3/tpch3/tpch/text/dedup/similarity/windows/scalars, last driver
-#: rows r3); with round6 likely >21 queries this takes two windows —
-#: prioritize round5b/round5c first, r4-row modules after. Everything
-#: outside the window stays protected by tests/test_oracle_parity.py
-#: and the full tools/driver_sim.py sweep (170+/170+ green at sf0.01
-#: AND sf0.1 in-round r5 — SIM_r05_*.json).
+#: rows r3). r6 did NOT rotate (stall — window re-ran r5's 50), so r7
+#: leads with the never-driver-checked set: round5b (5) + round5c (35)
+#: + round5d (8) = 48, then round7 (new r7 surface; its head fills the
+#: window to 50), then round5e/5f/5g/5h + the round7 tail — the
+#: remaining never-checked queries, queued first for r8 — then the
+#: modules by driver-row age (r4 rows: round4/asof/ingest/relational;
+#: r3 rows: round3..scalars; r6 rows last: round5/round2/streaming/
+#: multimodal/training/extras/advanced). Everything outside the window
+#: stays protected by tests/test_oracle_parity.py and the full
+#: tools/driver_sim.py sweep (215/215 green at sf0.01 AND sf0.1 —
+#: SIM_r*.json).
 _CATALOG_MODULES = [
-    "round5",
-    "round2",
-    "streaming",
-    "multimodal",
-    "training",
-    "extras",
-    "advanced",
-    # below the 50-query driver window from here (round5b: r5 late
-    # additions — driver rows due in r6's window)
     "round5b",
     "round5c",
     "round5d",
+    "round7",
+    # below the 50-query driver window from here (round5e..round5h +
+    # the round7 tail: never driver-checked, first in line for r8)
     "round5e",
     "round5f",
     "round5g",
@@ -77,6 +77,13 @@ _CATALOG_MODULES = [
     "similarity",
     "windows",
     "scalars",
+    "round5",
+    "round2",
+    "streaming",
+    "multimodal",
+    "training",
+    "extras",
+    "advanced",
 ]
 
 

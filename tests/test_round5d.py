@@ -109,74 +109,51 @@ def test_hamming1_matches_bruteforce(spark, sf_dir):
     assert got == expected
 
 
-def test_hamming1_odd_length_padding(spark, sf_dir):
-    """The even/odd interleaved signatures must stay lossless for
-    ODD-length strings too (substitution at the last char) — the
-    sentinel pad covers the position the bare interleave would drop."""
-    from featurestore_for_joycastle_java_spark.catalog.round5d import (
-        dedup_hamming1_neighbors,  # noqa: F401  (import check only)
-    )
+def test_hamming1_mixed_lengths_registered_query(spark, sf_dir, monkeypatch):
+    """Drive the REGISTERED query over a mixed odd/even-length fixture.
+
+    Two traps the padded-length bug produced false pairs on:
+    - 'abc' (padded 'abc\\x01') vs 'abcd': shared padded length 4 and the
+      even-position signature, and levenshtein('abc\\x01','abcd') == 1 —
+      an INSERTION pair that must NOT count as Hamming-1.
+    - 'abcde' vs 'abcdef': same shape at odd length 5.
+    Plus the true positives: last-char substitution at odd length
+    ('abcde'/'abcdX', the position a bare interleave would drop) and a
+    mid-char substitution ('abXde')."""
+    import featurestore_for_joycastle_java_spark.catalog.round5d as r5d
 
     df = spark.createDataFrame(
-        [(1, "abcde"), (2, "abcdX"), (3, "abcde"), (4, "zzzzz"), (5, "abXde")],
+        [
+            (1, "abcde"),
+            (2, "abcdX"),
+            (3, "abXde"),
+            (4, "zzzzz"),
+            (5, "abc"),
+            (6, "abcd"),
+            (7, "abcdef"),
+        ],
         "c_custkey long, c_name string",
     )
-    # run the same pipeline by temporarily substituting load_table via a
-    # local reimplementation: pad, signatures, candidates, verify
-    padded = df.select(
-        "c_custkey",
-        F.when(
-            F.length("c_name") % 2 == 1,
-            F.concat(F.col("c_name"), F.expr("chr(1)")),
-        )
-        .otherwise(F.col("c_name"))
-        .alias("nm"),
-    )
-    parts = []
-    for side, repl in ((1, "$1"), (2, "$2")):
-        parts.append(
-            padded.select(
-                "c_custkey",
-                "nm",
-                F.lit(side).alias("side"),
-                F.regexp_replace("nm", "(.)(.)", repl).alias("kf"),
-            )
-        )
-    k = parts[0].unionAll(parts[1])
-    a, b = k.alias("a"), k.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.side") == F.col("b.side"))
-            & (F.col("a.kf") == F.col("b.kf"))
-            & (F.length("a.nm") == F.length("b.nm"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.c_custkey").alias("k1"),
-            F.col("b.c_custkey").alias("k2"),
-            F.col("a.nm").alias("n1"),
-            F.col("b.nm").alias("n2"),
-        )
-        .distinct()
-    )
-    pairs = {
-        (r["k1"], r["k2"])
-        for r in cand.filter(F.levenshtein("n1", "n2") == 1).collect()
+    monkeypatch.setattr(r5d, "load_table", lambda _s, _d, _t: df)
+    got = {
+        r["c_custkey"]: r["n_ham1"]
+        for r in QUERIES["dedup_hamming1_neighbors"](spark, sf_dir).collect()
     }
-    # 1-2 differ at last char (odd length), 1-5 and 2-? at middle;
-    # brute force ground truth:
     raw = dict(df.collect())
-    exp = set()
+    exp: dict[int, int] = {}
     ks = sorted(raw)
     for i, x in enumerate(ks):
         for y in ks[i + 1 :]:
             if len(raw[x]) == len(raw[y]) and (
                 sum(1 for p, q in zip(raw[x], raw[y]) if p != q) == 1
             ):
-                exp.add((x, y))
-    assert pairs == exp
-    assert (1, 2) in pairs  # the last-char substitution case
+                exp[x] = exp.get(x, 0) + 1
+                exp[y] = exp.get(y, 0) + 1
+    assert got == exp
+    # the true positives survive…
+    assert got[2] >= 1 and got[3] >= 1
+    # …and the insertion traps produce NO pairs
+    assert 5 not in got and 6 not in got and 7 not in got
 
 
 def test_hamming1_candidates_not_quadratic(spark, sf_dir):
