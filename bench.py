@@ -25,6 +25,23 @@ registry.load_catalog()
 
 from featurestore_for_joycastle_java_spark.registry import BENCH_SKIP, QUERIES
 
+#: Measured drift attributions (r7): queries whose cross-round drift gate
+#: fired and was run to ground. Attached to their drift_vs_oldest entries
+#: so the flag carries its explanation instead of re-firing unexplained.
+DRIFT_NOTES = {
+    # Probe (r7, sf0.1, local[32]): build 0.13 s; warm steady-state exec
+    # 0.85-0.95 s across 9 runs == the oldest 0.855 s baseline; a trivial
+    # 1-row Arrow UDTF costs 2.2 s cold vs 0.3 s warm, so the delta is
+    # Python-worker spawn + Arrow-UDTF pipeline init, which in-suite
+    # depends on whether an earlier Python query left a reusable worker.
+    # Conclusive same-code spread: the r6 driver runs recorded 0.413 s
+    # (bench_queries.json) and 1.431 s (bench_history.json) back to back.
+    # Worker-startup scheduling noise, not query rot; fixture unchanged
+    # (documents 500 rows, same schema hash, output 4 667 rows).
+    "udtf_token_hist": "arrow-udtf worker startup noise; warm exec"
+    " 0.85-0.95s == oldest baseline (see comment)",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -178,6 +195,8 @@ def main() -> None:
                     "now": t_now,
                     "ratio": round(t_now / t_old, 2),
                 }
+                if n in DRIFT_NOTES:
+                    drift_vs_oldest[n]["attribution"] = DRIFT_NOTES[n]
     label = os.environ.get("SPARK_GRAFT_BENCH_LABEL") or time.strftime(
         "%Y-%m-%d"
     )

@@ -37,7 +37,9 @@ Gap analysis behind the picks (SURVEY §2 delta after round5c):
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -47,6 +49,10 @@ from featurestore_for_joycastle_java_spark.sources import (
     load_table,
     write_any,
 )
+
+#: sf_dir -> already-written partitioned-events scratch path (see
+#: layout_partition_prune: one write per process, atexit-cleaned).
+_PART_SCRATCH: dict[str, str] = {}
 
 
 @query(
@@ -213,7 +219,13 @@ def eval_linreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "which way"). Never an iterative solver and never float running
     sums: one map-side-combined pass accumulates n/Σx/Σy/Σxy/Σx² as
     wide integers; doubles appear only in the final closed form, the
-    identical expression on both engines. One-pass at any scale."""
+    identical expression on both engines. One-pass at any scale.
+
+    Overflow bound: x ≤ 23 (hour) and |y| ≤ 10⁹ (micro-units of a
+    value < 1000), so the widest intermediate n·Σxy − Σx·Σy is
+    ≤ 2·n²·23·10⁹ and DECIMAL(38,0) stays exact while
+    **n ≤ ~10¹³ rows** — comfortably past 100 TB of events. Overflow
+    beyond that is loud (null / ANSI exception), never wrapped."""
     ev = load_table(spark, sf_dir, "events").select(
         F.hour("ts").cast("bigint").alias("x"),
         F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("y"),
@@ -637,9 +649,16 @@ def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.to_date("ts").alias("event_date"),
     )
-    base = tempfile.mkdtemp(prefix="fs_part_")
-    path = os.path.join(base, "events_by_date")
-    write_any(ev, path, partition_by=["event_date"])
+    # One scratch write per (process, sf_dir): repeated construction —
+    # plan lint, parametrized tests, bench warmup — reuses the layout
+    # instead of leaking a fresh mkdtemp per call; atexit removes it.
+    path = _PART_SCRATCH.get(sf_dir)
+    if path is None:
+        base = tempfile.mkdtemp(prefix="fs_part_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = os.path.join(base, "events_by_date")
+        write_any(ev, path, partition_by=["event_date"])
+        _PART_SCRATCH[sf_dir] = path
     back = spark.read.parquet(path).filter(
         F.col("event_date") == F.lit("2024-01-15").cast("date")
     )

@@ -100,7 +100,13 @@ def ts_autocorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     h→h+1 self-join and the moment pass all run on a frame that is
     CALENDAR-sized, independent of event volume. Moments are exact
     wide integers (the `eval_feature_corr` pattern); never float
-    running sums."""
+    running sums.
+
+    Overflow bound: with n hour-pairs and per-hour counts ≤ c_max, the
+    widest intermediate is n·Σxy ≤ n²·c_max², so DECIMAL(38,0) holds
+    while n·c_max < 10¹⁹ — e.g. a full DECADE of hours (n ≈ 9·10⁴)
+    tolerates ~10¹⁴ events per hour. Spark decimal overflow is loud
+    (null / ANSI exception), never a silently wrapped value."""
     ev = load_table(spark, sf_dir, "events").select(
         (
             F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
@@ -356,7 +362,15 @@ def eval_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: fact → contingency cells in one map-side-combined
     groupBy (cells = |types|×24, not rows); margins are cell-frame
-    aggregates broadcast back. One fact pass at any scale."""
+    aggregates broadcast back. One fact pass at any scale.
+
+    Overflow bound: the widest intermediate is (n·O − r·c)²·10⁶ with
+    O, r, c ≤ n, so DECIMAL(38,0) is guaranteed exact while
+    n⁴·10⁶ < 10³⁸, i.e. **n ≤ 10⁸ events**. Past that, Spark decimal
+    overflow is LOUD, not silently wrong (null, or an exception under
+    ANSI mode — never a wrapped value), and the driver compare would
+    flag it; the scale-up fix is dropping the ppm factor (n ≤ 10⁹·⁵)
+    or computing cells in double and accepting float summation."""
     o = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.hour("ts").cast("bigint").alias("hour"))

@@ -71,6 +71,39 @@ def test_kcore_degree_floor(spark, sf_dir):
     assert all(r["core_degree"] >= _KCORE_K for r in rows)
 
 
+def test_kcore_oracle_stage_margin(spark, sf_dir):
+    """The unrolled DuckDB oracle is exact only if its stage count
+    covers the actual peel depth. Measure the depth on this fixture and
+    assert the committed ``_KCORE_STAGES`` keeps a >= 2x margin — the
+    claim the constant's comment makes. If a fixture regeneration ever
+    deepens the peel past the margin, this fails BEFORE the driver sees
+    an unconverged (wrong) oracle."""
+    from featurestore_for_joycastle_java_spark.catalog.round5g import (
+        _KCORE_STAGES,
+    )
+
+    edges = {
+        (r["u"], r["v"]) for r in cosupply_edges(spark, sf_dir).collect()
+    }
+    depth = 0
+    while True:
+        deg: Counter = Counter()
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        kill = {x for x, d in deg.items() if d < _KCORE_K}
+        if not kill:
+            break
+        depth += 1
+        edges = {
+            (u, v) for u, v in edges if u not in kill and v not in kill
+        }
+    assert 2 * depth <= _KCORE_STAGES, (
+        f"peel depth {depth} eats the oracle's {_KCORE_STAGES}-stage "
+        "margin — raise _KCORE_STAGES"
+    )
+
+
 # ---------------------------------------------------------------- layout
 
 
