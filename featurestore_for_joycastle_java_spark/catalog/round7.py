@@ -1,0 +1,296 @@
+"""Round-7 additions (VERDICT r6 asks #6-#8): incremental corpus dedup
+(new-batch MinHash probe against persisted signatures), streaming
+point-in-time enrichment (foreachBatch + multi_asof_join over the
+versioned SCD1 dimension sink), and SemDeDup-style embedding-cluster
+dedup.
+
+All three are composites of existing operators — the point is the
+WORKFLOW each one pins: ingestion-time dedup that never rescans the
+corpus, a continuously-maintained dimension consumed leakage-free by a
+second stream, and cluster-then-prune semantic dedup whose candidate
+count is Σm² instead of n².
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from featurestore_for_joycastle_java_spark import streaming as ST
+from featurestore_for_joycastle_java_spark.operators import dedup as D
+from featurestore_for_joycastle_java_spark.operators.asof import multi_asof_join
+from featurestore_for_joycastle_java_spark.operators.similarity import (
+    semdedup_survivors,
+)
+from featurestore_for_joycastle_java_spark.registry import query
+from featurestore_for_joycastle_java_spark.sources import load_table
+
+# Shingle CTE shared with catalog/dedup.py's oracles (3-token shingles,
+# distinct, docs with >= 3 tokens).
+_SHINGLES = """
+t AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents),
+s AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+    FROM t WHERE len(toks) >= 3)
+"""
+
+_SH_DIST = """ROUND(1.0 - CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))), 6)"""
+
+#: sf_dir -> persisted base-corpus signature parquet path (one write per
+#: process, atexit-cleaned — the "signatures live in storage" half of the
+#: incremental workflow).
+_SIG_SCRATCH: dict[str, str] = {}
+
+#: sf_dir -> (dim_dir, out_dir) for the PIT-enrich composite (the dim
+#: maintenance + enrichment drains run once per process; atexit-cleaned).
+_PIT_SCRATCH: dict[str, tuple[str, str]] = {}
+
+
+@query(
+    "dedup_incremental_batch",
+    # The engine output is EXACT-verified shingle-jaccard on candidates
+    # probed incrementally, so (same recall argument as dedup_minhash_lsh:
+    # candidate recall is 1.0 on the fixtures, banding floor ~0.9998 at
+    # the generator's 0.8+ similarity) it equals the exact all-pairs
+    # answer restricted to pairs with >= 1 new-batch member — which is
+    # what the oracle computes declaratively. The full-rebuild composition
+    # law (incremental == rebuild restricted to >=1-new) is pinned
+    # engine-vs-engine in tests/test_round7.py.
+    oracle=f"""
+WITH {_SHINGLES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       {_SH_DIST} AS jaccard_dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+  AND {_SH_DIST} <= 0.4
+""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: the docs with ``doc_id % 5 = 0`` arrive
+    as today's ingestion batch; the other 80 % are the existing corpus
+    whose 128-perm MinHash signatures are PERSISTED (parquet scratch,
+    written once per process and read back — the index-on-storage half of
+    the workflow). The probe bands the batch, joins batch bands against
+    the corpus band index (one hash join — the corpus never self-joins),
+    and exact-verifies shingle Jaccard on candidates only, fetching raw
+    text solely for candidate ids. Emits every near-dup pair with >= 1
+    new member. See ``operators.dedup.minhash_lsh_pairs_incremental``
+    for the composition law and the 100 TB cost argument."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+
+    sig_path = _SIG_SCRATCH.get(sf_dir)
+    if sig_path is None:
+        root = tempfile.mkdtemp(prefix="fs_sigs_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        sig_path = os.path.join(root, "base_sigs")
+        D.minhash_signatures(
+            base, "doc_id", "text", shingle_k=3, num_perm=128
+        ).write.mode("overwrite").parquet(sig_path)
+        _SIG_SCRATCH[sf_dir] = sig_path
+    base_sigs = spark.read.parquet(sig_path)
+
+    return D.minhash_lsh_pairs_incremental(
+        base,
+        new,
+        "doc_id",
+        "text",
+        base_sigs=base_sigs,
+        max_jaccard_distance=0.4,
+        shingle_k=3,
+        num_perm=128,
+        n_bands=16,
+    )
+
+
+@query(
+    "dedup_semdedup",
+    # lowid centroids make the whole index SQL-replayable (the
+    # sim_ivf_topk pattern): assignment ties broken by lowest cent_id on
+    # the UNROUNDED cosine (the engine fold keeps the first strict max in
+    # cent_id order; Spark's HOF cosine is bit-identical to DuckDB's
+    # list_inner_product on double-cast input — verified for the IVF
+    # family); the near-dup predicate uses the 6dp-ROUNDED cosine so the
+    # pair set is engine-stable. The k-means production variant is the
+    # same operator with centroids="kmeans" (recall-style checks only).
+    oracle="""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings),
+cents AS (
+    SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+assigned AS (
+    SELECT vec_id, cent_id, v FROM (
+        SELECT e.vec_id, c.cent_id, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_inner_product(e.v, c.cv)
+                   / (SQRT(list_inner_product(e.v, e.v))
+                      * SQRT(list_inner_product(c.cv, c.cv))) DESC,
+                   c.cent_id) AS rn
+        FROM e CROSS JOIN cents c)
+    WHERE rn = 1),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    WHERE ROUND(list_inner_product(a.v, b.v)
+          / (SQRT(list_inner_product(a.v, a.v))
+             * SQRT(list_inner_product(b.v, b.v))), 6) >= 0.4)
+SELECT s.vec_id, s.cent_id,
+       d.vec_id IS NULL AS survivor
+FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+""",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (Abbas et al., 2023):
+    16 cells, intra-cluster cosine >= 0.4 prune, keep-lowest-id
+    canonicalization — per-vector (vec_id, cent_id, survivor). The
+    deterministic lowid-centroid variant so the full index replays in
+    SQL; ``semdedup_survivors(centroids="kmeans")`` is the production
+    fit. Candidate pairs = Σ m_i² (~7.8 k on the 500-vec fixture vs
+    124 750 all-pairs, a 16× prune — asserted in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup_survivors(
+        e, "vec_id", "embedding", n_centroids=16, threshold=0.4
+    )
+
+
+@query(
+    "stream_pit_enrich",
+    # Leakage-free by construction: an event is enriched only with a
+    # dimension version whose timestamp is <= the event's own — the
+    # multi_asof_join backward-inclusive rule. Against a Type-1 (current-
+    # row-only) dimension that means: matched iff the user's LATEST
+    # purchase is not in the event's future, else null (the only retained
+    # version would leak). The oracle states exactly that, declaratively.
+    oracle="""
+WITH dim AS (
+    SELECT user_id, value AS profile_value, ts AS dim_ts
+    FROM (SELECT user_id, value, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_type = 'purchase')
+    WHERE rn = 1)
+SELECT c.event_id, c.user_id,
+       CASE WHEN d.dim_ts <= c.ts THEN d.profile_value END AS profile_value,
+       CASE WHEN d.dim_ts <= c.ts THEN epoch_us(d.dim_ts) END AS prof_ts_us
+FROM events c LEFT JOIN dim d USING (user_id)
+WHERE c.event_type = 'click'
+""",
+)
+def stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment — the feature-store serving
+    topology end-to-end: stream #1 maintains a per-user profile dimension
+    (latest purchase value) through the exactly-once versioned SCD1 sink
+    (``streaming.scd1_upsert_stream_sink``); stream #2 drains the click
+    events through ``foreachBatch``, each batch point-in-time joining the
+    CURRENT committed dimension snapshot with ``multi_asof_join`` (clicks
+    are the spine, the dimension is the feature frame, match rule
+    backward-inclusive dim_ts <= click ts) and appending the enriched
+    batch to the serving output.
+
+    Order correctness: within a batch the sink reduces with ``max_by``
+    over a (ts, event_id) struct, so the retained version is the global
+    latest by event time, not by arrival — which is what makes the batch
+    oracle exact. Cross-batch the SCD1 merge is latest-ARRIVAL-wins; the
+    availableNow drain of the single-file fixture is one batch, and the
+    multi-batch ordering + exactly-once property is pinned separately in
+    tests/test_round7.py over a controlled 3-file source.
+
+    Scale shape: dim maintenance is O(|batch| + |dim|) per trigger (the
+    sink's documented cost); enrichment per batch is the single-shuffle
+    multi_asof_join on user_id — the dimension re-read each batch, no
+    state held for the join side. At 100 TB both halves are the standard
+    continuously-updated feature-serving pattern."""
+    paths = _PIT_SCRATCH.get(sf_dir)
+    if paths is None:
+        root = tempfile.mkdtemp(prefix="fs_pit_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        dim_dir = os.path.join(root, "dim")
+        out_dir = os.path.join(root, "out")
+
+        # stream #1: maintain the profile dimension off the purchase
+        # stream (key user_id, order = event-time with event_id tiebreak)
+        purchases = (
+            ST.file_stream_source(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("value").alias("profile_value"),
+                F.col("ts").alias("dim_ts"),
+                F.struct(F.col("ts"), F.col("event_id")).alias("__ord"),
+            )
+        )
+        q1 = ST.scd1_upsert_stream_sink(
+            purchases, dim_dir, key_col="user_id", order_col="__ord"
+        )
+        q1.awaitTermination()
+
+        # stream #2: enrich clicks per micro-batch against the committed
+        # dimension (read inside foreachBatch → always the newest
+        # committed snapshot, never a partial write)
+        clicks = ST.file_stream_source(spark, sf_dir).filter(
+            F.col("event_type") == "click"
+        )
+        q2 = pit_enrich_stream_sink(clicks, dim_dir, out_dir)
+        q2.awaitTermination()
+        _PIT_SCRATCH[sf_dir] = (dim_dir, out_dir)
+    else:
+        _, out_dir = paths
+
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "profile_value", "prof_ts_us"
+    )
+
+
+def pit_enrich_stream_sink(
+    clicks, dim_dir: str, out_dir: str, checkpoint_dir: str | None = None
+):
+    """Start the enrichment stream: each micro-batch multi_asof_joins the
+    newest COMMITTED dimension snapshot and writes its output to
+    ``out_dir/b=<batch_id>`` with overwrite — a replayed batch (failure
+    after write, before checkpoint commit) deterministically rewrites its
+    own directory, so delivery is exactly-once, the same discipline as
+    the SCD1 sink's versioned snapshots. Shared by the registered query
+    and the multi-batch test."""
+
+    def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        dim = ST.read_dim_latest(sp, dim_dir).select(
+            "user_id", "dim_ts", "profile_value"
+        )
+        enriched = multi_asof_join(
+            batch_df.select("event_id", "user_id", "ts"),
+            [(dim, "dim_ts", ["profile_value"], "prof")],
+            on=["user_id"],
+            left_ts="ts",
+        )
+        enriched.select(
+            "event_id",
+            "user_id",
+            "profile_value",
+            F.unix_micros("prof_ts_matched").alias("prof_ts_us"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b={batch_id}")
+        )
+
+    return (
+        clicks.writeStream.foreachBatch(enrich_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="fs_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

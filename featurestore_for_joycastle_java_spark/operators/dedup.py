@@ -490,6 +490,129 @@ def minhash_lsh_pairs(
     )
 
 
+def _sig_bands(sig: DataFrame, num_perm: int, n_bands: int) -> DataFrame:
+    """Band a ``minhash_signatures`` frame: (id, m0..) → one row per
+    (id, band_idx, band_hash), ``n_bands`` rows per doc."""
+    r = num_perm // n_bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.col(f"m{bi * r + j}") for j in range(r)]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_pairs_incremental(
+    base_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    base_sigs: DataFrame | None = None,
+    max_jaccard_distance: float = 0.4,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Incremental corpus dedup: probe a NEW batch against a corpus whose
+    MinHash signatures are already PERSISTED — the ingestion-time shape of
+    ``minhash_lsh_pairs``. Returns every near-dup pair with >= 1 new-batch
+    member: (new × base) and (new × new), NEVER (base × base).
+
+    ``base_sigs``: the persisted signature frame (``minhash_signatures``
+    output, read back from storage); computed from ``base_docs`` when
+    None. ``base_docs`` is still required — the exact verify re-reads raw
+    text, but ONLY for candidate ids (semi-join prune), which is the
+    index-lookup pattern: signatures live in the index, text is fetched
+    per candidate.
+
+    Composition law (tested): this equals ``minhash_lsh_pairs(base ∪
+    new)`` restricted to pairs with at least one new id — identical
+    signatures (seedless xxhash64), identical banding, identical exact
+    verify, so incremental ingestion never diverges from a full rebuild.
+
+    Scale shape (the whole point): candidate generation joins the
+    CORPUS-sized band index against the BATCH-sized band frame — cost
+    O(|corpus bands| + |batch bands| + matches) via one hash join; the
+    corpus never self-joins, so daily ingestion into a 100 TB corpus pays
+    for the batch, not for the corpus².  Both-new pairs fall out of the
+    same join (batch bands are unioned into the probe's right side once,
+    with ``id_a < id_b`` dedup)."""
+    from featurestore_for_joycastle_java_spark.operators.text import shingles
+
+    if num_perm % n_bands:
+        raise ValueError("num_perm must be divisible by n_bands")
+
+    if base_sigs is None:
+        base_sigs = minhash_signatures(
+            base_docs, id_col, text_col, shingle_k=shingle_k, num_perm=num_perm
+        )
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, shingle_k=shingle_k, num_perm=num_perm
+    )
+    corpus_bands = _sig_bands(
+        base_sigs.unionByName(new_sigs), num_perm, n_bands
+    )
+    new_bands = _sig_bands(new_sigs, num_perm, n_bands)
+
+    # one hash join: corpus index × batch probe. id_a < id_b both dedups
+    # the two directions of new-new matches and normalizes pair order;
+    # base-base pairs are structurally impossible (right side is batch).
+    cand = (
+        corpus_bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # exact verify: fetch raw text for CANDIDATE ids only (semi-join
+    # prune before tokenization — at scale this is a point-lookup set,
+    # not a corpus scan)
+    all_docs = base_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).unionByName(
+        new_docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+        )
+    )
+    cand_ids = cand.select(F.col("id_a").alias("id")).unionByName(
+        cand.select(F.col("id_b").alias("id"))
+    )
+    sh = (
+        all_docs.join(cand_ids.distinct(), "id", "semi")
+        .select("id", shingles(F.col("__t"), shingle_k).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__sh_b"))
+    n_inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    n_union = F.size("__sh_a") + F.size("__sh_b") - n_inter
+    dist = F.round(F.lit(1.0) - n_inter / n_union.cast("double"), 6)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", dist.alias("jaccard_dist"))
+        .filter(F.col("jaccard_dist") <= max_jaccard_distance)
+    )
+
+
 # --- Connected components (near-dup clusters) -------------------------------
 
 

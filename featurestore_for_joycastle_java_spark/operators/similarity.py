@@ -132,6 +132,114 @@ def kmeans_centroids(
     )
 
 
+def assign_nearest_cell(
+    c: DataFrame, cents: DataFrame, id_col: str
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine, with ZERO
+    shuffle: the centroid set rides along as one broadcast row holding a
+    sorted array of (cent_id, vector, norm) structs, and the argmax runs
+    as a per-row HOF fold — no explode, no window, no groupBy. (A window
+    over the corpus×n_centroids expansion would shuffle+sort n_centroids×
+    the corpus.) Ties: the fold keeps the FIRST max in cent_id order —
+    highest cosine, lowest cent_id.
+
+    ``c``: (id_col, __cv double-array); ``cents``: (cent_id, __mv).
+    Returns (id_col, __cv, cent_id)."""
+    cents_row = (
+        cents.select(
+            F.struct(
+                F.col("cent_id"), F.col("__mv"), l2_norm(F.col("__mv")).alias("__mn")
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("__cents"))
+    )
+    with_norm = c.withColumn("__cn", l2_norm(F.col("__cv")))
+    init = F.struct(
+        F.lit(-2.0).alias("cs"), F.lit(None).cast("long").alias("cent_id")
+    )
+
+    def fold(acc, cent):
+        cs = dot(F.col("__cv"), cent["__mv"]) / (F.col("__cn") * cent["__mn"])
+        return F.when(
+            cs > acc["cs"], F.struct(cs.alias("cs"), cent["cent_id"].alias("cent_id"))
+        ).otherwise(acc)
+
+    return with_norm.join(F.broadcast(cents_row)).select(
+        id_col,
+        "__cv",
+        F.aggregate("__cents", init, fold)["cent_id"].alias("cent_id"),
+    )
+
+
+def semdedup_survivors(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    threshold: float = 0.4,
+    centroids: str = "lowid",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the corpus, compare vectors ONLY within
+    their cluster, and drop every vector that has a same-cluster neighbor
+    with cosine >= ``threshold`` and a smaller id (the deterministic
+    keep-lowest-id rule — same canonicalization as exact dedup).
+
+    Output: one row per vector — (id_col, cent_id, survivor boolean).
+
+    ``centroids="kmeans"`` fits seeded k-means|| (the production
+    partitioning); ``"lowid"`` takes the ``n_centroids`` lowest-id
+    vectors, kept because its assignment is exactly replayable in SQL —
+    the cross-engine-oracle variant (same split as ``ivf_topk``).
+
+    Scale shape: assignment is the zero-shuffle broadcast fold
+    (``assign_nearest_cell``); the quadratic compare runs per CLUSTER —
+    Σ m_i² candidate pairs instead of n² (16× fewer on the fixtures,
+    k×-ish in general for balanced clusters; at 100 TB pick
+    n_centroids ~ n/10⁵ so cells stay block-sized). The survivor rule is
+    one groupBy over the near-dup pairs, no iteration — unlike CC-based
+    dedup it never chains A~B~C transitively, which is SemDeDup's
+    documented semantics (per-cluster, direct-neighbor pruning)."""
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    if centroids == "kmeans":
+        cents = kmeans_centroids(
+            corpus, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+        )
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                as_double(F.col(vec_col)).alias("__mv"),
+            )
+        )
+    assigned = assign_nearest_cell(c, cents, id_col)
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    # intra-cluster near-dup pairs; keep only the DROPPED side (higher id)
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.__cv"), F.col("b.__cv")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        id_col,
+        "cent_id",
+        F.coalesce(~F.col("__dup"), F.lit(True)).alias("survivor"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -189,39 +297,7 @@ def ivf_topk(
             F.col("__rn") <= n
         )
 
-    # assignment with ZERO shuffle: the centroid set rides along as one
-    # broadcast row holding a sorted array of (cent_id, vector, norm)
-    # structs, and the argmax runs as a per-row HOF fold — no explode, no
-    # window, no groupBy. (A window over the corpus×n_centroids expansion
-    # would shuffle+sort n_centroids× the corpus.) Ties: the fold keeps
-    # the FIRST max in cent_id order — highest cosine, lowest cent_id.
-    cents_row = (
-        cents.select(
-            F.struct(
-                F.col("cent_id"), F.col("__mv"), l2_norm(F.col("__mv")).alias("__mn")
-            ).alias("c")
-        )
-        .agg(F.sort_array(F.collect_list("c")).alias("__cents"))
-    )
-    with_norm = c.withColumn("__cn", l2_norm(F.col("__cv")))
-    init = F.struct(
-        F.lit(-2.0).alias("cs"), F.lit(None).cast("long").alias("cent_id")
-    )
-
-    def fold(acc, cent):
-        cs = dot(F.col("__cv"), cent["__mv"]) / (F.col("__cn") * cent["__mn"])
-        return F.when(
-            cs > acc["cs"], F.struct(cs.alias("cs"), cent["cent_id"].alias("cent_id"))
-        ).otherwise(acc)
-
-    assigned = (
-        with_norm.join(F.broadcast(cents_row))
-        .select(
-            id_col,
-            "__cv",
-            F.aggregate("__cents", init, fold)["cent_id"].alias("cent_id"),
-        )
-    )
+    assigned = assign_nearest_cell(c, cents, id_col)
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
     )

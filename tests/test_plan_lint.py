@@ -38,6 +38,9 @@ _EAGER_CONSTRUCTION = {
     # eager partitioned scratch write at construction (once per process,
     # atexit-cleaned); its scan shape is plan-gated in tests/test_round5d.py
     "layout_partition_prune",
+    # eager signature-persist write at construction (once per process,
+    # atexit-cleaned); composition law gated in tests/test_round7.py
+    "dedup_incremental_batch",
 }
 
 #: CartesianProduct (shuffle cartesian — BOTH sides big) is deliberate

@@ -1,0 +1,336 @@
+"""Round-7 operator tests: incremental-dedup composition law, SemDeDup
+survivor properties + candidate-count prune evidence, and the streaming
+PIT-enrich composite across >= 3 controlled micro-batches with
+exactly-once replay.
+
+(Cross-engine value parity for every round7 query is covered by
+tests/test_oracle_parity.py via registry parametrization.)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from featurestore_for_joycastle_java_spark import registry
+
+registry.load_catalog()
+
+from featurestore_for_joycastle_java_spark.operators import dedup as D
+from featurestore_for_joycastle_java_spark.operators.asof import multi_asof_join
+from featurestore_for_joycastle_java_spark.registry import QUERIES
+from featurestore_for_joycastle_java_spark.sources import load_table
+
+
+# ------------------------------------------------- incremental dedup
+
+
+def _pairset(df):
+    return {
+        (r["id_a"], r["id_b"], r["jaccard_dist"]) for r in df.collect()
+    }
+
+
+def test_incremental_equals_full_rebuild(spark, sf_dir):
+    """Composition law: probing the new batch against persisted corpus
+    signatures must equal a FULL rebuild restricted to pairs with >= 1
+    new member — same signatures, same banding, same exact verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = D.minhash_lsh_pairs_incremental(
+        base, new, "doc_id", "text", num_perm=128, n_bands=16
+    )
+    full = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=128, n_bands=16
+    ).filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
+    assert _pairset(inc) == _pairset(full)
+    # and the pair set is non-trivial on the fixture (near-dups exist)
+    assert len(_pairset(inc)) > 0
+
+
+def test_incremental_empty_batch(spark, sf_dir):
+    """An empty ingestion batch probes to an empty pair set — the corpus
+    is never self-compared."""
+    docs = load_table(spark, sf_dir, "documents")
+    empty = docs.filter(F.lit(False))
+    out = D.minhash_lsh_pairs_incremental(
+        docs, empty, "doc_id", "text", num_perm=128, n_bands=16
+    )
+    assert out.count() == 0
+
+
+def test_incremental_persisted_signatures_equal_recomputed(
+    spark, sf_dir, tmp_path
+):
+    """The persisted-signature path (write to parquet, read back) must be
+    byte-equivalent to recomputing signatures — pinning that the index
+    survives a storage round-trip (the workflow's whole premise)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    sig_path = str(tmp_path / "sigs")
+    D.minhash_signatures(base, "doc_id", "text", num_perm=128).write.parquet(
+        sig_path
+    )
+    via_storage = D.minhash_lsh_pairs_incremental(
+        base,
+        new,
+        "doc_id",
+        "text",
+        base_sigs=spark.read.parquet(sig_path),
+        num_perm=128,
+        n_bands=16,
+    )
+    recomputed = D.minhash_lsh_pairs_incremental(
+        base, new, "doc_id", "text", num_perm=128, n_bands=16
+    )
+    assert _pairset(via_storage) == _pairset(recomputed)
+
+
+# ------------------------------------------------------- SemDeDup
+
+
+def test_semdedup_survivor_properties(spark, sf_dir):
+    """Brute-force verification of the survivor rule: a vector is dropped
+    iff some same-cluster vector with a SMALLER id has cosine >= the
+    threshold with it."""
+    import math
+
+    rows = QUERIES["dedup_semdedup"](spark, sf_dir).collect()
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cent_id"], []).append(r["vec_id"])
+    got = {r["vec_id"]: r["survivor"] for r in rows}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    for cid, members in by_cluster.items():
+        members.sort()
+        for i, v in enumerate(members):
+            has_smaller_dup = any(
+                round(cos(vecs[u], vecs[v]), 6) >= 0.4 for u in members[:i]
+            )
+            assert got[v] == (not has_smaller_dup), (v, cid)
+    # every vector appears exactly once
+    assert len(rows) == len(vecs)
+
+
+def test_semdedup_candidates_not_quadratic(spark, sf_dir):
+    """Prune evidence: intra-cluster candidate pairs (sum of m_i^2-ish)
+    must be far below all-pairs n(n-1)/2 — the reason SemDeDup clusters
+    before comparing."""
+    df = QUERIES["dedup_semdedup"](spark, sf_dir)
+    sizes = [
+        r["m"] for r in df.groupBy("cent_id").agg(
+            F.count(F.lit(1)).alias("m")
+        ).collect()
+    ]
+    n = sum(sizes)
+    cand = sum(m * (m - 1) // 2 for m in sizes)
+    assert cand < n * (n - 1) / 8, f"clustering ineffective: {cand} pairs"
+
+
+def test_semdedup_kmeans_variant_runs(spark, sf_dir):
+    """The production (k-means) variant: same output shape, every vector
+    assigned, deterministic for a fixed seed (two runs agree)."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        semdedup_survivors,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = semdedup_survivors(e, centroids="kmeans", seed=7)
+    b = semdedup_survivors(e, centroids="kmeans", seed=7)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    assert len(ra) == e.count()
+
+
+# ------------------------------------------------ streaming PIT enrich
+
+
+def _write_event_file(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_pit_enrich_multibatch_exactly_once(spark, tmp_path):
+    """The full composite over a CONTROLLED multi-batch source: 3 purchase
+    files drained one-per-trigger into the SCD1 sink (>= 3 versioned
+    snapshots), then 2 click files enriched one-per-trigger. Asserts:
+    (a) the final dimension equals the batch latest-per-user rebuild,
+    (b) the enrich output has EXACTLY one row per click (no loss, no
+    duplication across batches), (c) values equal the batch
+    multi_asof_join against the final dimension, and (d) replaying an
+    enrich batch (failure-recovery path) rewrites its own output
+    directory instead of double-appending."""
+    from datetime import datetime
+
+    from featurestore_for_joycastle_java_spark import streaming as ST
+    from featurestore_for_joycastle_java_spark.catalog.round7 import (
+        pit_enrich_stream_sink,
+    )
+
+    t = lambda h: datetime(2024, 3, 1, h)  # noqa: E731
+    pdir = str(tmp_path / "purchases")
+    # per-user versions arrive in ts order across files (the documented
+    # contract under which latest-arrival == latest-event-time)
+    _write_event_file(spark, pdir, [(1, t(1), 10, "purchase", 100.0)])
+    time.sleep(0.05)
+    _write_event_file(
+        spark,
+        pdir,
+        [(2, t(3), 10, "purchase", 200.0), (3, t(2), 20, "purchase", 50.0)],
+    )
+    time.sleep(0.05)
+    _write_event_file(spark, pdir, [(4, t(5), 10, "purchase", 300.0)])
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(pdir)
+        .select(
+            "user_id",
+            F.col("value").alias("profile_value"),
+            F.col("ts").alias("dim_ts"),
+            F.struct(F.col("ts"), F.col("event_id")).alias("__ord"),
+        )
+    )
+    dim_dir = str(tmp_path / "dim")
+    q1 = ST.scd1_upsert_stream_sink(
+        purchases,
+        dim_dir,
+        key_col="user_id",
+        order_col="__ord",
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    q1.awaitTermination()
+
+    from featurestore_for_joycastle_java_spark.streaming import (
+        _committed_versions,
+    )
+
+    assert len(_committed_versions(dim_dir)) >= 3  # one snapshot per file
+    dim = ST.read_dim_latest(spark, dim_dir)
+    got_dim = {
+        r["user_id"]: (r["profile_value"], r["dim_ts"])
+        for r in dim.collect()
+    }
+    assert got_dim == {10: (300.0, t(5)), 20: (50.0, t(2))}
+
+    cdir = str(tmp_path / "clicks")
+    # clicks straddle the retained versions: before user 10's latest
+    # purchase (null — the only retained version would leak the future),
+    # at it (inclusive match), after it, and for a dim-absent user
+    _write_event_file(
+        spark,
+        cdir,
+        [(101, t(4), 10, "click", 0.0), (102, t(5), 10, "click", 0.0)],
+    )
+    time.sleep(0.05)
+    _write_event_file(
+        spark,
+        cdir,
+        [(103, t(6), 10, "click", 0.0), (104, t(1), 20, "click", 0.0),
+         (105, t(2), 99, "click", 0.0)],
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(cdir)
+    )
+    out_dir = str(tmp_path / "out")
+    q2 = pit_enrich_stream_sink(
+        clicks, dim_dir, out_dir, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+
+    out = spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "profile_value", "prof_ts_us"
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    # exactly once: 5 clicks in, 5 rows out, unique event_ids
+    assert len(rows) == 5 and out.count() == 5
+    us = lambda h: int(t(h).timestamp() * 1_000_000)  # noqa: E731
+    assert rows[101]["profile_value"] is None  # dim version is in the future
+    assert rows[102]["profile_value"] == 300.0  # inclusive at equal ts
+    assert rows[102]["prof_ts_us"] == us(5)
+    assert rows[103]["profile_value"] == 300.0
+    assert rows[104]["profile_value"] is None  # user 20's version at t(2) > t(1)
+    assert rows[105]["profile_value"] is None  # user absent from dim
+
+    # batch equivalence: the same multi_asof_join over the final dim
+    batch_clicks = spark.read.parquet(cdir).select("event_id", "user_id", "ts")
+    expected = multi_asof_join(
+        batch_clicks,
+        [(dim.select("user_id", "dim_ts", "profile_value"), "dim_ts",
+          ["profile_value"], "prof")],
+        on=["user_id"],
+        left_ts="ts",
+    ).select(
+        "event_id", "user_id", "profile_value",
+        F.unix_micros("prof_ts_matched").alias("prof_ts_us"),
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    # replay (failure-recovery): re-running a batch's write overwrites
+    # its own directory — output unchanged, never double-appended
+    batch_dirs = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("b=")
+    )
+    assert len(batch_dirs) >= 2  # one per click file
+    # (a real replay recomputes the batch from the checkpointed source —
+    # materialize the rows first; overwriting a directory you are lazily
+    # reading from deletes its files before the read)
+    replay_rows = spark.read.parquet(
+        os.path.join(out_dir, batch_dirs[0])
+    ).collect()
+    n_before = len(replay_rows)
+    spark.createDataFrame(
+        replay_rows,
+        "event_id long, user_id long, profile_value double, prof_ts_us long",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, batch_dirs[0]))
+    assert spark.read.parquet(out_dir).count() == 5
+    assert spark.read.parquet(
+        os.path.join(out_dir, batch_dirs[0])
+    ).count() == n_before
+
+
+def test_pit_enrich_no_future_leak(spark, sf_dir):
+    """Leakage audit on the registered query: every matched dimension
+    timestamp is <= the click's own event time."""
+    out = QUERIES["stream_pit_enrich"](spark, sf_dir)
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", F.unix_micros("ts").alias("click_us"))
+    )
+    leaked = (
+        out.join(clicks, "event_id")
+        .filter(
+            F.col("prof_ts_us").isNotNull()
+            & (F.col("prof_ts_us") > F.col("click_us"))
+        )
+        .count()
+    )
+    assert leaked == 0
