@@ -78,7 +78,7 @@ WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup: the docs with ``doc_id % 5 = 0`` arrive
     as today's ingestion batch; the other 80 % are the existing corpus
-    whose 128-perm MinHash signatures are PERSISTED (parquet scratch,
+    whose 64-perm MinHash signatures are PERSISTED (parquet scratch,
     written once per process and read back — the index-on-storage half of
     the workflow). The probe bands the batch, joins batch bands against
     the corpus band index (one hash join — the corpus never self-joins),
@@ -96,7 +96,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         sig_path = os.path.join(root, "base_sigs")
         D.minhash_signatures(
-            base, "doc_id", "text", shingle_k=3, num_perm=128
+            base, "doc_id", "text", shingle_k=3, num_perm=64
         ).write.mode("overwrite").parquet(sig_path)
         _SIG_SCRATCH[sf_dir] = sig_path
     base_sigs = spark.read.parquet(sig_path)
@@ -109,7 +109,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_sigs=base_sigs,
         max_jaccard_distance=0.4,
         shingle_k=3,
-        num_perm=128,
+        num_perm=64,
         n_bands=16,
     )
 

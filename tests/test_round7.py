@@ -41,10 +41,10 @@ def test_incremental_equals_full_rebuild(spark, sf_dir):
     new = docs.filter(F.col("doc_id") % 5 == 0)
     base = docs.filter(F.col("doc_id") % 5 != 0)
     inc = D.minhash_lsh_pairs_incremental(
-        base, new, "doc_id", "text", num_perm=128, n_bands=16
+        base, new, "doc_id", "text", num_perm=64, n_bands=16
     )
     full = D.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_perm=128, n_bands=16
+        docs, "doc_id", "text", num_perm=64, n_bands=16
     ).filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
     assert _pairset(inc) == _pairset(full)
     # and the pair set is non-trivial on the fixture (near-dups exist)
@@ -57,7 +57,7 @@ def test_incremental_empty_batch(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     empty = docs.filter(F.lit(False))
     out = D.minhash_lsh_pairs_incremental(
-        docs, empty, "doc_id", "text", num_perm=128, n_bands=16
+        docs, empty, "doc_id", "text", num_perm=64, n_bands=16
     )
     assert out.count() == 0
 
@@ -72,7 +72,7 @@ def test_incremental_persisted_signatures_equal_recomputed(
     new = docs.filter(F.col("doc_id") % 5 == 0)
     base = docs.filter(F.col("doc_id") % 5 != 0)
     sig_path = str(tmp_path / "sigs")
-    D.minhash_signatures(base, "doc_id", "text", num_perm=128).write.parquet(
+    D.minhash_signatures(base, "doc_id", "text", num_perm=64).write.parquet(
         sig_path
     )
     via_storage = D.minhash_lsh_pairs_incremental(
@@ -81,11 +81,11 @@ def test_incremental_persisted_signatures_equal_recomputed(
         "doc_id",
         "text",
         base_sigs=spark.read.parquet(sig_path),
-        num_perm=128,
+        num_perm=64,
         n_bands=16,
     )
     recomputed = D.minhash_lsh_pairs_incremental(
-        base, new, "doc_id", "text", num_perm=128, n_bands=16
+        base, new, "doc_id", "text", num_perm=64, n_bands=16
     )
     assert _pairset(via_storage) == _pairset(recomputed)
 
