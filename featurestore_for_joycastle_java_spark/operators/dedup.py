@@ -595,10 +595,13 @@ def minhash_lsh_pairs_incremental(
     cand_ids = cand.select(F.col("id_a").alias("id")).unionByName(
         cand.select(F.col("id_b").alias("id"))
     )
+    # cached: feeds BOTH sides of the verify join (same lifetime contract
+    # as the cache in minhash_lsh_pairs above)
     sh = (
         all_docs.join(cand_ids.distinct(), "id", "semi")
         .select("id", shingles(F.col("__t"), shingle_k).alias("sh"))
         .filter(F.size("sh") > 0)
+        .cache()
     )
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__sh_b"))
