@@ -55,6 +55,13 @@ _SIG_SCRATCH: dict[str, str] = {}
 #: maintenance + enrichment drains run once per process; atexit-cleaned).
 _PIT_SCRATCH: dict[str, tuple[str, str]] = {}
 
+#: sf_dir -> persisted corpus fingerprint-index parquet path (the exact-
+#: dedup twin of _SIG_SCRATCH; one write per process, atexit-cleaned).
+_FP_SCRATCH: dict[str, str] = {}
+
+# Cross-engine content fingerprint (catalog/dedup.py's _FP).
+_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
 
 @query(
     "dedup_incremental_batch",
@@ -293,4 +300,180 @@ def pit_enrich_stream_sink(
         )
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _recrawl_batch(docs: DataFrame) -> DataFrame:
+    """Synthetic ingestion batch for the exact-dedup probe (the fixture
+    has no exact duplicates, so the batch manufactures the three cases
+    the operator must separate — derived IDENTICALLY in the oracle):
+    - re-crawls of every 7th doc (case + whitespace variants — the
+      normalizing fingerprint must collapse them onto the original);
+    - novel docs (every doc_id % 7 == 1 doc with a suffix token);
+    - a second copy of each novel doc (batch-INTERNAL duplicate — must
+      resolve to the first copy, not to the corpus)."""
+    recrawl = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit(" "), F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    novel = docs.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xnovel")).alias("text"),
+    )
+    novel2 = docs.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xnovel")).alias("text"),
+    )
+    return recrawl.unionByName(novel).unionByName(novel2)
+
+
+@query(
+    "dedup_incremental_exact",
+    oracle=f"""
+WITH batch AS (
+    SELECT doc_id + 1000000 AS doc_id,
+           ' ' || upper(text) || '  ' AS text
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' xnovel'
+    FROM documents WHERE doc_id % 7 = 1
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' xnovel'
+    FROM documents WHERE doc_id % 7 = 1),
+idx AS (
+    SELECT {_FP} AS fp, MIN(doc_id) AS base_min
+    FROM documents GROUP BY 1),
+bfp AS (
+    SELECT doc_id, {_FP} AS fp FROM batch),
+pm AS (
+    SELECT doc_id, fp,
+           MIN(doc_id) OVER (PARTITION BY fp ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+    FROM bfp)
+SELECT p.doc_id,
+       LEAST(i.base_min, p.pmin) AS dup_of,
+       LEAST(i.base_min, p.pmin) IS NULL AS accept
+FROM pm p LEFT JOIN idx i USING (fp)
+""",
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup — the fingerprint twin of
+    ``dedup_incremental_batch``: the corpus's normalized-content md5
+    index (fp -> min doc_id) is PERSISTED once; each ingestion batch
+    fingerprints itself, resolves batch-internal duplicates with a
+    preceding-min window over its own fp groups, and left-joins the
+    index — ``dup_of`` = the smallest matching id (corpus beats batch,
+    earlier batch row beats later), ``accept`` = no match anywhere.
+
+    Scale shape: the probe is one batch-sized window plus ONE hash join
+    of batch fingerprints against the persisted index — the corpus is
+    never rescanned, the classic Bloom-fronted exact-dedup ingest path
+    (the index itself is the exact tier). Batch = a synthetic re-crawl
+    (see ``_recrawl_batch``) because the fixture has no exact dups."""
+    from featurestore_for_joycastle_java_spark.operators.text import (
+        fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    fp_path = _FP_SCRATCH.get(sf_dir)
+    if fp_path is None:
+        root = tempfile.mkdtemp(prefix="fs_fpidx_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        fp_path = os.path.join(root, "fp_index")
+        (
+            docs.select(
+                fingerprint(F.col("text")).alias("fp"), F.col("doc_id")
+            )
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("base_min"))
+            .write.mode("overwrite")
+            .parquet(fp_path)
+        )
+        _FP_SCRATCH[sf_dir] = fp_path
+    idx = spark.read.parquet(fp_path)
+
+    from pyspark.sql import Window
+
+    bfp = _recrawl_batch(docs).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    w = (
+        Window.partitionBy("fp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pm = bfp.withColumn("pmin", F.min("doc_id").over(w))
+    dup_of = F.least("base_min", "pmin")  # both engines skip NULL args
+    return pm.join(idx, "fp", "left").select(
+        "doc_id",
+        dup_of.alias("dup_of"),
+        dup_of.isNull().alias("accept"),
+    )
+
+
+@query(
+    "train_token_budget_mix",
+    # The running sum is order-deterministic (doc_id unique within a
+    # source) and pure integer; the kept set is the maximal prefix whose
+    # PRIOR cumulative stays under the budget (greedy fill — the last
+    # kept doc may overflow).
+    oracle="""
+WITH t AS (
+    SELECT source, doc_id,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS n_tok
+    FROM documents),
+c AS (
+    SELECT source, doc_id, n_tok,
+           SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM t)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens_total,
+       CAST(SUM(CASE WHEN cum - n_tok < 500 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_kept,
+       CAST(SUM(CASE WHEN cum - n_tok < 500 THEN n_tok ELSE 0 END)
+            AS BIGINT) AS n_tokens_kept
+FROM c GROUP BY 1
+""",
+)
+def train_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: each source contributes documents in
+    deterministic (doc_id) order until its 500-token budget is filled —
+    the per-source allocation step of training-mixture construction
+    (fixed token budgets per domain, greedy prefix fill; the companion
+    to the temperature-weighted `train_weighted_sample`).
+
+    Scale shape: the per-source running sum uses
+    ``operators.ranks.grouped_prefix_sum`` — the two-pass range-bucketed
+    prefix sum — so NO window ever sees a whole source (a 100 TB corpus
+    with 5 sources would put 20 TB through one task under a plain
+    ``Window.partitionBy(source)``); the fact shuffles once on
+    (source, bucket) and the offsets frame is sources × 32 rows. The
+    final rollup is an ordinary map-side-combined groupBy."""
+    from featurestore_for_joycastle_java_spark.operators.ranks import (
+        grouped_prefix_sum,
+    )
+    from featurestore_for_joycastle_java_spark.operators.text import (
+        token_count,
+    )
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    c = grouped_prefix_sum(
+        t, ["source"], "doc_id", "n_tok", out_col="cum"
+    )
+    kept = (F.col("cum") - F.col("n_tok")) < 500
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_docs_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
     )

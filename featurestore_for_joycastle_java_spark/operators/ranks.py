@@ -36,7 +36,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["global_row_number", "ntile_from_rank", "dense_rank_low_card"]
+__all__ = [
+    "global_row_number",
+    "grouped_prefix_sum",
+    "ntile_from_rank",
+    "dense_rank_low_card",
+]
 
 
 def global_row_number(
@@ -89,6 +94,79 @@ def global_row_number(
         ranked.join(F.broadcast(offsets), "_bucket")
         .withColumn(out_col, F.col("_offset") + F.col("_rn_in"))
         .drop("_bucket", "_rn_in", "_offset", "_lo", "_hi")
+    )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    tiebreak_cols: list[str] | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact per-group running sum ``SUM(value) OVER (PARTITION BY grp
+    ORDER BY order_col ROWS UNBOUNDED PRECEDING..CURRENT ROW)`` without
+    any window that sees a whole group.
+
+    A plain ``Window.partitionBy(grp)`` funnels each group through ONE
+    task — fine for many small groups, a scale-killer when a group is
+    TB-sized (per-source corpus accounting: 5 sources in 100 TB =
+    20 TB/task). Same two-pass trick as ``global_row_number``, applied
+    per group: range-bucket on the order column within each group's own
+    min/max, run the ordinary hash-partitioned running sum within
+    (group, bucket), then prefix-sum the per-(group, bucket) totals —
+    that window is partitioned per group over <= ``n_buckets`` rows —
+    and add the offset back. The fact shuffles once (on group+bucket).
+
+    Bucket monotonicity: equal order values share a bucket (range floor
+    of the order value), so tiebreak columns never cross buckets — the
+    same contract as ``global_row_number``."""
+    tiebreak_cols = list(tiebreak_cols or [])
+    v = F.col(order_col).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    span = F.col("_hi") - F.col("_lo")
+    bucket = (
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((v - F.col("_lo")) / span * n_buckets),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    bucketed = df.join(stats, group_cols).withColumn("_bucket", bucket)
+
+    w_in = (
+        Window.partitionBy(*group_cols, "_bucket")
+        .orderBy(order_col, *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = bucketed.withColumn("_run_in", F.sum(value_col).over(w_in))
+
+    counts = bucketed.groupBy(*group_cols, "_bucket").agg(
+        F.sum(value_col).alias("_bsum")
+    )
+    w_pfx = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "_bucket",
+        F.coalesce(F.sum("_bsum").over(w_pfx), F.lit(0)).alias("_offset"),
+    )
+
+    return (
+        running.join(F.broadcast(offsets), [*group_cols, "_bucket"])
+        .withColumn(out_col, F.col("_offset") + F.col("_run_in"))
+        .drop("_bucket", "_run_in", "_offset", "_lo", "_hi")
     )
 
 

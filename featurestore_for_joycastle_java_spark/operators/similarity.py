@@ -217,7 +217,12 @@ def semdedup_survivors(
         )
     assigned = assign_nearest_cell(c, cents, id_col)
 
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # norms bound ONCE per row (O(n) folds); the pair verify then costs
+    # one zip_with dot per pair instead of three array folds. The
+    # expression stays dot/(na*nb) — the identical IEEE tree to
+    # cosine(), so oracle parity is unaffected.
+    withn = assigned.withColumn("__cn", l2_norm(F.col("__cv")))
+    a, b = withn.alias("a"), withn.alias("b")
     # intra-cluster near-dup pairs; keep only the DROPPED side (higher id)
     dropped = (
         a.join(
@@ -226,7 +231,11 @@ def semdedup_survivors(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(
-            F.round(cosine(F.col("a.__cv"), F.col("b.__cv")), 6)
+            F.round(
+                dot(F.col("a.__cv"), F.col("b.__cv"))
+                / (F.col("a.__cn") * F.col("b.__cn")),
+                6,
+            )
             >= F.lit(threshold)
         )
         .select(F.col(f"b.{id_col}").alias(id_col))

@@ -41,6 +41,9 @@ _EAGER_CONSTRUCTION = {
     # eager signature-persist write at construction (once per process,
     # atexit-cleaned); composition law gated in tests/test_round7.py
     "dedup_incremental_batch",
+    # eager fingerprint-index persist at construction (same pattern);
+    # per-class structural truth gated in tests/test_round7.py
+    "dedup_incremental_exact",
 }
 
 #: CartesianProduct (shuffle cartesian — BOTH sides big) is deliberate

@@ -334,3 +334,96 @@ def test_pit_enrich_no_future_leak(spark, sf_dir):
         .count()
     )
     assert leaked == 0
+
+
+# ------------------------------------- incremental exact / token budget
+
+
+def test_incremental_exact_case_split(spark, sf_dir):
+    """Structural truth per batch-row class: re-crawls (case/whitespace
+    variants) resolve to their ORIGINAL corpus doc, novel docs are
+    accepted, and the second copy of each novel doc resolves to the
+    FIRST copy (batch-internal), never to the corpus."""
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_incremental_exact"](spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    recrawl = {d + 1000000 for d in docs if d % 7 == 0}
+    novel = {d + 1000000 for d in docs if d % 7 == 1}
+    novel2 = {d + 2000000 for d in docs if d % 7 == 1}
+    assert set(rows) == recrawl | novel | novel2
+    for rid in recrawl:
+        assert rows[rid]["accept"] is False
+        assert rows[rid]["dup_of"] == rid - 1000000  # the original
+    for nid in novel:
+        assert rows[nid]["accept"] is True and rows[nid]["dup_of"] is None
+    for n2 in novel2:
+        assert rows[n2]["accept"] is False
+        assert rows[n2]["dup_of"] == n2 - 1000000  # the FIRST batch copy
+
+
+def test_grouped_prefix_sum_matches_plain_window(spark, sf_dir):
+    """The two-pass bucketed running sum must equal the plain
+    single-group-partition window on every row."""
+    from pyspark.sql import Window
+
+    from featurestore_for_joycastle_java_spark.operators.ranks import (
+        grouped_prefix_sum,
+    )
+    from featurestore_for_joycastle_java_spark.operators.text import (
+        token_count,
+    )
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count(F.col("text")).cast("long").alias("v")
+    )
+    got = grouped_prefix_sum(t, ["source"], "doc_id", "v", out_col="cum")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = t.withColumn("cum", F.sum("v").over(w))
+    g = {(r["source"], r["doc_id"]): r["cum"] for r in got.collect()}
+    e = {(r["source"], r["doc_id"]): r["cum"] for r in want.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_token_budget_kept_is_prefix(spark, sf_dir):
+    """Greedy fill semantics: per source, the kept docs are exactly the
+    maximal doc_id-ordered prefix whose PRIOR cumulative tokens stay
+    under the budget — so kept counts are reproducible, order-stable,
+    and the last kept doc may overflow the budget."""
+    out = {
+        r["source"]: r
+        for r in QUERIES["train_token_budget_mix"](spark, sf_dir).collect()
+    }
+    from featurestore_for_joycastle_java_spark.operators.text import (
+        token_count,
+    )
+
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source", "doc_id", token_count(F.col("text")).alias("n")
+        )
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for r in t:
+        by_src.setdefault(r["source"], []).append((r["doc_id"], r["n"]))
+    for src, docs in by_src.items():
+        docs.sort()
+        cum, kept_docs, kept_toks = 0, 0, 0
+        for _, n in docs:
+            if cum < 500:
+                kept_docs += 1
+                kept_toks += n
+            cum += n
+        assert out[src]["n_docs_kept"] == kept_docs, src
+        assert out[src]["n_tokens_kept"] == kept_toks, src
+        assert out[src]["n_docs_total"] == len(docs)
