@@ -44,6 +44,9 @@ _EAGER_CONSTRUCTION = {
     # eager fingerprint-index persist at construction (same pattern);
     # per-class structural truth gated in tests/test_round7.py
     "dedup_incremental_exact",
+    # eager bucketed-table writes at construction (once per process);
+    # the no-shuffle join plan is gated in tests/test_round7.py
+    "layout_bucketed_join",
 }
 
 #: CartesianProduct (shuffle cartesian — BOTH sides big) is deliberate

@@ -427,3 +427,28 @@ def test_token_budget_kept_is_prefix(spark, sf_dir):
         assert out[src]["n_docs_kept"] == kept_docs, src
         assert out[src]["n_tokens_kept"] == kept_toks, src
         assert out[src]["n_docs_total"] == len(docs)
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """The whole point of the bucketed layout: the fact-to-fact
+    SortMergeJoin consumes both bucketed scans directly — NO Exchange
+    anywhere below the join (the only exchange in the plan belongs to
+    the final small groupBy above it)."""
+    import contextlib
+    import io
+
+    df = QUERIES["layout_bucketed_join"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    # formatted explain lists the tree first; everything below the join
+    # node (its two scan branches) must be exchange-free
+    tree = plan.split("== Physical Plan ==")[-1]
+    lines = tree.splitlines()
+    join_at = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    below = "\n".join(lines[join_at:])
+    # the join's subtree ends where the operator detail section starts
+    below = below.split("(1) ")[0]
+    assert "Exchange" not in below, "shuffle under the bucketed join"
