@@ -550,3 +550,148 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_cents"),
     )
+
+
+@query(
+    "layout_zorder_prune",
+    # Everything runs in BUCKET space (16 user levels x 12 hour levels)
+    # on both engines, so layouts, file boundaries, zone maps and the
+    # predicate are integer-deterministic; the 1-D sort orders by the
+    # SAME bucket column it is compared on (ordering by raw user_id
+    # would agree on buckets but shuffle ties differently).
+    oracle="""
+WITH mx AS (SELECT MAX(user_id) AS mu FROM events),
+e AS (
+    SELECT event_id,
+           LEAST(15, CAST(FLOOR(user_id * 16.0 / (mu + 1)) AS BIGINT))
+               AS u_b,
+           CAST(EXTRACT(hour FROM ts) // 2 AS BIGINT) AS h_b
+    FROM events CROSS JOIN mx),
+m AS (
+    SELECT event_id, u_b, h_b,
+           (((u_b >> 0) & 1) << 0) + (((h_b >> 0) & 1) << 1)
+         + (((u_b >> 1) & 1) << 2) + (((h_b >> 1) & 1) << 3)
+         + (((u_b >> 2) & 1) << 4) + (((h_b >> 2) & 1) << 5)
+         + (((u_b >> 3) & 1) << 6) + (((h_b >> 3) & 1) << 7) AS morton
+    FROM e),
+lay AS (
+    SELECT 'natural' AS layout, event_id // 500 AS fileno, u_b, h_b FROM m
+    UNION ALL
+    SELECT 'sorted_user',
+           (ROW_NUMBER() OVER (ORDER BY u_b, event_id) - 1) // 500, u_b, h_b
+    FROM m
+    UNION ALL
+    SELECT 'zorder',
+           (ROW_NUMBER() OVER (ORDER BY morton, event_id) - 1) // 500,
+           u_b, h_b
+    FROM m),
+f AS (
+    SELECT layout, fileno,
+           MIN(u_b) AS lo_u, MAX(u_b) AS hi_u,
+           MIN(h_b) AS lo_h, MAX(h_b) AS hi_h,
+           COUNT(*) AS n,
+           SUM(CASE WHEN u_b BETWEEN 4 AND 11 AND h_b BETWEEN 4 AND 5
+                    THEN 1 ELSE 0 END) AS nm
+    FROM lay GROUP BY 1, 2)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN hi_u < 4 OR lo_u > 11 OR hi_h < 4 OR lo_h > 5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_skip,
+       CAST(SUM(CASE WHEN hi_u < 4 OR lo_u > 11 OR hi_h < 4 OR lo_h > 5
+                     THEN 0 ELSE n END) AS BIGINT) AS n_rows_scanned,
+       CAST(SUM(nm) AS BIGINT) AS n_matching
+FROM f GROUP BY 1
+""",
+)
+def layout_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-interleaved) clustering vs 1-D sort for 2-D
+    zone-map pruning — the multi-dimensional extension of
+    ``layout_zonemap_stats`` and the WHY behind Delta/Iceberg Z-ORDER:
+    a 1-D user sort makes user-predicate pruning perfect and hour
+    pruning useless (every file spans all hours); interleaving the bits
+    of (user-bucket, hour-bucket) gives BOTH dimensions partial
+    locality, so a 2-D box predicate (middle user band x morning hours)
+    skips far more files than either 1-D layout. Quantifies all three
+    layouts on identical 500-row files: n_skip / n_rows_scanned /
+    n_matching per layout, with identical n_matching across layouts as
+    the built-in consistency check.
+
+    Scale shape: bucket + Morton are pure per-row integer expressions;
+    the two sorted layouts use the two-pass range-bucketed
+    ``global_row_number`` (no single-partition fact window — the
+    Z-ORDER WRITE itself at 100 TB is exactly this global sort); file
+    stats are one map-side-combined groupBy per layout to an O(files)
+    frame; the summary aggregates the metadata frame."""
+    from featurestore_for_joycastle_java_spark.operators.ranks import (
+        global_row_number,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.hour("ts").alias("hr")
+    )
+    mx = ev.agg(F.max("user_id").alias("mu"))
+    e = ev.crossJoin(F.broadcast(mx)).select(
+        "event_id",
+        F.least(
+            F.lit(15),
+            F.floor(F.col("user_id") * 16.0 / (F.col("mu") + 1)),
+        )
+        .cast("bigint")
+        .alias("u_b"),
+        F.floor(F.col("hr") / 2).cast("bigint").alias("h_b"),
+    )
+
+    def bit(c, i, k):
+        return F.shiftleft(
+            F.shiftright(F.col(c), i).bitwiseAND(F.lit(1)), k
+        )
+
+    morton = sum(
+        [bit("u_b", i, 2 * i) for i in range(4)]
+        + [bit("h_b", i, 2 * i + 1) for i in range(4)],
+        F.lit(0),
+    )
+    m = e.withColumn("morton", morton)
+
+    def filed(df, order_col):
+        r = global_row_number(df, order_col, ["event_id"], out_col="__rn")
+        return r.select(
+            F.expr("CAST((__rn - 1) DIV 500 AS BIGINT)").alias("fileno"),
+            "u_b",
+            "h_b",
+        )
+
+    nat = m.select(
+        F.expr("event_id DIV 500").alias("fileno"), "u_b", "h_b"
+    ).withColumn("layout", F.lit("natural"))
+    srt = filed(m, "u_b").withColumn("layout", F.lit("sorted_user"))
+    zo = filed(m, "morton").withColumn("layout", F.lit("zorder"))
+
+    match = (F.col("u_b").between(4, 11)) & (F.col("h_b").between(4, 5))
+    f = (
+        nat.unionByName(srt)
+        .unionByName(zo)
+        .groupBy("layout", "fileno")
+        .agg(
+            F.min("u_b").alias("lo_u"),
+            F.max("u_b").alias("hi_u"),
+            F.min("h_b").alias("lo_h"),
+            F.max("h_b").alias("hi_h"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(match, 1).otherwise(0)).alias("nm"),
+        )
+    )
+    skip = (
+        (F.col("hi_u") < 4)
+        | (F.col("lo_u") > 11)
+        | (F.col("hi_h") < 4)
+        | (F.col("lo_h") > 5)
+    )
+    return f.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.when(skip, 1).otherwise(0)).cast("bigint").alias("n_skip"),
+        F.sum(F.when(skip, 0).otherwise(F.col("n")))
+        .cast("bigint")
+        .alias("n_rows_scanned"),
+        F.sum("nm").cast("bigint").alias("n_matching"),
+    )

@@ -452,3 +452,25 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     # the join's subtree ends where the operator detail section starts
     below = below.split("(1) ")[0]
     assert "Exchange" not in below, "shuffle under the bucketed join"
+
+
+def test_zorder_dominates_1d_sort(spark, sf_dir):
+    """The point of Z-ordering: for the 2-D box predicate the
+    morton-clustered layout scans no more rows than the 1-D user sort,
+    which scans no more than the natural layout — and all three layouts
+    agree on the matching-row count (the consistency check)."""
+    rows = {
+        r["layout"]: r
+        for r in QUERIES["layout_zorder_prune"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"natural", "sorted_user", "zorder"}
+    assert (
+        rows["zorder"]["n_rows_scanned"]
+        <= rows["sorted_user"]["n_rows_scanned"]
+        <= rows["natural"]["n_rows_scanned"]
+    )
+    n_match = {r["n_matching"] for r in rows.values()}
+    assert len(n_match) == 1
+    # every file accounted for in every layout
+    n_files = {r["n_files"] for r in rows.values()}
+    assert len(n_files) == 1
