@@ -695,3 +695,57 @@ def layout_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rows_scanned"),
         F.sum("nm").cast("bigint").alias("n_matching"),
     )
+
+
+@query(
+    "agg_hll_mergeable",
+    # The estimates are not SQL-replayable (Apache DataSketches binary
+    # state); the oracle pins the EXACT count and the two booleans the
+    # operator exists to prove — register-wise merge identity and the
+    # error bound — which flip on any drift and fail the value hash
+    # (the agg_approx_*_bounded pattern).
+    oracle="""
+SELECT COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS merge_equals_direct,
+       TRUE AS within_5pct
+FROM events
+""",
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+
+    ``hll_sketch_agg``/``hll_union_agg``): per-event-type sketches
+    unioned must estimate IDENTICALLY to one sketch built over the whole
+    table — the lattice-merge property (register-wise max) that makes
+    distinct-count state shardable, persistable and incrementally
+    maintainable. This is the real-sketch upgrade of
+    ``agg_approx_distinct_bounded`` (whose HLL++ state never leaves the
+    aggregation) and the distinct-count sibling of
+    ``agg_incremental_merge``'s partial-aggregate contract: at 100 TB
+    you keep one small sketch per (day, slice) and answer any rollup by
+    unioning sketches, never rescanning the fact. The parquet
+    round-trip of the binary sketch column is pinned in
+    tests/test_round7.py."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias(
+            "est_m"
+        )
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+            "est_d"
+        ),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).select(
+        "exact_users",
+        (F.col("est_m") == F.col("est_d")).alias("merge_equals_direct"),
+        (
+            F.abs(F.col("est_d") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_5pct"),
+    )

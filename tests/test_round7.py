@@ -474,3 +474,23 @@ def test_zorder_dominates_1d_sort(spark, sf_dir):
     # every file accounted for in every layout
     n_files = {r["n_files"] for r in rows.values()}
     assert len(n_files) == 1
+
+
+def test_hll_sketch_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """The sketch-store workflow: per-slice HLL sketches written to
+    parquet (binary column), read back and unioned must estimate
+    identically to sketches unioned in-memory — persistence does not
+    perturb the DataSketches state."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    path = str(tmp_path / "sketches")
+    per.write.parquet(path)
+    est = lambda df: df.agg(  # noqa: E731
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("e")
+    ).collect()[0]["e"]
+    assert est(spark.read.parquet(path)) == est(per)
+    # and the estimate is exact on this fixture's cardinality
+    exact = ev.select("user_id").distinct().count()
+    assert est(per) == exact
