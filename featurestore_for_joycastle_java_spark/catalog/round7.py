@@ -749,3 +749,159 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("within_5pct"),
     )
+
+
+#: sf_dir -> (index_dir, cent_path) for the incremental IVF index (base
+#: assignments + centroid set persisted once per process; atexit-cleaned).
+_IVF_SCRATCH: dict[str, tuple[str, str]] = {}
+
+
+@query(
+    "sim_ivf_incremental",
+    # Same fully-replayable shape as sim_ivf_topk, with the centroid set
+    # frozen at INDEX-BUILD time (the 16 lowest-id BASE vectors): the
+    # oracle replays cell assignment for base and batch against those
+    # same centroids, probes, and ranks — so the incremental append is
+    # checked against the exact declarative definition, not against a
+    # replay of the engine's storage layout.
+    oracle="""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings),
+cents AS (
+    SELECT vec_id AS cent_id, v AS cv FROM e
+    WHERE vec_id % 5 != 0 ORDER BY vec_id LIMIT 16),
+assigned AS (
+    SELECT vec_id, cent_id, v FROM (
+        SELECT e.vec_id, c.cent_id, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_inner_product(e.v, c.cv)
+                   / (SQRT(list_inner_product(e.v, e.v))
+                      * SQRT(list_inner_product(c.cv, c.cv))) DESC,
+                   c.cent_id) AS rn
+        FROM e CROSS JOIN cents c)
+    WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+probes AS (
+    SELECT query_id, cent_id, qv FROM (
+        SELECT q.query_id, c.cent_id, q.qv,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   list_inner_product(q.qv, c.cv)
+                   / (SQRT(list_inner_product(q.qv, q.qv))
+                      * SQRT(list_inner_product(c.cv, c.cv))) DESC,
+                   c.cent_id) AS rn
+        FROM q CROSS JOIN cents c)
+    WHERE rn <= 4),
+scored AS (
+    SELECT p.query_id, a.vec_id,
+           ROUND(list_inner_product(p.qv, a.v)
+                 / (SQRT(list_inner_product(p.qv, p.qv))
+                    * SQRT(list_inner_product(a.v, a.v))), 6) AS cos_sim
+    FROM probes p JOIN assigned a USING (cent_id))
+SELECT query_id, vec_id, cos_sim, rnk
+FROM (SELECT query_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+""",
+)
+def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the ANN member of the
+    incremental trilogy (MinHash probe, fingerprint probe, and now the
+    vector index): the BASE corpus (vec_id % 5 != 0) is indexed ONCE —
+    centroids = its 16 lowest-id vectors, cell assignments persisted to
+    parquet; the ingestion batch (vec_id % 5 == 0) is assigned to the
+    SAME frozen centroids (zero-shuffle broadcast fold) and appended as
+    a second index segment. Queries probe the union of segments.
+
+    This is how a production IVF index absorbs writes: cell geometry
+    frozen between rebuilds, appends routed by the existing centroids,
+    periodic re-fit offline (the k-means variant). Assignment of a new
+    vector costs O(n_centroids) — never touches the corpus; the probe
+    scans ~n_probe/n_centroids of the index regardless of how many
+    segments it accumulated. Drift caveat at 100 TB: a frozen geometry
+    degrades as the batch distribution shifts — the re-fit cadence is
+    the recall/cost knob (same trade Faiss/Milvus document)."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        as_double,
+        assign_nearest_cell,
+        cosine,
+    )
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+
+    paths = _IVF_SCRATCH.get(sf_dir)
+    if paths is None:
+        root = tempfile.mkdtemp(prefix="fs_ivfidx_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        cent_path = os.path.join(root, "centroids")
+        base_seg = os.path.join(root, "seg_base")
+        batch_seg = os.path.join(root, "seg_batch")
+        cents = (
+            base.orderBy("vec_id")
+            .limit(16)
+            .select(
+                F.col("vec_id").alias("cent_id"),
+                as_double(F.col("embedding")).alias("__mv"),
+            )
+        )
+        cents.write.mode("overwrite").parquet(cent_path)
+        stored = spark.read.parquet(cent_path)
+        c_base = base.select(
+            "vec_id", as_double(F.col("embedding")).alias("__cv")
+        )
+        assign_nearest_cell(c_base, stored, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(base_seg)
+        # the APPEND: batch assigned against the FROZEN centroid set
+        c_new = batch.select(
+            "vec_id", as_double(F.col("embedding")).alias("__cv")
+        )
+        assign_nearest_cell(c_new, stored, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(batch_seg)
+        paths = (root, cent_path)
+        _IVF_SCRATCH[sf_dir] = paths
+    root, cent_path = paths
+    cents = spark.read.parquet(cent_path)
+    index = spark.read.parquet(os.path.join(root, "seg_base")).unionByName(
+        spark.read.parquet(os.path.join(root, "seg_batch"))
+    )
+
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("__qv"),
+    )
+    scored_c = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "__qv",
+        "cent_id",
+        cosine(F.col("__qv"), F.col("__mv")).alias("__cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__cs").desc(), F.col("cent_id")
+    )
+    probes = (
+        scored_c.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= 4)
+        .select("query_id", "cent_id", "__qv")
+    )
+    scored = index.join(F.broadcast(probes), "cent_id").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id", "vec_id", "cos_sim", F.col("rnk").cast("int").alias("rnk")
+        )
+    )

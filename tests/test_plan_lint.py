@@ -47,6 +47,9 @@ _EAGER_CONSTRUCTION = {
     # eager bucketed-table writes at construction (once per process);
     # the no-shuffle join plan is gated in tests/test_round7.py
     "layout_bucketed_join",
+    # eager IVF index persist at construction (once per process,
+    # atexit-cleaned); rebuild equivalence gated in tests/test_round7.py
+    "sim_ivf_incremental",
 }
 
 #: CartesianProduct (shuffle cartesian — BOTH sides big) is deliberate

@@ -494,3 +494,51 @@ def test_hll_sketch_parquet_roundtrip(spark, sf_dir, tmp_path):
     # and the estimate is exact on this fixture's cardinality
     exact = ev.select("user_id").distinct().count()
     assert est(per) == exact
+
+
+def test_ivf_incremental_equals_rebuild(spark, sf_dir):
+    """Appending the batch to the frozen-geometry index must equal
+    indexing everything in one shot AGAINST THE SAME CENTROIDS — i.e.
+    incremental maintenance loses nothing vs a full rebuild with the
+    same cell geometry (only a re-FIT changes results)."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        as_double,
+        assign_nearest_cell,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    cents = (
+        base.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            as_double(F.col("embedding")).alias("__mv"),
+        )
+    )
+    full = assign_nearest_cell(
+        e.select("vec_id", as_double(F.col("embedding")).alias("__cv")),
+        cents,
+        "vec_id",
+    )
+    inc_base = assign_nearest_cell(
+        base.select("vec_id", as_double(F.col("embedding")).alias("__cv")),
+        cents,
+        "vec_id",
+    )
+    inc_new = assign_nearest_cell(
+        e.filter(F.col("vec_id") % 5 == 0).select(
+            "vec_id", as_double(F.col("embedding")).alias("__cv")
+        ),
+        cents,
+        "vec_id",
+    )
+    got = {
+        r["vec_id"]: r["cent_id"]
+        for r in inc_base.unionByName(inc_new).select("vec_id", "cent_id").collect()
+    }
+    want = {
+        r["vec_id"]: r["cent_id"]
+        for r in full.select("vec_id", "cent_id").collect()
+    }
+    assert got == want and len(got) == e.count()
