@@ -33,17 +33,13 @@ def main() -> int:
     registry.load_catalog()
     from featurestore_for_joycastle_java_spark.registry import QUERIES
 
-    # same construction-is-eager exclusions as tests/test_plan_lint.py
-    eager_prefixes = ("stream_",)
-    eager = {
-        "graph_pagerank_int",
-        "graph_kcore",
-        "dedup_cc_clusters",
-        "dedup_pipeline_lsh",
-        "dedup_pipeline_exact",
-        "train_corpus_prep_neardup",
-        "train_corpus_prep",
-    }
+    # the construction-is-eager exclusions live in tests/test_plan_lint.py
+    # (the enforcing gate) — import them so the two lists can't drift
+    sys.path.insert(0, os.path.join(_REPO, "tests"))
+    from test_plan_lint import (
+        _EAGER_CONSTRUCTION as eager,
+        _EAGER_CONSTRUCTION_PREFIXES as eager_prefixes,
+    )
 
     spark = get_spark(
         app_name="plan-audit", master="local[8]", shuffle_partitions=8
