@@ -905,3 +905,150 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id", "cos_sim", F.col("rnk").cast("int").alias("rnk")
         )
     )
+
+
+#: sf_dir -> decisions dir for the streaming incremental dedup (drained
+#: once per process; atexit-cleaned).
+_SDEDUP_SCRATCH: dict[str, str] = {}
+
+
+@query(
+    "stream_incremental_dedup",
+    # Arrival order == doc_id order BY CONSTRUCTION (the recrawl batch's
+    # ids are originals + 1M/2M and it arrives second), so the streaming
+    # index semantics — dup_of = the keeper accepted before you —
+    # collapse to one declarative preceding-min window over the combined
+    # arrival sequence. With out-of-order ids across batches the two
+    # would diverge (first-ARRIVAL wins, documented); the id scheme here
+    # makes the oracle exact.
+    oracle="""
+WITH batch AS (
+    SELECT doc_id + 1000000 AS doc_id,
+           ' ' || upper(text) || '  ' AS text
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' xnovel'
+    FROM documents WHERE doc_id % 7 = 1
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' xnovel'
+    FROM documents WHERE doc_id % 7 = 1),
+allr AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id, text FROM batch),
+f AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM allr),
+pm AS (
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY fp ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dup_of
+    FROM f)
+SELECT doc_id, dup_of, dup_of IS NULL AS accept FROM pm
+""",
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental exact dedup — the continuous run of
+    ``dedup_incremental_exact``: documents arrive as micro-batches (the
+    original corpus, then the synthetic re-crawl batch — two files, one
+    per trigger); ``foreachBatch`` resolves each batch against a
+    VERSIONED fingerprint index (batch-internal preceding-min window +
+    one join against the newest committed index version), emits per-doc
+    accept/dup_of decisions to a per-batch overwrite directory, and
+    writes index version v=<batch_id> = previous ∪ newly-accepted keys.
+    Both sinks follow the SCD1 sink's exactly-once discipline: a
+    replayed batch re-reads the same predecessor version and rewrites
+    its own outputs deterministically.
+
+    Scale shape per trigger: O(|batch|) window + one hash join against
+    the index (at 100 TB: a Bloom-fronted key-value table; here the
+    plain-parquet expression of it). The corpus is never rescanned —
+    the index carries everything the stream needs."""
+    from featurestore_for_joycastle_java_spark.operators.text import (
+        fingerprint,
+    )
+    from featurestore_for_joycastle_java_spark.streaming import (
+        _committed_versions,
+    )
+    from pyspark.sql import Window
+
+    out_dir = _SDEDUP_SCRATCH.get(sf_dir)
+    if out_dir is None:
+        root = tempfile.mkdtemp(prefix="fs_sdedup_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        src_dir = os.path.join(root, "src")
+        idx_dir = os.path.join(root, "idx")
+        out_dir = os.path.join(root, "out")
+        os.makedirs(src_dir)
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        f1 = os.path.join(src_dir, "f1")
+        f2 = os.path.join(src_dir, "f2")
+        docs.coalesce(1).write.parquet(f1)
+        _recrawl_batch(docs).coalesce(1).write.parquet(f2)
+        # deterministic arrival order: f1 strictly older than f2
+        base_t = 1_700_000_000
+        for d, t in ((f1, base_t), (f2, base_t + 100)):
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (t, t))
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            bfp = batch_df.select(
+                "doc_id", fingerprint(F.col("text")).alias("fp")
+            )
+            w = (
+                Window.partitionBy("fp")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            pm = bfp.withColumn("pmin", F.min("doc_id").over(w))
+            prev = [v for v in _committed_versions(idx_dir) if v < batch_id]
+            if prev:
+                idx = sp.read.parquet(
+                    os.path.join(idx_dir, f"v={max(prev)}")
+                )
+                j = pm.join(idx, "fp", "left")
+            else:
+                j = pm.withColumn("keep_id", F.lit(None).cast("long"))
+            dup_of = F.least("keep_id", "pmin")
+            dec = j.select(
+                "doc_id",
+                "fp",
+                dup_of.alias("dup_of"),
+                dup_of.isNull().alias("accept"),
+            )
+            dec.select("doc_id", "dup_of", "accept").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"b={batch_id}"))
+            accepted = dec.filter("accept").select(
+                "fp", F.col("doc_id").alias("keep_id")
+            )
+            new_idx = (
+                sp.read.parquet(os.path.join(idx_dir, f"v={max(prev)}"))
+                .unionByName(accepted)
+                if prev
+                else accepted
+            )
+            new_idx.write.mode("overwrite").parquet(
+                os.path.join(idx_dir, f"v={batch_id}")
+            )
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src_dir, "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="fs_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _SDEDUP_SCRATCH[sf_dir] = out_dir
+
+    return spark.read.parquet(out_dir).select("doc_id", "dup_of", "accept")

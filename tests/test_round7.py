@@ -542,3 +542,32 @@ def test_ivf_incremental_equals_rebuild(spark, sf_dir):
         for r in full.select("vec_id", "cent_id").collect()
     }
     assert got == want and len(got) == e.count()
+
+
+def test_stream_incremental_dedup_two_batches(spark, sf_dir):
+    """The streaming dedup must actually process corpus and re-crawl as
+    SEPARATE micro-batches (one decisions dir and one index version per
+    batch), with the re-crawl batch resolving against the index built
+    by the corpus batch — not a one-shot batch job in disguise."""
+    import featurestore_for_joycastle_java_spark.catalog.round7 as r7
+
+    # force a fresh drain for this check (per-process scratch caches)
+    r7._SDEDUP_SCRATCH.pop(sf_dir, None)
+    out = QUERIES["stream_incremental_dedup"](spark, sf_dir)
+    out_dir = r7._SDEDUP_SCRATCH[sf_dir]
+    batch_dirs = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("b=")
+    )
+    assert batch_dirs == ["b=0", "b=1"], batch_dirs
+    idx_dir = os.path.join(os.path.dirname(out_dir), "idx")
+    versions = sorted(
+        d for d in os.listdir(idx_dir) if d.startswith("v=")
+    )
+    assert versions == ["v=0", "v=1"], versions
+    # batch 0 = the original corpus (no dups -> all accepted);
+    # batch 1 = the re-crawl (its recrawl rows resolve to batch-0 ids)
+    b0 = spark.read.parquet(os.path.join(out_dir, "b=0"))
+    assert b0.filter(~F.col("accept")).count() == 0
+    b1 = spark.read.parquet(os.path.join(out_dir, "b=1"))
+    cross = b1.filter(F.col("dup_of") < 1000000)
+    assert cross.count() > 0  # re-crawls resolved AGAINST THE INDEX
