@@ -515,6 +515,14 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
     if names is None or not spark.catalog.tableExists(lt):
+        # EXTERNAL tables under a per-process scratch root: the shared
+        # spark-warehouse location outlives the (session-scoped) table
+        # metadata, so a managed table would hit LOCATION_ALREADY_EXISTS
+        # on the next process (caught by the r7 full-registry sweep)
+        root = tempfile.mkdtemp(prefix="fs_bkt_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        for t in (lt, ot):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice"
         )
@@ -525,12 +533,14 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.write.mode("overwrite")
             .bucketBy(8, "l_orderkey")
             .sortBy("l_orderkey")
+            .option("path", os.path.join(root, lt))
             .saveAsTable(lt)
         )
         (
             od.write.mode("overwrite")
             .bucketBy(8, "o_orderkey")
             .sortBy("o_orderkey")
+            .option("path", os.path.join(root, ot))
             .saveAsTable(ot)
         )
         _BUCKET_SCRATCH[sf_dir] = (lt, ot)
@@ -701,12 +711,17 @@ def layout_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_hll_mergeable",
     # The estimates are not SQL-replayable (Apache DataSketches binary
     # state); the oracle pins the EXACT count and the two booleans the
-    # operator exists to prove — register-wise merge identity and the
+    # operator exists to prove — merged-vs-direct closeness and the
     # error bound — which flip on any drift and fail the value hash
-    # (the agg_approx_*_bounded pattern).
+    # (the agg_approx_*_bounded pattern). Closeness, NOT equality: the
+    # union promotes sketches to a different target representation
+    # (HLL_8) than a directly-built sketch, so estimates can differ by
+    # a few counts once past sparse mode (sf0.1: merged 1488 vs direct
+    # 1494 vs exact 1500) — caught by the r7 full-registry sweep; the
+    # lattice merge guarantees bounded closeness, not bit equality.
     oracle="""
 SELECT COUNT(DISTINCT user_id) AS exact_users,
-       TRUE AS merge_equals_direct,
+       TRUE AS merge_within_1pct,
        TRUE AS within_5pct
 FROM events
 """,
@@ -714,10 +729,12 @@ FROM events
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+
     ``hll_sketch_agg``/``hll_union_agg``): per-event-type sketches
-    unioned must estimate IDENTICALLY to one sketch built over the whole
-    table — the lattice-merge property (register-wise max) that makes
-    distinct-count state shardable, persistable and incrementally
-    maintainable. This is the real-sketch upgrade of
+    unioned must estimate within 1 % of one sketch built over the whole
+    table (and within 5 % of exact) — the lattice-merge property that
+    makes distinct-count state shardable, persistable and incrementally
+    maintainable. Equality would be too strong: the union's target
+    representation differs from a directly-built sketch past sparse
+    mode (see the oracle comment). This is the real-sketch upgrade of
     ``agg_approx_distinct_bounded`` (whose HLL++ state never leaves the
     aggregation) and the distinct-count sibling of
     ``agg_incremental_merge``'s partial-aggregate contract: at 100 TB
@@ -742,7 +759,10 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.crossJoin(F.broadcast(direct)).select(
         "exact_users",
-        (F.col("est_m") == F.col("est_d")).alias("merge_equals_direct"),
+        (
+            F.abs(F.col("est_m") - F.col("est_d")) / F.col("exact_users")
+            <= 0.01
+        ).alias("merge_within_1pct"),
         (
             F.abs(F.col("est_d") - F.col("exact_users"))
             / F.col("exact_users")
@@ -1052,3 +1072,128 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SDEDUP_SCRATCH[sf_dir] = out_dir
 
     return spark.read.parquet(out_dir).select("doc_id", "dup_of", "accept")
+
+
+@query(
+    "sim_quantized_rerank",
+    # Quantization replays sim_int8_quantize's bit-exact formula
+    # (round-half-up via floor(x/scale + 0.5), clamped); the coarse
+    # scores are integer dot products of integral-double codes — exact
+    # in both engines — so the top-20 candidate sets match exactly, and
+    # the final ranking uses the 6dp-rounded float cosine with vec_id
+    # tiebreaks. Fully deterministic two-stage retrieval.
+    oracle="""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings),
+s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> ABS(x))) / 127.0 AS scale
+    FROM e),
+q8 AS (
+    SELECT vec_id, v,
+           list_transform(v, x -> GREATEST(-127.0,
+               LEAST(127.0, FLOOR(x / scale + 0.5)))) AS qc
+    FROM s WHERE scale > 0),
+qry AS (
+    SELECT vec_id AS query_id, v AS qv, qc AS qqc
+    FROM q8 WHERE vec_id < 10),
+coarse AS (
+    SELECT query_id, vec_id, qv, cv,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY approx DESC, vec_id) AS crn
+    FROM (
+        SELECT q.query_id, c.vec_id, q.qv, c.v AS cv,
+               list_inner_product(q.qqc, c.qc) AS approx
+        FROM qry q CROSS JOIN q8 c)),
+rer AS (
+    SELECT query_id, vec_id,
+           ROUND(list_inner_product(qv, cv)
+                 / (SQRT(list_inner_product(qv, qv))
+                    * SQRT(list_inner_product(cv, cv))), 6) AS cos_sim
+    FROM coarse WHERE crn <= 20)
+SELECT query_id, vec_id, cos_sim, rnk
+FROM (SELECT query_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+      FROM rer)
+WHERE rnk <= 5
+""",
+)
+def sim_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with int8 quantization — the standard
+    vector-serving pattern (Faiss/Milvus/pgvector all ship it): a
+    COARSE scan scores every corpus vector with the INTEGER dot product
+    of its int8 codes (4× less memory bandwidth than float32, exact
+    integer arithmetic), keeps the top-20 candidates per query, and an
+    EXACT float-cosine re-rank of just those candidates produces the
+    final top-5. Quantization is ``sim_int8_quantize``'s bit-exact
+    round-half-up formula (kept textually in sync — see that query's
+    lateral-alias caution).
+
+    Scale shape: query codes broadcast, the coarse scan is stateless
+    per-row work over the corpus (at 100 TB it composes with the IVF
+    cell pruning — scan only probed cells, with int8 bandwidth); the
+    re-rank touches 20 rows per query. The windows see |corpus| scored
+    rows per query only in this flat demonstration — the composed form
+    inherits IVF's ~n_probe/n_centroids scan fraction."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    scale = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(
+        127.0
+    )
+    s = e.select("vec_id", "v", scale.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    qc = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x / F.col("scale") + F.lit(0.5))),
+        ),
+    )
+    q8 = s.select("vec_id", "v", qc.alias("qc"))
+    qry = q8.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("qc").alias("qqc"),
+    )
+    # integer dot of integral-double codes: left-to-right fold, exact
+    approx = F.aggregate(
+        F.zip_with("qqc", "qc", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = q8.join(F.broadcast(qry)).select(
+        "query_id", "vec_id", "qv", F.col("v").alias("cv"), approx.alias("approx")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vec_id")
+    )
+    cand = (
+        scored.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= 20)
+        .select("query_id", "vec_id", "qv", "cv")
+    )
+    rer = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id", "vec_id", "cos_sim", F.col("rnk").cast("int").alias("rnk")
+        )
+    )

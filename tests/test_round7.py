@@ -571,3 +571,33 @@ def test_stream_incremental_dedup_two_batches(spark, sf_dir):
     b1 = spark.read.parquet(os.path.join(out_dir, "b=1"))
     cross = b1.filter(F.col("dup_of") < 1000000)
     assert cross.count() > 0  # re-crawls resolved AGAINST THE INDEX
+
+
+def test_quantized_rerank_recall(spark, sf_dir):
+    """Two-stage quality: the int8-coarse + exact-rerank top-5 must
+    recall >= 90% of the exact brute-force top-5 (int8 keeps enough
+    per-dimension fidelity that the true top-5 survives the top-20
+    coarse cut; measured 1.0 on the fixtures)."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = QUERIES["sim_quantized_rerank"](spark, sf_dir).collect()
+    exact = brute_force_topk(
+        e,
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=5,
+    ).collect()
+    g: dict[int, set] = {}
+    for r in got:
+        g.setdefault(r["query_id"], set()).add(r["vec_id"])
+    x: dict[int, set] = {}
+    for r in exact:
+        x.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(g) == set(x)
+    hits = sum(len(g[q] & x[q]) for q in x)
+    total = sum(len(x[q]) for q in x)
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
