@@ -1197,3 +1197,117 @@ def sim_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id", "cos_sim", F.col("rnk").cast("int").alias("rnk")
         )
     )
+
+
+@query(
+    "agg_approx_topk",
+    # Exactness argument, not a tolerance: approx_top_k's Misra-Gries
+    # style summary is EXACT while the tracked-item capacity (100 here)
+    # exceeds the column's cardinality (~5 event types), so the emitted
+    # counts equal the true counts and the top-3 set is the true top-3 —
+    # the oracle replays it declaratively. Past capacity the counts
+    # become estimates; capacity is the knob that trades memory for the
+    # exact-prefix guarantee.
+    oracle="""
+SELECT event_type, CAST(n AS BIGINT) AS est_n
+FROM (SELECT event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY 1)
+WHERE rn <= 3
+""",
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via ``approx_top_k`` (Spark 4 SQL) — the bounded-
+    memory frequent-items sketch: one pass, O(capacity) state per
+    partition, mergeable partials; at 100 TB the only way to answer
+    "top URLs / tokens / keys" without a full groupBy of a
+    billion-key column. Run with capacity > cardinality it degrades
+    gracefully to EXACT counts (the property this fixture pins); at
+    true scale the capacity bounds memory and the result is the
+    guaranteed-superset heavy-hitter estimate."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__events_topk"
+    )
+    return spark.sql(
+        """
+        SELECT t.item AS event_type, t.count AS est_n
+        FROM (SELECT explode(approx_top_k(event_type, 3, 100)) AS t
+              FROM __events_topk)
+        """
+    ).select("event_type", F.col("est_n").cast("bigint").alias("est_n"))
+
+
+@query(
+    "dedup_containment_pairs",
+    # Asymmetric by design: C(A,B) = |A∩B| / |A| — both directions
+    # emitted, no a<b normalization; the 6dp round happens before the
+    # threshold so the pair SET matches the oracle exactly (the
+    # dedup_jaccard_pairs precedent). Bounded scope (one source) like
+    # the other exact pair anchors; the corpus-scale path reuses the
+    # MinHash/LSH machinery with a containment verify.
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '')) AS toks
+    FROM documents WHERE source = 'src0')
+SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+       ROUND(CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / LEN(a.toks), 6) AS containment
+FROM t a JOIN t b ON a.doc_id != b.doc_id
+WHERE ROUND(CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / LEN(a.toks), 6) >= 0.9
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set CONTAINMENT pairs (C(A,B) = |A∩B|/|A| >= 0.9) within
+    one source — the asymmetric cousin of Jaccard that catches what
+    symmetric similarity misses: a document swallowed inside a larger
+    one (boilerplate wrappers, quoted articles, template expansions)
+    scores low Jaccard but containment ~1. Emits ORDERED pairs
+    (contained, container) in both directions where they hold.
+
+    Scale shape: same inverted-index equi-join as
+    ``dedup_jaccard_pairs`` (explode → token join → per-pair overlap
+    counts) — candidate pairs share >= 1 token, never all-pairs; the
+    denominator is the CONTAINED side's set size only. Bounded to one
+    source as the exact anchor; corpus-wide, the LSH banding machinery
+    applies with a containment verify on candidates."""
+    from featurestore_for_joycastle_java_spark.operators.text import tokens
+
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select(
+            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+        )
+        .filter(F.size("toks") > 0)
+    )
+    ex = t.select("doc_id", F.explode("toks").alias("tok"))
+    a, b = ex.alias("a"), ex.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_contained"),
+            F.col("b.doc_id").alias("id_container"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = t.select("doc_id", F.size("toks").alias("n_toks"))
+    return (
+        overlap.join(
+            sizes.withColumnRenamed("doc_id", "id_contained"), "id_contained"
+        )
+        .select(
+            "id_contained",
+            "id_container",
+            F.round(
+                F.col("n_inter") / F.col("n_toks").cast("double"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.9)
+    )
