@@ -1311,3 +1311,55 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= 0.9)
     )
+
+
+@query(
+    "udtf_table_arg_stats",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS total_toks
+FROM documents GROUP BY 1
+""",
+)
+def udtf_table_arg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF with a TABLE argument (Spark 4:
+    ``f(TABLE(t) PARTITION BY col)``) — the sixth API door next to the
+    scalar pandas UDF, grouped-agg UDF, Arrow lateral UDTF,
+    ``mapInArrow`` and the Python Data Source: Catalyst shuffles the
+    input on the PARTITION BY key and feeds each group to ONE UDTF
+    instance (``eval`` per row, ``terminate`` per group), i.e. the
+    groupBy-apply topology expressed as a SQL table function. The
+    Python body computes per-source doc/token totals — deliberately
+    SQL-replayable so the door itself (partitioning contract, instance
+    lifecycle, row batching) is what the oracle checks. Production use
+    of this door is group-wise Python that SQL can't express (per-group
+    model scoring, sequence alignment); the per-group state here is two
+    counters, so memory is O(1) per instance at any group size."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="source string, n_docs long, total_toks long")
+    class SourceStats:
+        def __init__(self):
+            self.src = None
+            self.n = 0
+            self.toks = 0
+
+        def eval(self, row):
+            self.src = row["source"]
+            self.n += 1
+            self.toks += len([t for t in row["text"].split(" ") if t])
+
+        def terminate(self):
+            if self.src is not None:
+                yield self.src, self.n, self.toks
+
+    spark.udtf.register("source_stats", SourceStats)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__docs_tblarg"
+    )
+    return spark.sql(
+        "SELECT source, n_docs, total_toks "
+        "FROM source_stats(TABLE(__docs_tblarg) PARTITION BY source)"
+    )
