@@ -1363,3 +1363,117 @@ def udtf_table_arg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT source, n_docs, total_toks "
         "FROM source_stats(TABLE(__docs_tblarg) PARTITION BY source)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass table profiler
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    # (name, kind) — kind picks which min/max lane the column reports in.
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = f"ROUND(CAST(MIN({c}) AS DOUBLE), 6)"
+            mx = f"ROUND(CAST(MAX({c}) AS DOUBLE), 6)"
+            ms = "CAST(NULL AS VARCHAR)"
+            xs = "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+            ms = f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"
+            xs = f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+            ms = f"MIN({c})"
+            xs = f"MAX({c})"
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows,\n"
+            f"       COUNT(*) - COUNT({c}) AS n_nulls,\n"
+            f"       COUNT(DISTINCT {c}) AS n_distinct,\n"
+            f"       {mn} AS min_num, {mx} AS max_num,\n"
+            f"       {ms} AS min_str, {xs} AS max_str\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+@query("profile_table_stats", oracle=_profile_oracle())
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiler — the data-quality summary every
+    ingestion pipeline runs before training (per-column row/null/distinct
+    counts plus typed min/max), computed in ONE scan of the table.
+
+    Shape: a single wide ``agg`` carrying every column's statistics, then
+    ``stack`` unpivots the 1-row result to one row per column — so the
+    table is read once and every statistic is a partially-aggregated
+    (map-side combined) expression. The only scale caveat is the exact
+    ``count(distinct)`` per column: Catalyst plans multiple distinct
+    aggregates via an Expand (xN data multiplication before the partial
+    agg). That is the price of exact parity with the oracle; the 100 TB
+    switch is one line — ``approx_count_distinct`` keeps the same single
+    scan with NO Expand and ~2 % error. Everything else (count/nulls/
+    min/max) is a plain partial aggregate at any scale.
+
+    Reference scope: the reference pipeline has no profiler; this is the
+    north-star data-pipeline surface (SURVEY.md §2.3 family).
+    """
+    t = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls")
+        )
+        aggs.append(F.countDistinct(c).alias(f"{c}__dist"))
+        if kind == "num":
+            aggs.append(
+                F.round(F.min(c).cast("double"), 6).alias(f"{c}__mn")
+            )
+            aggs.append(
+                F.round(F.max(c).cast("double"), 6).alias(f"{c}__mx")
+            )
+        elif kind == "ts":
+            aggs.append(
+                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"{c}__mn"
+                )
+            )
+            aggs.append(
+                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"{c}__mx"
+                )
+            )
+        else:
+            aggs.append(F.min(c).alias(f"{c}__mn"))
+            aggs.append(F.max(c).alias(f"{c}__mx"))
+    wide = t.agg(*aggs)
+
+    lanes = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"{c}__mn", f"{c}__mx"
+            ms = xs = "CAST(NULL AS STRING)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            ms, xs = f"{c}__mn", f"{c}__mx"
+        lanes.append(
+            f"'{c}', __rows, {c}__nulls, {c}__dist, {mn}, {mx}, {ms}, {xs}"
+        )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(lanes)}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_num, max_num, "
+        "min_str, max_str)"
+    ).orderBy("column_name")

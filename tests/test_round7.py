@@ -601,3 +601,52 @@ def test_quantized_rerank_recall(spark, sf_dir):
     hits = sum(len(g[q] & x[q]) for q in x)
     total = sum(len(x[q]) for q in x)
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_profile_single_scan_and_null_accounting(spark, sf_dir):
+    """The profiler reads the table ONCE (one parquet scan in the plan)
+    and its null accounting is exact: n_rows - n_nulls rows carry a
+    value, and n_distinct never exceeds that."""
+    df = QUERIES["profile_table_stats"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    rows = {r["column_name"]: r for r in df.collect()}
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    }
+    n = load_table(spark, sf_dir, "orders").count()
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_nulls"] <= n
+        assert r["n_distinct"] <= n - r["n_nulls"]
+        # exactly one of the min/max lanes is populated
+        assert (r["min_num"] is None) != (r["min_str"] is None)
+
+
+def test_profile_counts_nulls(spark):
+    """Null accounting verified on a hand-built frame with known nulls."""
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    src = spark.createDataFrame(
+        [(1, None, "A", 5.0, None, "P1"),
+         (2, 7, None, None, None, "P2"),
+         (None, 7, "A", 5.0, None, None)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    import unittest.mock as mock
+    with mock.patch.object(
+        R7, "load_table", lambda spark, sf_dir, name: src
+    ):
+        got = {
+            r["column_name"]: r
+            for r in R7.profile_table_stats(spark, "ignored").collect()
+        }
+    assert got["o_orderkey"]["n_nulls"] == 1
+    assert got["o_custkey"]["n_nulls"] == 1
+    assert got["o_custkey"]["n_distinct"] == 1
+    assert got["o_orderdate"]["n_nulls"] == 3
+    assert got["o_orderdate"]["n_distinct"] == 0
+    assert got["o_orderdate"]["min_str"] is None
+    assert got["o_totalprice"]["min_num"] == 5.0
