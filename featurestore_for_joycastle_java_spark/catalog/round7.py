@@ -1477,3 +1477,172 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(column_name, n_rows, n_nulls, n_distinct, min_num, max_num, "
         "min_str, max_str)"
     ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations + join-key skew diagnostic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_expectations",
+    oracle="""
+SELECT * FROM (
+SELECT 'completeness_custkey' AS rule, COUNT(*) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_violations,
+       COUNT(*) - COUNT(o_custkey) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'unique_orderkey', COUNT(*),
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+       COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+FROM orders
+UNION ALL
+SELECT 'range_totalprice', COUNT(*),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                      OR o_totalprice > 600000 THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                 OR o_totalprice > 600000 THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'set_orderstatus', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                      OR o_orderstatus NOT IN ('F','O','P')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_orderstatus IS NULL
+                 OR o_orderstatus NOT IN ('F','O','P')
+           THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'fk_custkey_customer', (SELECT COUNT(*) FROM orders),
+       CAST((SELECT COUNT(*) FROM orders o
+             LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+             WHERE c.c_custkey IS NULL) AS BIGINT),
+       (SELECT COUNT(*) FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL) = 0
+) ORDER BY rule
+""",
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the Deequ / Great-Expectations
+    pattern): declarative rules evaluated as ONE aggregate pass over the
+    fact table — completeness, uniqueness, numeric range, value-set
+    membership — plus one referential-integrity check as a broadcast
+    anti-join count.
+
+    Scale shape: the four row-local rules share a single scan (each is a
+    map-side-combined aggregate expression; the uniqueness rule is the
+    only distinct aggregate, so no Expand is planned). The FK rule is a
+    LEFT ANTI join from the 100 TB fact to the dimension key set —
+    broadcast when the dim fits (here), shuffle-hash on the key
+    otherwise; either way the violation COUNT is the only driver-side
+    value. Output is one row per rule so a scheduler can gate a pipeline
+    on ``passed`` without re-reading anything.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    bad_price = F.when(
+        F.col("o_totalprice").isNull()
+        | (F.col("o_totalprice") < 0)
+        | (F.col("o_totalprice") > 600000),
+        1,
+    ).otherwise(0)
+    bad_status = F.when(
+        F.col("o_orderstatus").isNull()
+        | ~F.col("o_orderstatus").isin("F", "O", "P"),
+        1,
+    ).otherwise(0)
+    wide = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_complete"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("v_unique"),
+        F.sum(bad_price).cast("long").alias("v_range"),
+        F.sum(bad_status).cast("long").alias("v_set"),
+    )
+    local = wide.selectExpr(
+        "stack(4, "
+        "'completeness_custkey', n, v_complete, "
+        "'unique_orderkey', n, v_unique, "
+        "'range_totalprice', n, v_range, "
+        "'set_orderstatus', n, v_set"
+        ") AS (rule, n_rows, n_violations)"
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(cust),
+            orders.o_custkey == cust.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .crossJoin(orders.agg(F.count(F.lit(1)).alias("n_rows")))
+        .select(
+            F.lit("fk_custkey_customer").alias("rule"),
+            "n_rows",
+            "n_violations",
+        )
+    )
+    return (
+        local.unionByName(orphans)
+        .withColumn("passed", F.col("n_violations") == 0)
+        .orderBy("rule")
+    )
+
+
+@query(
+    "diag_key_skew",
+    oracle="""
+WITH per_key AS (
+    SELECT o_custkey AS cust_key, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey),
+tot AS (
+    SELECT SUM(n_orders) AS total, AVG(n_orders) AS mean_per_key
+    FROM per_key)
+SELECT cust_key, n_orders,
+       ROUND(CAST(n_orders AS DOUBLE) / total, 6) AS share,
+       ROUND(CAST(n_orders AS DOUBLE) / mean_per_key, 6) AS skew_x
+FROM per_key, tot
+ORDER BY n_orders DESC, cust_key
+LIMIT 10
+""",
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 10 heaviest ``o_custkey`` values
+    with their row share and skew factor (count / mean-count-per-key) —
+    the number you read BEFORE choosing salted vs AQE-skew-join for a
+    100 TB join (the engine's salted paths: ``join_salted_skew``,
+    ``agg_salted_distinct``).
+
+    Shape: one map-side-combined groupBy to per-key counts, the global
+    total/mean as a second tiny aggregate over the per-key frame
+    (broadcast back via crossJoin — 1 row), and a TakeOrderedAndProject
+    top-10. Nothing materializes the full key histogram on the driver.
+    Ties broken by key for deterministic output.
+    """
+    per_key = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust_key"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = per_key.agg(
+        F.sum("n_orders").alias("total"),
+        F.avg("n_orders").alias("mean_per_key"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "cust_key",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n_orders") / F.col("mean_per_key"), 6).alias(
+                "skew_x"
+            ),
+        )
+        .orderBy(F.desc("n_orders"), "cust_key")
+        .limit(10)
+    )

@@ -650,3 +650,60 @@ def test_profile_counts_nulls(spark):
     assert got["o_orderdate"]["n_distinct"] == 0
     assert got["o_orderdate"]["min_str"] is None
     assert got["o_totalprice"]["min_num"] == 5.0
+
+
+def test_quality_expectations_detects_injected_violations(spark):
+    """Each rule fires on a frame with one violation of its kind, and the
+    FK rule counts orphan FACT rows (not distinct keys)."""
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    orders = spark.createDataFrame(
+        [(1, 10, "F", 5.0), (1, None, "X", -1.0),
+         (2, 99, "O", 5.0), (3, 99, "P", 700000.0)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double",
+    )
+    cust = spark.createDataFrame([(10,)], "c_custkey long")
+    tables = {"orders": orders, "customer": cust}
+    import unittest.mock as mock
+    with mock.patch.object(
+        R7, "load_table", lambda spark, sf_dir, name: tables[name]
+    ):
+        got = {
+            r["rule"]: r
+            for r in R7.quality_expectations(spark, "ignored").collect()
+        }
+    assert got["completeness_custkey"]["n_violations"] == 1
+    assert got["unique_orderkey"]["n_violations"] == 1
+    assert got["range_totalprice"]["n_violations"] == 2
+    assert got["set_orderstatus"]["n_violations"] == 1
+    # rows 2 and 3 share the orphan key 99 -> 2 violations, plus the
+    # null-key row is NOT an FK orphan match (anti join keeps it): 3.
+    assert got["fk_custkey_customer"]["n_violations"] == 3
+    assert not any(r["passed"] for r in got.values())
+
+
+def test_quality_expectations_single_fact_scan_for_local_rules(spark, sf_dir):
+    """The four row-local rules share one scan; the whole plan reads the
+    fact table at most twice (local rules + FK anti join) and the FK join
+    is broadcast."""
+    df = QUERIES["quality_expectations"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 4  # orders x3 (agg/anti/count) + customer
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    rows = {r["rule"]: r for r in df.collect()}
+    assert all(r["passed"] for r in rows.values()), rows
+
+
+def test_diag_key_skew_math(spark, sf_dir):
+    rows = QUERIES["diag_key_skew"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    # descending, deterministic tie-break by key
+    for a, b in zip(rows, rows[1:]):
+        assert (a["n_orders"], -a["cust_key"]) >= (b["n_orders"], -b["cust_key"])
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.count()
+    n_keys = orders.select("o_custkey").distinct().count()
+    top = rows[0]
+    assert abs(top["share"] - top["n_orders"] / total) < 1e-6
+    assert abs(top["skew_x"] - top["n_orders"] * n_keys / total) < 1e-4
