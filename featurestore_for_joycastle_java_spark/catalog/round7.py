@@ -1646,3 +1646,70 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "cust_key")
         .limit(10)
     )
+
+
+@query(
+    "quality_delete_propagation",
+    oracle="""
+SELECT * FROM (
+SELECT 'customer' AS table_name,
+       (SELECT COUNT(*) FROM customer) AS n_before,
+       (SELECT COUNT(*) FROM customer WHERE c_custkey % 100 = 0)
+           AS n_deleted,
+       (SELECT COUNT(*) FROM customer WHERE c_custkey % 100 <> 0)
+           AS n_after
+UNION ALL
+SELECT 'orders',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders WHERE o_custkey % 100 = 0),
+       (SELECT COUNT(*) FROM orders WHERE o_custkey % 100 <> 0)
+) ORDER BY table_name
+""",
+)
+def quality_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: a deletion list (here the
+    deterministic ``c_custkey % 100 = 0`` cohort standing in for a GDPR
+    erasure queue) is propagated to every table keyed by the subject, and
+    the audit reports per-table before/deleted/after counts — the numbers
+    a compliance job must log before rewriting files.
+
+    Shape: the deletion list is TINY relative to the corpus, so each fact
+    table pays exactly one scan joined LEFT against the broadcast list
+    (count(*) vs count(matched key) gives deleted vs surviving in the
+    same aggregate — no second pass, no anti-join re-scan). At 100 TB the
+    actual rewrite is the storage layer's job (Delta/Iceberg delete
+    vectors or copy-on-write compaction, cf. ``layout_compaction_bins``);
+    this query is the O(one scan per table) accounting step that gates it.
+    Null keys never match the list (SQL join semantics), so they are
+    counted as surviving — the conservative choice for erasure.
+    """
+    dele = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 100 == 0)
+        .select(F.col("c_custkey").alias("del_key"))
+        # an erasure queue can carry the same subject twice; a duplicate
+        # key on the build side would multiply fact rows through the
+        # LEFT join and double-count n_deleted
+        .distinct()
+    )
+
+    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
+        return (
+            df.join(
+                F.broadcast(dele), F.col(key) == F.col("del_key"), "left"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_before"),
+                F.count("del_key").alias("n_deleted"),
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                "n_deleted",
+                (F.col("n_before") - F.col("n_deleted")).alias("n_after"),
+            )
+        )
+
+    cust = audit(load_table(spark, sf_dir, "customer"), "c_custkey", "customer")
+    orde = audit(load_table(spark, sf_dir, "orders"), "o_custkey", "orders")
+    return cust.unionByName(orde).orderBy("table_name")

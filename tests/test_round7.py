@@ -707,3 +707,34 @@ def test_diag_key_skew_math(spark, sf_dir):
     top = rows[0]
     assert abs(top["share"] - top["n_orders"] / total) < 1e-6
     assert abs(top["skew_x"] - top["n_orders"] * n_keys / total) < 1e-4
+
+
+def test_delete_propagation_duplicate_queue_and_null_keys(spark):
+    """A duplicated erasure-queue subject must not double-count, and null
+    fact keys survive (conservative: never matched by the list)."""
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    cust = spark.createDataFrame(
+        [(100, "a"), (100, "a2"), (7, "b"), (None, "c")],
+        "c_custkey long, c_name string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 7), (4, None)],
+        "o_orderkey long, o_custkey long",
+    )
+    tables = {"customer": cust, "orders": orders}
+    import unittest.mock as mock
+    with mock.patch.object(
+        R7, "load_table", lambda spark, sf_dir, name: tables[name]
+    ):
+        got = {
+            r["table_name"]: r
+            for r in R7.quality_delete_propagation(spark, "x").collect()
+        }
+    # queue = {100} (duplicate collapsed); customer: 2 deleted of 4
+    assert got["customer"]["n_before"] == 4
+    assert got["customer"]["n_deleted"] == 2
+    assert got["customer"]["n_after"] == 2
+    # orders: rows 1,2 deleted; null-key row 4 survives
+    assert got["orders"]["n_deleted"] == 2
+    assert got["orders"]["n_after"] == 2
