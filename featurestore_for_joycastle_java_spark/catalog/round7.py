@@ -1713,3 +1713,74 @@ def quality_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = audit(load_table(spark, sf_dir, "customer"), "c_custkey", "customer")
     orde = audit(load_table(spark, sf_dir, "orders"), "o_custkey", "orders")
     return cust.unionByName(orde).orderBy("table_name")
+
+
+@query(
+    "profile_null_patterns",
+    oracle="""
+WITH e AS (
+    SELECT CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END AS u,
+           CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS p
+    FROM events)
+SELECT u IS NULL AS null_user, v IS NULL AS null_value,
+       p IS NULL AS null_props,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM events), 6) AS share
+FROM e
+GROUP BY 1, 2, 3
+ORDER BY null_user, null_value, null_props
+""",
+)
+def profile_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-pattern fingerprint: which COMBINATIONS of columns are
+    null together, with row counts and shares — the diagnostic that
+    separates "5 % of each column is missing independently" from "5 % of
+    ROWS are missing everything" (joint patterns drive imputation and
+    upstream-bug triage; Little & Rubin's missing-data taxonomy starts
+    here).
+
+    The fixture is fully dense, so a deterministic null mask (event_id
+    mod 13/11/7 for user/value/props) is injected identically in engine
+    and oracle — the query's subject is the PATTERN aggregation, which
+    the mask makes 8-way non-trivial (incl. the joint 1001st row where
+    7·11·13 | event_id).
+
+    Shape: one scan, one groupBy over at most 2^k patterns (k = audited
+    columns) — map-side combine collapses each partition to ≤2^k rows, so
+    the shuffle is bytes regardless of table size. For wide tables pack
+    the k flags into one LONG bitmask (same plan, one column); the share
+    denominator is a 1-row broadcast subquery, not a window over the
+    fact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        F.when(F.col("event_id") % 13 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("u"),
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("props"))
+        .alias("p"),
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        masked.groupBy(
+            F.col("u").isNull().alias("null_user"),
+            F.col("v").isNull().alias("null_value"),
+            F.col("p").isNull().alias("null_props"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "null_user",
+            "null_value",
+            "null_props",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy("null_user", "null_value", "null_props")
+    )

@@ -738,3 +738,18 @@ def test_delete_propagation_duplicate_queue_and_null_keys(spark):
     # orders: rows 1,2 deleted; null-key row 4 survives
     assert got["orders"]["n_deleted"] == 2
     assert got["orders"]["n_after"] == 2
+
+
+def test_null_patterns_partition_and_completeness(spark, sf_dir):
+    """All 2^3 patterns partition the table (counts sum to total, shares
+    to 1), and the plan is a partial-agg groupBy — no window over the
+    fact for the denominator."""
+    df = QUERIES["profile_null_patterns"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 8
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
