@@ -1784,3 +1784,83 @@ def profile_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("null_user", "null_value", "null_props")
     )
+
+
+#: sf_dir -> scratch root holding the two heterogeneous-schema parquet
+#: batches (one write per process, atexit-cleaned).
+_EVOLVE_SCRATCH: dict[str, str] = {}
+
+
+@query(
+    "layout_schema_evolution",
+    # The batches are DERIVED from orders deterministically (even keys =
+    # v1 without o_orderstatus, odd keys = v2 without o_custkey), so the
+    # mergeSchema fill-null contract is declaratively restatable on the
+    # base table: a column is present exactly on its batch's rows.
+    oracle="""
+SELECT * FROM (
+SELECT 'o_custkey' AS column_name,
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       (SELECT COUNT(o_custkey) FROM orders WHERE o_orderkey % 2 = 0)
+           AS n_present
+UNION ALL
+SELECT 'o_orderkey', (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(o_orderkey) FROM orders)
+UNION ALL
+SELECT 'o_orderstatus', (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(o_orderstatus) FROM orders WHERE o_orderkey % 2 = 1)
+UNION ALL
+SELECT 'o_totalprice', (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(o_totalprice) FROM orders)
+) ORDER BY column_name
+""",
+)
+def layout_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: two ingestion batches written with
+    DIFFERENT schemas (v1 carries ``o_custkey``, v2 drops it and adds
+    ``o_orderstatus``) are read back as ONE table under
+    ``mergeSchema=true``, and the audit counts per-column presence across
+    the unified frame — pinning the fill-null contract (a column absent
+    from a file reads as null for that file's rows, never an error).
+
+    This is the lakehouse reality a 100 TB corpus lives with: producers
+    evolve additively over years, and the reader must unify thousands of
+    heterogeneous footers. ``mergeSchema`` pays a per-file footer read at
+    planning (why Delta/Iceberg move the unified schema into the
+    transaction log instead — same read semantics, O(1) planning); the
+    audit itself is one scan with per-column count aggregates, map-side
+    combined. Scratch batches are written once per process and
+    atexit-cleaned (plan-lint eager list, tests/test_plan_lint.py).
+    """
+    root = _EVOLVE_SCRATCH.get(sf_dir)
+    if root is None or not os.path.isdir(root):
+        root = tempfile.mkdtemp(prefix="fs_evolve_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "b1"))
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "b2"))
+        )
+        _EVOLVE_SCRATCH[sf_dir] = root
+
+    unified = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "b1"), os.path.join(root, "b2")
+    )
+    cols = ["o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"]
+    assert sorted(unified.columns) == cols, unified.columns
+    wide = unified.agg(
+        F.count(F.lit(1)).alias("__rows"),
+        *[F.count(c).alias(f"{c}__p") for c in cols],
+    )
+    lanes = ", ".join(f"'{c}', __rows, {c}__p" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {lanes}) AS (column_name, n_rows, n_present)"
+    ).orderBy("column_name")

@@ -50,6 +50,10 @@ _EAGER_CONSTRUCTION = {
     # eager IVF index persist at construction (once per process,
     # atexit-cleaned); rebuild equivalence gated in tests/test_round7.py
     "sim_ivf_incremental",
+    # eager heterogeneous-batch scratch write at construction (once per
+    # process, atexit-cleaned); fill-null contract gated in
+    # tests/test_round7.py
+    "layout_schema_evolution",
 }
 
 #: CartesianProduct (shuffle cartesian — BOTH sides big) is deliberate

@@ -753,3 +753,23 @@ def test_null_patterns_partition_and_completeness(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_schema_evolution_fill_null_contract(spark, sf_dir):
+    """mergeSchema fill-null: a column absent from a batch reads as null
+    exactly for that batch's rows, and per-row provenance confirms it
+    (even keys lack o_orderstatus, odd keys lack o_custkey)."""
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    QUERIES["layout_schema_evolution"](spark, sf_dir)  # builds scratch
+    root = R7._EVOLVE_SCRATCH[sf_dir]
+    unified = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "b1"), os.path.join(root, "b2")
+    )
+    bad = unified.filter(
+        ((F.col("o_orderkey") % 2 == 0) & F.col("o_custkey").isNull())
+        | ((F.col("o_orderkey") % 2 == 0) & F.col("o_orderstatus").isNotNull())
+        | ((F.col("o_orderkey") % 2 == 1) & F.col("o_custkey").isNotNull())
+        | ((F.col("o_orderkey") % 2 == 1) & F.col("o_orderstatus").isNull())
+    ).count()
+    assert bad == 0
