@@ -1864,3 +1864,65 @@ def layout_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {lanes}) AS (column_name, n_rows, n_present)"
     ).orderBy("column_name")
+
+
+@query(
+    "text_phrase_match",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents)
+SELECT doc_id,
+       CAST(LEN(list_filter(range(1, LEN(toks)),
+                i -> toks[i] = 'hash' AND toks[i+1] = 'join'))
+            AS BIGINT) AS n_occurrences
+FROM t
+WHERE LEN(list_filter(range(1, LEN(toks)),
+          i -> toks[i] = 'hash' AND toks[i+1] = 'join')) > 0
+ORDER BY doc_id
+""",
+)
+def text_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: every document containing the
+    exact phrase "hash join", with its occurrence count — resolved by
+    JOINING the two terms' posting lists on (doc, adjacent position),
+    the classic positional-inverted-index algorithm (Manning/Raghavan/
+    Schütze IR ch. 2), never a LIKE scan over the full text.
+
+    Shape: a per-doc HOF extracts (term, pos) structs for ONLY the
+    phrase's terms before anything explodes — the exploded posting frame
+    is O(df(hash) + df(join)), not O(total tokens) — then one equi-join
+    on (doc_id, pos+1) and a count per doc. At 100 TB the posting lists
+    are the PERSISTED inverted index (built once, cf. ``text_bm25_topk``'s
+    term dimension): a phrase query touches two postings and joins them
+    co-partitioned on doc_id, cost independent of corpus text volume.
+    The oracle replays the phrase predicate declaratively per document.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(filter(split(lower(text), ' '), "
+                "x -> x <> ''), (t, i) -> struct(t AS term, i AS pos)), "
+                "s -> s.term IN ('hash', 'join'))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.term").alias("term"), F.col("s.pos").alias("pos"))
+    first = postings.filter(F.col("term") == "hash").select(
+        "doc_id", "pos"
+    )
+    second = postings.filter(F.col("term") == "join").select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    )
+    return (
+        first.join(
+            second,
+            (F.col("doc_id") == F.col("doc_id2"))
+            & (F.col("pos2") == F.col("pos") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy("doc_id")
+    )

@@ -773,3 +773,28 @@ def test_schema_evolution_fill_null_contract(spark, sf_dir):
         | ((F.col("o_orderkey") % 2 == 1) & F.col("o_orderstatus").isNull())
     ).count()
     assert bad == 0
+
+
+def test_phrase_match_adjacency_semantics(spark):
+    """Phrase = strictly adjacent in order: reversed order and gapped
+    pairs don't match; back-to-back overlapping occurrences all count."""
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    docs = spark.createDataFrame(
+        [(1, "a hash join b hash join c"),   # 2 occurrences
+         (2, "join hash"),                    # reversed: no
+         (3, "hash x join"),                  # gapped: no
+         (4, "hash hash join join"),          # 1 (pos2/pos3)
+         (5, "HASH JOIN"),                    # case-folded: 1
+         (6, "nothing here")],
+        "doc_id long, text string",
+    )
+    import unittest.mock as mock
+    with mock.patch.object(
+        R7, "load_table", lambda spark, sf_dir, name: docs
+    ):
+        got = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in R7.text_phrase_match(spark, "x").collect()
+        }
+    assert got == {1: 2, 4: 1, 5: 1}
