@@ -1926,3 +1926,68 @@ def text_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "diag_join_cardinality",
+    oracle="""
+WITH co AS (
+    SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+cl AS (
+    SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1)
+SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+       (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+       CAST((SELECT COALESCE(SUM(co.c * cl.c), 0)
+             FROM co JOIN cl ON co.k = cl.k) AS BIGINT) AS n_join_predicted,
+       (SELECT COUNT(*) FROM orders o JOIN lineitem l
+        ON o.o_orderkey = l.l_orderkey) AS n_join_actual,
+       CAST((SELECT COALESCE(SUM(co.c * cl.c), 0)
+             FROM co JOIN cl ON co.k = cl.k) AS BIGINT)
+           = (SELECT COUNT(*) FROM orders o JOIN lineitem l
+              ON o.o_orderkey = l.l_orderkey) AS match_exact
+""",
+)
+def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality prediction WITHOUT running the join: |A ⋈ B| =
+    Σ_k c_A(k)·c_B(k) over the two key histograms — the estimate a
+    planner (or an engineer deciding whether a 100 TB fact-to-fact join
+    is feasible) computes before committing the shuffle. The query emits
+    the prediction AND the measured join count with an equality bit; the
+    identity is exact, so the oracle pins both numbers.
+
+    Scale shape: the two histograms are map-side-combined groupBys that
+    shrink each fact to its key cardinality, and the histogram join is
+    keys-sized, not rows-sized — at 100 TB that is the difference between
+    a diagnostic you run casually and the join itself. The measured
+    column exists as the correctness anchor; drop it in production and
+    only the histogram stage remains. Sketch variant for unbounded key
+    cardinality: per-key counts → count-min (cf. ``agg_countmin_user_
+    counts``), prediction = Σ over heavy hitters + tail bound.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    co = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_o")
+    )
+    cl = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_l")
+    )
+    pred = co.join(cl, "k").agg(
+        F.coalesce(F.sum(F.col("c_o") * F.col("c_l")), F.lit(0))
+        .cast("long")
+        .alias("n_join_predicted")
+    )
+    actual = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("n_join_actual"))
+    )
+    return (
+        orders.agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(li.agg(F.count(F.lit(1)).alias("n_lineitem")))
+        .crossJoin(F.broadcast(pred))
+        .crossJoin(F.broadcast(actual))
+        .withColumn(
+            "match_exact",
+            F.col("n_join_predicted") == F.col("n_join_actual"),
+        )
+    )

@@ -798,3 +798,25 @@ def test_phrase_match_adjacency_semantics(spark):
             for r in R7.text_phrase_match(spark, "x").collect()
         }
     assert got == {1: 2, 4: 1, 5: 1}
+
+
+def test_join_cardinality_prediction_with_dup_keys(spark):
+    """The Σ c_A(k)·c_B(k) identity on a fixture with duplicate keys on
+    BOTH sides (2×3 fan-out) plus unmatched keys on each side."""
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    orders = spark.createDataFrame(
+        [(10,), (10,), (20,), (30,)], "o_orderkey long"
+    )
+    li = spark.createDataFrame(
+        [(10,), (10,), (10,), (20,), (99,)], "l_orderkey long"
+    )
+    tables = {"orders": orders, "lineitem": li}
+    import unittest.mock as mock
+    with mock.patch.object(
+        R7, "load_table", lambda spark, sf_dir, name: tables[name]
+    ):
+        r = R7.diag_join_cardinality(spark, "x").collect()[0]
+    assert r["n_join_predicted"] == 2 * 3 + 1 * 1 == 7
+    assert r["n_join_actual"] == 7
+    assert r["match_exact"]
