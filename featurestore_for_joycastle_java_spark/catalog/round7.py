@@ -1991,3 +1991,154 @@ def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_join_predicted") == F.col("n_join_actual"),
         )
     )
+
+
+#: sf_dir -> (sink_dir, n_dropped) for the watermark-drop stream (one
+#: drain per process, atexit-cleaned).
+_LATE_SCRATCH: dict[str, tuple[str, int]] = {}
+
+
+@query(
+    "stream_late_drops",
+    # Watermark replay, derived like the engine's three arrival batches
+    # (delay 30 min, 1-h tumbling windows, append mode):
+    #   batch 1: 08:00..09:59  -> watermark after it: 09:29
+    #   batch 2: one 09:59 row (bridge -- the wm a batch USES lags one
+    #            commit behind the data, measured; the bridge batch makes
+    #            09:29 effective for batch 3)
+    #   batch 3: the %9==2 rows at 07:00..07:49 have window end 08:00 <
+    #            09:29 -> DROPPED (excluded below); the %9==5 rows at
+    #            09:05..09:24 are row-late (ts < 09:29) but their window
+    #            [09:00,10:00) is still open -> KEPT (window-level
+    #            lateness, the semantic this query pins); %9==8 fresh.
+    # Final wm = max(all arrivals) - 30 min = 11:17; append emits only
+    # windows whose end <= 11:17 (the [11:00,12:00) window never emits).
+    oracle="""
+WITH b1 AS (
+    SELECT TIMESTAMP '2026-01-01 08:00:00'
+           + to_minutes(CAST(event_id % 120 AS BIGINT)) AS ts
+    FROM events WHERE event_id < 600 AND event_id % 3 <> 2),
+b2 AS (
+    SELECT TIMESTAMP '2026-01-01 09:59:00' AS ts
+    FROM events WHERE event_id = 2),
+b3_kept AS (
+    SELECT CASE WHEN event_id % 9 = 5
+                THEN TIMESTAMP '2026-01-01 09:05:00'
+                     + to_minutes(CAST(event_id % 20 AS BIGINT))
+                ELSE TIMESTAMP '2026-01-01 10:30:00'
+                     + to_minutes(CAST(event_id % 80 AS BIGINT)) END AS ts
+    FROM events
+    WHERE event_id < 600 AND event_id % 3 = 2 AND event_id <> 2
+      AND event_id % 9 <> 2),
+b3_all AS (
+    SELECT ts FROM b3_kept
+    UNION ALL
+    SELECT TIMESTAMP '2026-01-01 07:00:00'
+           + to_minutes(CAST(event_id % 50 AS BIGINT))
+    FROM events
+    WHERE event_id < 600 AND event_id % 9 = 2 AND event_id <> 2),
+wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM b3_all),
+kept AS (
+    SELECT ts FROM b1 UNION ALL SELECT ts FROM b2
+    UNION ALL SELECT ts FROM b3_kept)
+SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       COUNT(*) AS n_events
+FROM kept, wm
+WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1 ORDER BY 1
+""",
+)
+def stream_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting: a 3-batch file stream drains
+    through a 1-hour tumbling count with a 30-minute watermark in APPEND
+    mode, and the sink shows exactly which data survived: rows later
+    than the watermark whose WINDOW is already closed are dropped (the
+    07:xx batch-3 stragglers), rows equally "late" whose window is still
+    open are counted (the 09:05-09:24 stragglers — lateness is decided
+    per WINDOW, not per row), and windows the final watermark never
+    passed ([11:00,12:00)) are withheld from the append sink entirely.
+
+    Measured mechanics this encodes: the watermark a batch USES lags one
+    commit behind the batch whose data produced it — hence the 1-row
+    bridge batch between the fresh load and the stragglers; availableNow
+    runs a final no-data batch to advance the watermark and flush
+    closeable windows; and late rows are discarded by a Filter node
+    planned BEFORE the aggregation, so ``numRowsDroppedByWatermark``
+    (a state-operator metric) does NOT see them — real drop accounting
+    is input-minus-sink, which the test asserts. At 100 TB the same topology is the hourly-rollup
+    ingest: state is one count per open window per key, dropped-row
+    counts are the ops signal for "our producers are later than the
+    watermark budget".
+    """
+    hit = _LATE_SCRATCH.get(sf_dir)
+    if hit is None or not os.path.isdir(hit[0]):
+        root = tempfile.mkdtemp(prefix="fs_late_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        out = os.path.join(root, "out")
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").select("event_id")
+        m = "make_interval(0, 0, 0, 0, 0, CAST(%s AS INT), 0)"
+        b1 = ev.filter("event_id < 600 AND event_id % 3 <> 2").selectExpr(
+            "TIMESTAMP '2026-01-01 08:00:00' + "
+            + m % "event_id % 120"
+            + " AS ts"
+        )
+        b2 = ev.filter("event_id = 2").selectExpr(
+            "TIMESTAMP '2026-01-01 09:59:00' AS ts"
+        )
+        b3 = ev.filter(
+            "event_id < 600 AND event_id % 3 = 2 AND event_id <> 2"
+        ).selectExpr(
+            "CASE WHEN event_id % 9 = 2 THEN "
+            "TIMESTAMP '2026-01-01 07:00:00' + " + m % "event_id % 50"
+            + " WHEN event_id % 9 = 5 THEN "
+            "TIMESTAMP '2026-01-01 09:05:00' + " + m % "event_id % 20"
+            + " ELSE TIMESTAMP '2026-01-01 10:30:00' + "
+            + m % "event_id % 80"
+            + " END AS ts"
+        )
+        base_t = 1_700_000_000
+        for i, b in enumerate((b1, b2, b3)):
+            d = os.path.join(src, f"f{i}")
+            b.coalesce(1).write.parquet(d)
+            for fn in os.listdir(d):
+                os.utime(
+                    os.path.join(d, fn), (base_t + i * 100, base_t + i * 100)
+                )
+        stream = (
+            spark.readStream.schema("ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*"))
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option(
+                "checkpointLocation", os.path.join(root, "ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        _LATE_SCRATCH[sf_dir] = (out, dropped)
+        hit = (out, dropped)
+    return spark.read.parquet(hit[0]).orderBy("window_start")

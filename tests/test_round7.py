@@ -820,3 +820,41 @@ def test_join_cardinality_prediction_with_dup_keys(spark):
     assert r["n_join_predicted"] == 2 * 3 + 1 * 1 == 7
     assert r["n_join_actual"] == 7
     assert r["match_exact"]
+
+
+def test_late_drops_window_level_semantics(spark, sf_dir):
+    """Append-mode watermark semantics pinned end-to-end: closed-window
+    stragglers vanish, open-window stragglers count, unclosed windows
+    are withheld, and drop accounting = input minus sink."""
+    rows = {
+        r["window_start"]: r["n_events"]
+        for r in QUERIES["stream_late_drops"](spark, sf_dir).collect()
+    }
+    # no 07:00 window (its stragglers were dropped), no 11:00 window
+    # (final watermark 11:17 never passed its end)
+    assert set(rows) == {
+        "2026-01-01 08:00:00",
+        "2026-01-01 09:00:00",
+        "2026-01-01 10:00:00",
+    }
+    ev = load_table(spark, sf_dir, "events")
+    n_b1 = ev.filter("event_id < 600 AND event_id % 3 <> 2").count()
+    n_late = ev.filter(
+        "event_id < 600 AND event_id % 9 = 2 AND event_id <> 2"
+    ).count()
+    n_straggler_kept = ev.filter(
+        "event_id < 600 AND event_id % 9 = 5"
+    ).count()
+    n_fresh = ev.filter(
+        "event_id < 600 AND event_id % 9 = 8"
+    ).count()
+    n_withheld = ev.filter(
+        "event_id < 600 AND event_id % 9 = 8 AND event_id % 80 >= 30"
+    ).count()
+    total_in = n_b1 + 1 + n_late + n_straggler_kept + n_fresh
+    assert sum(rows.values()) == total_in - n_late - n_withheld
+    # the open-window stragglers ARE counted: 09 window > b1's share + 1
+    n_b1_w9 = ev.filter(
+        "event_id < 600 AND event_id % 3 <> 2 AND event_id % 120 >= 60"
+    ).count()
+    assert rows["2026-01-01 09:00:00"] == n_b1_w9 + 1 + n_straggler_kept
