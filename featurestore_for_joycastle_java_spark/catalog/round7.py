@@ -2142,3 +2142,68 @@ def stream_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         _LATE_SCRATCH[sf_dir] = (out, dropped)
         hit = (out, dropped)
     return spark.read.parquet(hit[0]).orderBy("window_start")
+
+
+@query(
+    "profile_observe_metrics",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM orders) AS n_input,
+       (SELECT CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM orders) AS n_nonpositive,
+       (SELECT COUNT(DISTINCT o_orderstatus) FROM orders) AS n_status,
+       (SELECT COUNT(*) FROM (
+            SELECT o_orderstatus FROM orders GROUP BY o_orderstatus))
+           AS n_result_rows
+""",
+)
+def profile_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics piggybacking via the ``Observation`` API: a production
+    aggregation runs ONCE, and QC counters (input rows, non-positive
+    prices, distinct statuses) ride along as ``observe`` accumulators on
+    the SAME scan — zero extra passes, exact values, no sampling. The
+    query returns the observed metrics plus the result-set size, so the
+    oracle can pin that observation semantics equal a (conceptually
+    second-scan) declarative restatement.
+
+    This is the 100 TB answer to "instrument the pipeline without
+    doubling its cost": every Spark action already streams each row
+    through the plan, and ``CollectMetrics`` taps that stream with
+    aggregate expressions evaluated JVM-side (plan node below the agg —
+    no Python, no second job). Contrast `profile_table_stats`, which IS
+    the second scan when no production query is in flight to ride on.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("qc")
+    observed = load_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonpositive"),
+        # DISTINCT aggregates are rejected in observed metrics
+        # (INVALID_OBSERVED_METRICS): CollectMetrics must be a mergeable
+        # accumulator. approx_count_distinct (HLL) is the sanctioned
+        # form -- exact here (3 statuses is far under HLL's sparse-mode
+        # exactness threshold), approximate-by-design at high cardinality.
+        F.approx_count_distinct("o_orderstatus").alias("n_status"),
+    )
+    # the "production" query: per-status rollup (its action triggers the
+    # observation; result size carried into the output)
+    result = observed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_result_rows = result.count()
+    got = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                got["n_input"],
+                got["n_nonpositive"],
+                got["n_status"],
+                n_result_rows,
+            )
+        ],
+        "n_input long, n_nonpositive long, n_status long, "
+        "n_result_rows long",
+    )

@@ -54,6 +54,9 @@ _EAGER_CONSTRUCTION = {
     # process, atexit-cleaned); fill-null contract gated in
     # tests/test_round7.py
     "layout_schema_evolution",
+    # eager by design: the Observation API only yields metrics after the
+    # production action runs, so construction triggers the job
+    "profile_observe_metrics",
 }
 
 #: CartesianProduct (shuffle cartesian — BOTH sides big) is deliberate

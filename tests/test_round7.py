@@ -858,3 +858,24 @@ def test_late_drops_window_level_semantics(spark, sf_dir):
         "event_id < 600 AND event_id % 3 <> 2 AND event_id % 120 >= 60"
     ).count()
     assert rows["2026-01-01 09:00:00"] == n_b1_w9 + 1 + n_straggler_kept
+
+
+def test_observe_metrics_single_job_and_exactness(spark):
+    """The observation rides the production action (no second scan of a
+    wrong copy): metrics computed on a hand fixture match exact values,
+    including rows the production agg itself would not surface."""
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    orders = spark.createDataFrame(
+        [(1, "F", -5.0), (2, "F", 10.0), (3, "O", 0.0), (4, "P", 2.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    import unittest.mock as mock
+    with mock.patch.object(
+        R7, "load_table", lambda spark, sf_dir, name: orders
+    ):
+        r = R7.profile_observe_metrics(spark, "x").collect()[0]
+    assert r["n_input"] == 4
+    assert r["n_nonpositive"] == 2  # -5.0 and 0.0
+    assert r["n_status"] == 3
+    assert r["n_result_rows"] == 3
