@@ -2207,3 +2207,103 @@ def profile_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_input long, n_nonpositive long, n_status long, "
         "n_result_rows long",
     )
+
+
+@query(
+    "sim_mips_topk",
+    # The oracle is the DIRECT answer: exact max-inner-product top-5 per
+    # query. Engine-side the shortlist travels through the augmented-
+    # cosine space; parity against this direct form IS the proof of the
+    # MIPS->cosine reduction identity.
+    oracle="""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_inner_product(qv, v), 6) AS dot_r
+    FROM q CROSS JOIN e)
+SELECT query_id, vec_id, dot_r, rnk
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY dot_r DESC, vec_id) AS INT) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+""",
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the MIPS→cosine reduction
+    (Bachrach et al., RecSys 2014; Shrivastava & Li, NIPS 2014): corpus
+    vectors are augmented with one extra coordinate sqrt(M² − |x|²)
+    (M = max corpus norm) and queries with 0, after which COSINE order in
+    the augmented space equals INNER-PRODUCT order in the original space
+    — cos_aug(q,x) = q·x / (|q|·M), a per-query monotone transform.
+
+    Engine route: augmented-cosine shortlist (top-20 per query) → exact
+    dot-product re-rank to top-5; the oracle computes direct MIPS top-5,
+    so parity proves the reduction end-to-end. The shortlist margin
+    absorbs last-ulp reorderings of the float division.
+
+    Why it matters at 100 TB: recommendation scoring is MIPS (user·item,
+    no normalization), but every sublinear index the engine has — SRP
+    buckets (`sim_srp_topk`), IVF cells (`sim_ivf_topk`), int8 coarse
+    scan (`sim_quantized_rerank`) — is built for COSINE/L2 geometry.
+    The augmentation is one narrow column appended at index-build time,
+    and unlocks all of them for inner-product retrieval unchanged.
+    """
+    from featurestore_for_joycastle_java_spark.operators import (
+        similarity as S,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    )
+    mx = e.agg(
+        F.max(S.l2_norm(F.col("v"))).alias("m")
+    )
+    # augmented corpus: [x, sqrt(M^2 - |x|^2)]; norm becomes M for every
+    # vector, so cosine denominators are constant per query
+    aug = e.crossJoin(F.broadcast(mx)).select(
+        "vec_id",
+        "v",
+        F.concat(
+            "v",
+            F.array(
+                F.sqrt(
+                    F.col("m") * F.col("m")
+                    - S.dot(F.col("v"), F.col("v"))
+                )
+            ),
+        ).alias("va"),
+    )
+    q = aug.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.concat("v", F.array(F.lit(0.0))).alias("qa"),
+    )
+    from pyspark.sql import Window
+
+    scored = q.crossJoin(aug.select("vec_id", "v", "va")).select(
+        "query_id",
+        "vec_id",
+        "qv",
+        "v",
+        S.cosine(F.col("qa"), F.col("va")).alias("cos_aug"),
+    )
+    w20 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_aug"), "vec_id"
+    )
+    shortlist = scored.withColumn(
+        "crank", F.row_number().over(w20)
+    ).filter(F.col("crank") <= 20)
+    rerank = shortlist.select(
+        "query_id",
+        "vec_id",
+        F.round(S.dot(F.col("qv"), F.col("v")), 6).alias("dot_r"),
+    )
+    w5 = Window.partitionBy("query_id").orderBy(F.desc("dot_r"), "vec_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w5).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "vec_id", "dot_r", "rnk")
+    )

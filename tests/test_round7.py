@@ -879,3 +879,26 @@ def test_observe_metrics_single_job_and_exactness(spark):
     assert r["n_nonpositive"] == 2  # -5.0 and 0.0
     assert r["n_status"] == 3
     assert r["n_result_rows"] == 3
+
+
+def test_mips_differs_from_cosine_on_nonuniform_norms(spark):
+    """The reduction's whole point: with non-uniform norms, inner-product
+    order != cosine order, and the augmented route returns the MIPS
+    order. q=[1,0]: cosine prefers a=[0.9,0] (cos 1.0), MIPS prefers
+    b=[3,1] (dot 3.0 vs 0.9)."""
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (10, [0.9, 0.0]), (11, [3.0, 1.0]),
+         (12, [0.0, 2.0]), (13, [-1.0, -1.0]), (14, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    import unittest.mock as mock
+    with mock.patch.object(
+        R7, "load_table", lambda spark, sf_dir, name: emb
+    ):
+        rows = R7.sim_mips_topk(spark, "x").collect()
+    top = {r["rnk"]: r for r in rows if r["query_id"] == 0}
+    assert top[1]["vec_id"] == 11 and abs(top[1]["dot_r"] - 3.0) < 1e-6
+    assert top[2]["vec_id"] == 0        # q itself, dot 1.0
+    assert top[3]["vec_id"] == 10       # the cosine-1.0 vector, dot 0.9
