@@ -2307,3 +2307,69 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "vec_id", "dot_r", "rnk")
     )
+
+
+@query(
+    "feature_quantile_bins",
+    oracle="""
+WITH b AS (
+    SELECT list_transform(
+        quantile_cont(o_totalprice,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        x -> ROUND(x, 6)) AS bs
+    FROM orders)
+SELECT CAST(LEN(list_filter(bs, x -> o_totalprice > x)) AS INT) AS bin,
+       COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 6) AS min_price,
+       ROUND(MAX(o_totalprice), 6) AS max_price
+FROM orders, b
+GROUP BY 1 ORDER BY 1
+""",
+)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quantile binning (the QuantileDiscretizer / feature-
+    bucketing primitive): decile boundaries computed EXACTLY (linear-
+    interpolated type-7 percentiles — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` agree bit-for-bit on this fixture), rounded to 6dp
+    ONCE, then every row assigned bin = #(boundaries < value) via an
+    array HOF against the broadcast 9-element boundary list. Rounding
+    before assignment makes membership decisions identical across
+    engines; the strict ``>`` is the documented edge rule.
+
+    Scale path: exact percentile aggregates buffer the column per
+    partition — fine to ~10⁸ rows/partition, the wrong tool at 100 TB.
+    The one-line switch is ``approx_percentile`` (t-digest sketch,
+    mergeable partials) for the boundary stage; the assignment HOF and
+    the binning contract are unchanged. Bins feed target encoding
+    (`feature_target_encoding`) and monotonic-feature checks.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.transform(
+            F.percentile(
+                "o_totalprice",
+                F.array(*[F.lit(i / 10) for i in range(1, 10)]),
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("bs")
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(
+                F.filter(
+                    "bs", lambda b: F.col("o_totalprice") > b
+                )
+            )
+            .cast("int")
+            .alias("bin"),
+            "o_totalprice",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 6).alias("min_price"),
+            F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        )
+        .orderBy("bin")
+    )

@@ -902,3 +902,34 @@ def test_mips_differs_from_cosine_on_nonuniform_norms(spark):
     assert top[1]["vec_id"] == 11 and abs(top[1]["dot_r"] - 3.0) < 1e-6
     assert top[2]["vec_id"] == 0        # q itself, dot 1.0
     assert top[3]["vec_id"] == 10       # the cosine-1.0 vector, dot 0.9
+
+
+def test_quantile_bins_equidepth_and_edge_rule(spark, sf_dir):
+    """Deciles are equi-depth (each within 1% of n/10), bins are ordered
+    and non-overlapping, and a value equal to a boundary lands in the
+    LOWER bin (strict > rule)."""
+    rows = QUERIES["feature_quantile_bins"](spark, sf_dir).collect()
+    assert [r["bin"] for r in rows] == list(range(10))
+    n = sum(r["n_orders"] for r in rows)
+    for r in rows:
+        assert abs(r["n_orders"] - n / 10) <= max(1, 0.01 * n)
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_price"] < b["min_price"]
+
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+    # boundary-edge fixture: 10 values 1..10 -> p10..p90 = 1.9,2.8,...,9.1
+    # value 5.0 vs median boundary 5.5 etc.; value EXACTLY at a rounded
+    # boundary must take the lower bin
+    orders = spark.createDataFrame(
+        [(float(v),) for v in range(1, 11)], "o_totalprice double"
+    )
+    import unittest.mock as mock
+    with mock.patch.object(
+        R7, "load_table", lambda spark, sf_dir, name: orders
+    ):
+        got = {r["bin"]: r for r in R7.feature_quantile_bins(spark, "x").collect()}
+    # boundaries: 1.9 2.8 3.7 4.6 5.5 6.4 7.3 8.2 9.1 -> 1 per bin except
+    # bin 0 (1.0) and the rest singletons
+    assert sum(r["n_orders"] for r in got.values()) == 10
+    assert got[0]["n_orders"] == 1 and got[0]["max_price"] == 1.0
+    assert got[9]["n_orders"] == 1 and got[9]["min_price"] == 10.0
