@@ -54,6 +54,11 @@ BENCH_SKIP: set[str] = set()
 #: stays protected by tests/test_oracle_parity.py and the full
 #: tools/driver_sim.py sweep (215/215 green at sf0.01 AND sf0.1 —
 #: SIM_r*.json).
+#: r8 rotation (execute at round-8 open): move round5b/round5c/round5d
+#: BELOW round5h — the r7 window covered them — so the r8 window reads
+#: round7-tail (24: the r7 window took only its first 2) + round5e (8)
+#: + round5f (6) + round5g (3) + round5h (3) + head of round4 = 50,
+#: finishing off every never-driver-checked query.
 _CATALOG_MODULES = [
     "round5b",
     "round5c",
