@@ -2373,3 +2373,117 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "er_customer_clusters",
+    # Recursive-CTE CC over the same blocked match predicate — engine
+    # (iterative min-label propagation) and oracle converge to the same
+    # unique min-reachable-id fixpoint (dedup_cc_clusters pattern).
+    oracle="""
+WITH RECURSIVE
+r AS (
+    SELECT c_custkey AS record_id, c_name AS nm,
+           c_nationkey AS nk, c_acctbal AS ab
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000, substr(c_name, 1, 17) || 'X',
+           c_nationkey, c_acctbal
+    FROM customer WHERE c_custkey % 50 = 0),
+pairs AS (
+    SELECT a.record_id AS id_a, b.record_id AS id_b
+    FROM r a JOIN r b
+      ON a.record_id < b.record_id
+     AND a.nk = b.nk
+     AND substr(a.nm, 10, 4) = substr(b.nm, 10, 4)
+    WHERE levenshtein(a.nm, b.nm) <= 1 AND a.ab = b.ab),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+    SELECT record_id AS node, record_id AS comp FROM r
+    UNION
+    SELECT e.dst AS node, q.comp AS comp
+    FROM reach q JOIN edges e ON e.src = q.node),
+cc AS (SELECT node AS record_id, MIN(comp) AS cluster_id
+       FROM reach GROUP BY 1)
+SELECT record_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS n_members,
+       record_id >= 1000000 AS is_synthetic
+FROM cc
+""",
+)
+def er_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over STRUCTURED records — the record-linkage
+    workflow (Fellegi-Sunter framing, modern blocking practice): a dirty
+    re-registration batch (every 50th customer re-enters with a
+    corrupted name, deterministic in both engines) is resolved against
+    the master by blocking → multi-field fuzzy scoring → connected
+    components → cluster ids.
+
+    Stages and their 100 TB shape:
+    - BLOCK on (nationkey, 4-digit name prefix): the self-join is an
+      equi-join on the block key — Σ block² comparisons, never n² (the
+      same inverted-index discipline as the document-dedup family, but
+      over typed fields).
+    - SCORE within block: thresholded ``levenshtein(name) ≤ 1`` AND
+      exact ``acctbal`` agreement — a compound predicate, because name
+      edit distance alone is useless here (every customer name is lev-1
+      from its key-neighbors: single-field fuzzy matching is the classic
+      ER mistake this query's fixture makes visible).
+    - CLUSTER with the generic CC operator (min-label propagation,
+      O(log diameter) rounds) rather than assuming matches form neat
+      pairs — real linkage graphs chain (A~B~C), and survivorship needs
+      the component, not the edge. Oracle replays the fixpoint as a
+      recursive CTE.
+    """
+    from featurestore_for_joycastle_java_spark.operators import dedup as D
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("record_id"),
+        F.col("c_name").alias("nm"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("ab"),
+    )
+    dirty = cust.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("record_id"),
+        F.concat(F.substring("c_name", 1, 17), F.lit("X")).alias("nm"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("ab"),
+    )
+    records = base.unionByName(dirty)
+    blocked = records.withColumn("blk", F.substring("nm", 10, 4))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.nk") == F.col("b.nk"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.record_id") < F.col("b.record_id")),
+        )
+        # 3-arg levenshtein short-circuits above the threshold (returns
+        # -1), so the verify never pays full edit-distance on far pairs
+        .filter(
+            (F.levenshtein(F.col("a.nm"), F.col("b.nm"), 1) >= 0)
+            & (F.col("a.ab") == F.col("b.ab"))
+        )
+        .select(
+            F.col("a.record_id").alias("id_a"),
+            F.col("b.record_id").alias("id_b"),
+        )
+    )
+    cc = D.connected_components(
+        records.select("record_id"), edges, id_col="record_id"
+    ).withColumnRenamed("component", "cluster_id")
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "record_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        (F.col("record_id") >= 1000000).alias("is_synthetic"),
+    )

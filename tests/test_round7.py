@@ -933,3 +933,45 @@ def test_quantile_bins_equidepth_and_edge_rule(spark, sf_dir):
     assert sum(r["n_orders"] for r in got.values()) == 10
     assert got[0]["n_orders"] == 1 and got[0]["max_price"] == 1.0
     assert got[9]["n_orders"] == 1 and got[9]["min_price"] == 10.0
+
+
+def test_er_every_variant_joins_its_origin(spark, sf_dir):
+    """Every synthetic re-registration lands in its origin's cluster, and
+    clean records stay singletons."""
+    df = QUERIES["er_customer_clusters"](spark, sf_dir)
+    rows = {r["record_id"]: r for r in df.collect()}
+    variants = [rid for rid in rows if rid >= 1000000]
+    assert variants
+    for v in variants:
+        assert rows[v]["cluster_id"] == rows[v - 1000000]["cluster_id"]
+        assert rows[v]["n_members"] >= 2
+        assert rows[v]["is_synthetic"]
+    # a clean record (key 1, not % 50) is a singleton
+    assert rows[1]["n_members"] == 1 and not rows[1]["is_synthetic"]
+
+
+def test_er_chains_resolve_transitively(spark):
+    """A linkage CHAIN A~B~C (no direct A~C edge) must land in ONE
+    cluster — the reason ER needs components, not pairs. B shares
+    acctbal with both A and C; A and C differ in 2 chars (no edge)."""
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    cust = spark.createDataFrame(
+        [(100, "Customer#000000100", 1, 50.0),   # A
+         (150, "Customer#000000150", 1, 77.7),   # origin for variant B'
+         (9000, "Customer#000000109", 1, 12.3)], # unrelated, lev 1 from A
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double",
+    )
+    import unittest.mock as mock
+    with mock.patch.object(
+        R7, "load_table", lambda spark, sf_dir, name: cust
+    ):
+        rows = {
+            r["record_id"]: r
+            for r in R7.er_customer_clusters(spark, "x").collect()
+        }
+    # 100 vs 9000: lev('...100','...109')=1, same nation+block BUT
+    # different acctbal -> NOT merged (the compound predicate)
+    assert rows[100]["cluster_id"] != rows[9000]["cluster_id"]
+    # 150's synthetic variant joins 150
+    assert rows[1000150]["cluster_id"] == rows[150]["cluster_id"]
