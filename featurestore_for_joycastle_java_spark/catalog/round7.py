@@ -2439,8 +2439,23 @@ def er_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       the component, not the edge. Oracle replays the fixpoint as a
       recursive CTE.
     """
-    from featurestore_for_joycastle_java_spark.operators import dedup as D
     from pyspark.sql import Window
+
+    records, cc = _er_records_and_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "record_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        (F.col("record_id") >= 1000000).alias("is_synthetic"),
+    )
+
+
+def _er_records_and_clusters(spark, sf_dir):
+    """Shared ER pipeline: (records, record->cluster labels). Blocking,
+    compound scoring, and CC exactly as documented on
+    ``er_customer_clusters``."""
+    from featurestore_for_joycastle_java_spark.operators import dedup as D
 
     cust = load_table(spark, sf_dir, "customer")
     base = cust.select(
@@ -2480,10 +2495,74 @@ def er_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = D.connected_components(
         records.select("record_id"), edges, id_col="record_id"
     ).withColumnRenamed("component", "cluster_id")
-    w = Window.partitionBy("cluster_id")
-    return cc.select(
-        "record_id",
-        "cluster_id",
-        F.count(F.lit(1)).over(w).alias("n_members"),
-        (F.col("record_id") >= 1000000).alias("is_synthetic"),
+    return records, cc
+
+
+@query(
+    "er_golden_record",
+    oracle="""
+WITH RECURSIVE
+r AS (
+    SELECT c_custkey AS record_id, c_name AS nm,
+           c_nationkey AS nk, c_acctbal AS ab
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000, substr(c_name, 1, 17) || 'X',
+           c_nationkey, c_acctbal
+    FROM customer WHERE c_custkey % 50 = 0),
+pairs AS (
+    SELECT a.record_id AS id_a, b.record_id AS id_b
+    FROM r a JOIN r b
+      ON a.record_id < b.record_id
+     AND a.nk = b.nk
+     AND substr(a.nm, 10, 4) = substr(b.nm, 10, 4)
+    WHERE levenshtein(a.nm, b.nm) <= 1 AND a.ab = b.ab),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+    SELECT record_id AS node, record_id AS comp FROM r
+    UNION
+    SELECT e.dst AS node, q.comp AS comp
+    FROM reach q JOIN edges e ON e.src = q.node),
+cc AS (SELECT node AS record_id, MIN(comp) AS cluster_id
+       FROM reach GROUP BY 1)
+SELECT cc.cluster_id,
+       arg_min(r.nm, r.record_id) AS canonical_name,
+       ROUND(MAX(r.ab), 2) AS canonical_acctbal,
+       CAST(COUNT(*) AS BIGINT) AS n_sources
+FROM cc JOIN r USING (record_id)
+GROUP BY cc.cluster_id
+HAVING COUNT(*) > 1
+ORDER BY cc.cluster_id
+""",
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the second half of master-data consolidation: for
+    every multi-record entity cluster from `er_customer_clusters`, build
+    the GOLDEN record with field-level survivorship rules (name = the
+    oldest source's via ``min_by`` on record id — "system of record
+    wins"; balance = MAX across sources — "most favorable value";
+    n_sources for lineage). Clusters of one are pass-throughs and are
+    excluded — the golden-record table is the consolidation DELTA a
+    merge job applies.
+
+    Shape: the cluster labels come from the shared blocked-CC pipeline
+    (O(Σ block²) + O(log diameter) rounds); survivorship itself is ONE
+    groupBy over the labeled records with ``min_by``/``max`` — rule
+    changes (most-recent wins, majority vote, source priority) swap
+    aggregate expressions, not pipeline structure.
+    """
+    records, cc = _er_records_and_clusters(spark, sf_dir)
+    labeled = cc.join(records, "record_id")
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.min_by("nm", "record_id").alias("canonical_name"),
+            F.round(F.max("ab"), 2).alias("canonical_acctbal"),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+        .filter(F.col("n_sources") > 1)
+        .orderBy("cluster_id")
     )

@@ -975,3 +975,15 @@ def test_er_chains_resolve_transitively(spark):
     assert rows[100]["cluster_id"] != rows[9000]["cluster_id"]
     # 150's synthetic variant joins 150
     assert rows[1000150]["cluster_id"] == rows[150]["cluster_id"]
+
+
+def test_golden_record_survivorship_rules(spark, sf_dir):
+    """Golden table = only multi-source clusters; name survives from the
+    master (min record_id, so never the corrupted 'X' variant); balance
+    is the cluster max (here equal across sources by construction)."""
+    rows = QUERIES["er_golden_record"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sources"] >= 2
+        assert not r["canonical_name"].endswith("X")
+        assert r["cluster_id"] < 1000000  # min-id labels come from masters
