@@ -2566,3 +2566,154 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_sources") > 1)
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "agg_theta_audience_overlap",
+    # Below the sketch's nominal-entries threshold (default 2^12 = 4096)
+    # a theta sketch retains EVERY distinct hash, so estimates are exact
+    # and deterministic — and distinct users per segment are 150/1500 at
+    # sf0.01/0.1 — hence the oracle pins the EXACT set algebra, not
+    # bounds. Past saturation the same query degrades to ~1-2% estimates
+    # (docstring) and an agg_hll_mergeable-style boolean oracle applies.
+    oracle="""
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.et AS seg_a, b.et AS seg_b,
+       a.n AS n_a, b.n AS n_b,
+       (SELECT COUNT(*) FROM
+            (SELECT user_id FROM u WHERE event_type = a.et
+             INTERSECT
+             SELECT user_id FROM u WHERE event_type = b.et))
+           AS n_overlap,
+       (SELECT COUNT(*) FROM
+            (SELECT user_id FROM u WHERE event_type = a.et
+             UNION
+             SELECT user_id FROM u WHERE event_type = b.et))
+           AS n_union,
+       (SELECT COUNT(*) FROM
+            (SELECT user_id FROM u WHERE event_type = a.et
+             EXCEPT
+             SELECT user_id FROM u WHERE event_type = b.et))
+           AS n_only_a
+FROM (SELECT event_type AS et, COUNT(DISTINCT user_id) AS n FROM u
+      GROUP BY 1) a
+JOIN (SELECT event_type AS et, COUNT(DISTINCT user_id) AS n FROM u
+      GROUP BY 1) b
+  ON (a.et, b.et) IN (('click','purchase'), ('click','view'),
+                      ('signup','error'))
+ORDER BY seg_a, seg_b
+""",
+)
+def agg_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap analytics via THETA sketches (Apache DataSketches,
+    Spark 4 ``theta_sketch_agg``/``theta_intersection``/``theta_union``/
+    ``theta_difference``): one sketch per behavioral segment (event
+    type), then the full distinct-set ALGEBRA — overlap, union, and
+    A-minus-B — evaluated sketch-on-sketch without ever re-touching the
+    fact table.
+
+    This is the capability boundary HLL cannot cross: HLL union is
+    lossless but HLL has NO intersection (inclusion-exclusion on
+    estimates compounds error and goes negative on small overlaps);
+    theta sketches carry a hash SAMPLE, so intersections and differences
+    are first-class. At 100 TB: one sketch per (segment, day) persisted
+    at ingest — any "users who did A and B but not C this week" question
+    becomes set algebra over kilobyte sketches. Below nominal entries
+    (4096) the sketch keeps every hash and the numbers are EXACT (the
+    fixture regime, pinned by the oracle); past it they are ~1-2%
+    estimates with the same algebra.
+    """
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("user_id").cast("int").alias("uid"))
+    )
+    sk = u.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(uid)").alias("s"),
+        F.countDistinct("uid").cast("long").alias("n"),
+    )
+    pairs = spark.createDataFrame(
+        [("click", "purchase"), ("click", "view"), ("signup", "error")],
+        "seg_a string, seg_b string",
+    )
+    a = sk.alias("a")
+    b = sk.alias("b")
+    return (
+        pairs.join(a, F.col("seg_a") == F.col("a.event_type"))
+        .join(b, F.col("seg_b") == F.col("b.event_type"))
+        .select(
+            "seg_a",
+            "seg_b",
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.expr(
+                "CAST(theta_sketch_estimate("
+                "theta_intersection(a.s, b.s)) AS BIGINT)"
+            ).alias("n_overlap"),
+            F.expr(
+                "CAST(theta_sketch_estimate("
+                "theta_union(a.s, b.s)) AS BIGINT)"
+            ).alias("n_union"),
+            F.expr(
+                "CAST(theta_sketch_estimate("
+                "theta_difference(a.s, b.s)) AS BIGINT)"
+            ).alias("n_only_a"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+@query(
+    "agg_kll_quantile_merge",
+    # KLL estimates are not SQL-replayable (randomized compactor state);
+    # the oracle pins the exact stream length (KLL tracks n exactly) and
+    # the rank-error booleans the sketch guarantees (k=200 default:
+    # ~1.65% normalized rank error at 99% confidence; 3% bound leaves
+    # margin) — the agg_hll_mergeable pattern for quantiles.
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       TRUE AS rank_p50_ok,
+       TRUE AS rank_p90_ok
+FROM orders
+""",
+)
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketches (Apache DataSketches KLL, Spark 4
+    ``kll_sketch_agg_double``/``kll_sketch_merge_double``): one sketch
+    per order-priority slice, merged into a whole-table sketch whose
+    p50/p90 are then validated against the EXACT empirical CDF — the
+    engine computes the true rank of each estimated quantile (one
+    filter-count per quantile) and asserts it within the sketch's rank-
+    error bound. n is tracked exactly by KLL, so merged n must equal
+    COUNT(*) bit-for-bit.
+
+    The quantile sibling of `agg_hll_mergeable` and the sketch behind
+    "p99 latency per (service, day), rollup-able to any period without
+    rescanning": percentile_approx answers one query; persisted KLL
+    partials answer every future rollup by merge. At 100 TB the slice
+    sketches are the stored artifact; this query IS the merge path.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    slices = orders.groupBy("o_orderpriority").agg(
+        F.expr("kll_sketch_agg_double(o_totalprice)").alias("sk")
+    )
+    # kll_sketch_merge_double is a 2-arg SCALAR merge (not an agg):
+    # fold the slice sketches with an aggregate HOF — the same
+    # left-fold a 100 TB rollup runs over persisted partials
+    merged = slices.agg(
+        F.collect_list("sk").alias("sks")
+    ).selectExpr(
+        "aggregate(slice(sks, 2, size(sks) - 1), sks[0], "
+        "(acc, x) -> kll_sketch_merge_double(acc, x)) AS m"
+    ).select(
+        F.expr("kll_sketch_get_n_double(m)").cast("long").alias("n_rows"),
+        F.expr("kll_sketch_get_quantile_double(m, 0.5)").alias("p50"),
+        F.expr("kll_sketch_get_quantile_double(m, 0.9)").alias("p90"),
+    )
+    est = merged.collect()[0]
+    total = est["n_rows"]
+    r50 = orders.filter(F.col("o_totalprice") <= est["p50"]).count() / total
+    r90 = orders.filter(F.col("o_totalprice") <= est["p90"]).count() / total
+    return spark.createDataFrame(
+        [(total, abs(r50 - 0.5) <= 0.03, abs(r90 - 0.9) <= 0.03)],
+        "n_rows long, rank_p50_ok boolean, rank_p90_ok boolean",
+    )

@@ -36,7 +36,10 @@ _EAGER_CONSTRUCTION = {
     "train_corpus_prep_neardup",  # composes the CC loop
     "train_corpus_prep",
     "er_customer_clusters",  # composes the CC loop
-    "er_golden_record",  # composes the CC loop  # composes the CC loop
+    "er_golden_record",  # composes the CC loop
+    # eager by design: validates sketch quantiles against the exact CDF,
+    # which requires the estimates driver-side before the checks
+    "agg_kll_quantile_merge",  # composes the CC loop
     # eager partitioned scratch write at construction (once per process,
     # atexit-cleaned); its scan shape is plan-gated in tests/test_round5d.py
     "layout_partition_prune",

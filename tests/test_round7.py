@@ -987,3 +987,41 @@ def test_golden_record_survivorship_rules(spark, sf_dir):
         assert r["n_sources"] >= 2
         assert not r["canonical_name"].endswith("X")
         assert r["cluster_id"] < 1000000  # min-id labels come from masters
+
+
+def test_theta_algebra_exact_below_saturation(spark):
+    """Theta set algebra on hand-built segments: overlap, union, and
+    difference are EXACT below nominal entries, including a disjoint
+    pair (intersection 0 — the case HLL inclusion-exclusion gets
+    wrong)."""
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    rows = []
+    rows += [("click", i) for i in range(0, 100)]
+    rows += [("purchase", i) for i in range(50, 120)]   # overlap 50
+    rows += [("view", i) for i in range(0, 30)]         # subset of click
+    rows += [("signup", i) for i in range(1000, 1010)]  # disjoint
+    rows += [("error", i) for i in range(2000, 2005)]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    import unittest.mock as mock
+    with mock.patch.object(
+        R7, "load_table", lambda spark, sf_dir, name: ev
+    ):
+        got = {
+            (r["seg_a"], r["seg_b"]): r
+            for r in R7.agg_theta_audience_overlap(spark, "x").collect()
+        }
+    cp = got[("click", "purchase")]
+    assert (cp["n_overlap"], cp["n_union"], cp["n_only_a"]) == (50, 120, 50)
+    cv = got[("click", "view")]
+    assert (cv["n_overlap"], cv["n_union"], cv["n_only_a"]) == (30, 100, 70)
+    se = got[("signup", "error")]
+    assert (se["n_overlap"], se["n_union"], se["n_only_a"]) == (0, 15, 10)
+
+
+def test_kll_merge_tracks_n_exactly(spark, sf_dir):
+    """KLL tracks the stream length exactly through merges: merged n ==
+    COUNT(*), proving every slice sketch participated in the fold."""
+    r = QUERIES["agg_kll_quantile_merge"](spark, sf_dir).collect()[0]
+    assert r["n_rows"] == load_table(spark, sf_dir, "orders").count()
+    assert r["rank_p50_ok"] and r["rank_p90_ok"]
