@@ -2717,3 +2717,93 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(total, abs(r50 - 0.5) <= 0.03, abs(r90 - 0.9) <= 0.03)],
         "n_rows long, rank_p50_ok boolean, rank_p90_ok boolean",
     )
+
+
+@query(
+    "diag_table_diff",
+    # The "new version" is derived from orders deterministically:
+    # %97==0 rows deleted, %101==0 rows repriced (+10), keys+2M added
+    # for %503==0 — so the diff is declaratively restatable.
+    oracle="""
+WITH v2 AS (
+    SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 101 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 101 <> 0
+    UNION ALL
+    SELECT o_orderkey + 2000000, o_totalprice
+    FROM orders WHERE o_orderkey % 503 = 0),
+j AS (
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS okey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM orders a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+SELECT change_type, COUNT(*) AS n_rows,
+       MIN(okey) AS min_key, MAX(okey) AS max_key
+FROM j GROUP BY 1 ORDER BY 1
+""",
+)
+def diag_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset version diff (the data-reconciliation op behind "what
+    changed between yesterday's snapshot and today's"): FULL OUTER join
+    on the key classifies every row as added / removed / changed /
+    unchanged, rolled up with per-class key ranges for the audit log.
+
+    Shape: ONE co-partitioned full-outer join on the key (both sides
+    shuffle once on o_orderkey; with both snapshots bucketed on the key
+    — `layout_bucketed_join` — even that shuffle disappears), then a
+    4-group aggregate. 'changed' compares the tracked column directly
+    here; for wide tables the standard trick is comparing a precomputed
+    per-row content hash so the join carries 2 columns, not 50. At
+    100 TB this query is why snapshots keep PRIMARY-KEY layout: the
+    diff is a merge-scan, never a rebuild.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = (
+        orders.filter(
+            (F.col("o_orderkey") % 97 != 0)
+        ).select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 101 == 0,
+                F.col("o_totalprice") + 10.0,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 503 == 0).select(
+            (F.col("o_orderkey") + 2000000).alias("o_orderkey"),
+            "o_totalprice",
+        )
+    )
+    a = orders.alias("a")
+    b = v2.alias("b")
+    j = a.join(
+        b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+            "okey"
+        ),
+        F.when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.o_orderkey").isNull(), "added")
+        .when(
+            F.col("a.o_totalprice") != F.col("b.o_totalprice"), "changed"
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return (
+        j.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("okey").alias("min_key"),
+            F.max("okey").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )

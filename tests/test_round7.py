@@ -1025,3 +1025,29 @@ def test_kll_merge_tracks_n_exactly(spark, sf_dir):
     r = QUERIES["agg_kll_quantile_merge"](spark, sf_dir).collect()[0]
     assert r["n_rows"] == load_table(spark, sf_dir, "orders").count()
     assert r["rank_p50_ok"] and r["rank_p90_ok"]
+
+
+def test_table_diff_classification(spark):
+    """Diff classes on a hand fixture: removed key, changed value, added
+    key, unchanged row — each lands in exactly one class."""
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    orders = spark.createDataFrame(
+        [(97 * 101, 1.0),   # removed (multiple of 97)
+         (101, 2.0),        # changed (multiple of 101, not 97)
+         (1, 3.0),          # unchanged
+         (503, 4.0)],       # survives AND spawns key+2M (added)
+        "o_orderkey long, o_totalprice double",
+    )
+    import unittest.mock as mock
+    with mock.patch.object(
+        R7, "load_table", lambda spark, sf_dir, name: orders
+    ):
+        got = {
+            r["change_type"]: r
+            for r in R7.diag_table_diff(spark, "x").collect()
+        }
+    assert got["removed"]["n_rows"] == 1 and got["removed"]["min_key"] == 9797
+    assert got["changed"]["n_rows"] == 1 and got["changed"]["min_key"] == 101
+    assert got["added"]["n_rows"] == 1 and got["added"]["min_key"] == 2000503
+    assert got["unchanged"]["n_rows"] == 2  # keys 1 and 503
