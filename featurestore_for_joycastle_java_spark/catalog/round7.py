@@ -2807,3 +2807,82 @@ def diag_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "graph_bfs_hops",
+    # Recursive-CTE BFS with a generous depth cap (30 ≫ the co-supply
+    # diameter — the engine's fixpoint loop measures it single-digit;
+    # UNION-dedup alone cannot terminate on cyclic graphs because
+    # revisits arrive with ever-larger hop counts).
+    oracle="""
+WITH RECURSIVE
+bip AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+    FROM lineitem WHERE l_quantity >= 49.0),
+e AS (
+    SELECT a.s AS u, b.s AS v
+    FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s
+    GROUP BY 1, 2),
+dir AS (
+    SELECT u AS src, v AS dst FROM e
+    UNION ALL
+    SELECT v AS src, u AS dst FROM e),
+s0 AS (SELECT MIN(u) AS s FROM e),
+walk AS (
+    SELECT s AS node, 0 AS hops FROM s0
+    UNION
+    SELECT d.dst AS node, w.hops + 1 AS hops
+    FROM walk w JOIN dir d ON d.src = w.node
+    WHERE w.hops < 30)
+SELECT node, CAST(MIN(hops) AS INT) AS hops
+FROM walk GROUP BY 1 ORDER BY node
+""",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS (shortest hop counts) over the co-supply graph
+    — the traversal member of the graph family (PageRank, k-core,
+    triangles, common-neighbors, CC): distances from the minimum-key
+    supplier to every reachable node by frontier expansion.
+
+    Loop shape (the Pregel/BSP pattern, same discipline as the CC
+    operator): per round ONE join frontier→neighbors + ONE left-anti
+    prune against the visited set, both localCheckpointed so lineage
+    stays flat; the only driver-side value per round is the 1-row
+    frontier count; rounds = eccentricity of the source (single-digit
+    here — dense projection graphs have tiny diameters). At 100 TB the
+    edge list is hash-partitioned on src once and every round's join
+    reuses that partitioning. The oracle replays the fixpoint as a
+    depth-capped recursive CTE.
+    """
+    from featurestore_for_joycastle_java_spark.operators.graphs import (
+        cosupply_edges,
+    )
+
+    e = cosupply_edges(spark, sf_dir).localCheckpoint(eager=True)
+    direct = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition(32, "src")
+        .localCheckpoint(eager=True)
+    )
+    src = e.agg(F.min("u")).collect()[0][0]
+    visited = spark.createDataFrame([(src, 0)], "node long, hops int")
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    hop = 0
+    while True:
+        hop += 1
+        nxt = (
+            frontier.join(direct, frontier.node == direct.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.orderBy("node")

@@ -39,7 +39,8 @@ _EAGER_CONSTRUCTION = {
     "er_golden_record",  # composes the CC loop
     # eager by design: validates sketch quantiles against the exact CDF,
     # which requires the estimates driver-side before the checks
-    "agg_kll_quantile_merge",  # composes the CC loop
+    "agg_kll_quantile_merge",
+    "graph_bfs_hops",  # eager BFS frontier loop (tests/test_round7.py)  # composes the CC loop
     # eager partitioned scratch write at construction (once per process,
     # atexit-cleaned); its scan shape is plan-gated in tests/test_round5d.py
     "layout_partition_prune",

@@ -1051,3 +1051,32 @@ def test_table_diff_classification(spark):
     assert got["changed"]["n_rows"] == 1 and got["changed"]["min_key"] == 101
     assert got["added"]["n_rows"] == 1 and got["added"]["min_key"] == 2000503
     assert got["unchanged"]["n_rows"] == 2  # keys 1 and 503
+
+
+def test_bfs_chain_distances_and_unreachable(spark):
+    """BFS on a path graph gives exact hop counts; a disconnected
+    component is absent from the result. Edges via a synthetic lineitem:
+    parts chain suppliers 1-2-3-4; suppliers 8,9 form an island."""
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    rows = [
+        # (partkey, suppkey, qty): each part links its suppliers
+        (100, 1, 50.0), (100, 2, 50.0),   # edge 1-2
+        (101, 2, 50.0), (101, 3, 50.0),   # edge 2-3
+        (102, 3, 50.0), (102, 4, 50.0),   # edge 3-4
+        (103, 8, 50.0), (103, 9, 50.0),   # island 8-9
+        (104, 1, 10.0), (104, 9, 10.0),   # below qty threshold: ignored
+    ]
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_suppkey long, l_quantity double"
+    )
+    import unittest.mock as mock
+    with mock.patch(
+        "featurestore_for_joycastle_java_spark.operators.graphs.load_table",
+        lambda spark, sf_dir, name: li,
+    ):
+        got = {
+            r["node"]: r["hops"]
+            for r in R7.graph_bfs_hops(spark, "x").collect()
+        }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
