@@ -56,9 +56,9 @@ BENCH_SKIP: set[str] = set()
 #: SIM_r*.json).
 #: r8 rotation (execute at round-8 open): move round5b/round5c/round5d
 #: BELOW round5h — the r7 window covered them — so the r8 window reads
-#: round7-tail (29: the r7 window took only its first 2 of round7's 31)
-#: + round5e (8) + round5f (6) + round5g (3) + round5h (3) = 49 + the
-#: head of round4 = 50, finishing off every never-driver-checked query.
+#: round7-tail (30: the r7 window took only its first 2 of round7's 32)
+#: + round5e (8) + round5f (6) + round5g (3) + round5h (3) = exactly 50,
+#: finishing off every never-driver-checked query.
 _CATALOG_MODULES = [
     "round5b",
     "round5c",
