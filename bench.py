@@ -38,6 +38,16 @@ DRIFT_NOTES = {
     # (bench_queries.json) and 1.431 s (bench_history.json) back to back.
     # Worker-startup scheduling noise, not query rot; fixture unchanged
     # (documents 500 rows, same schema hash, output 4 667 rows).
+    # Probe (r7 close, sf0.1, local[32]): isolated warm steady-state
+    # feature_rfm 1.98-2.33 s across 5 runs == the oldest 2.29 s
+    # baseline; funnel_conversion 0.49-0.52 s, BETTER than the oldest
+    # 0.64 s. Both flags fired at an identical 1.52x in the same suite
+    # run whose total grew ~16% uniformly (223.5 -> 260.2 s, 238
+    # queries) — suite-level scheduler contention, not query rot.
+    "feature_rfm": "suite contention; isolated warm 1.98-2.33s =="
+    " oldest 2.29s (see comment)",
+    "funnel_conversion": "suite contention; isolated warm 0.49-0.52s"
+    " beats oldest 0.64s (see comment)",
     "udtf_token_hist": "arrow-udtf worker startup noise; warm exec"
     " 0.85-0.95s == oldest baseline (see comment)",
 }
