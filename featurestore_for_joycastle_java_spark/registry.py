@@ -70,6 +70,10 @@ _CATALOG_MODULES = [
     "round5f",
     "round5g",
     "round5h",
+    # round7b (this continuation's additions) sits BELOW round5e..5h so
+    # the r8 window arithmetic above still closes out every older
+    # never-checked query first; round7b queues behind them (r9 head).
+    "round7b",
     "round4",
     "asof",
     "ingest",
