@@ -392,3 +392,327 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(sens).alias("l_distinct"),
         (F.countDistinct(sens) >= 3).alias("is_diverse"),
     )
+
+
+# ------------------------------------------------- marketing attribution
+
+
+@query(
+    "attrib_multitouch",
+    oracle="""
+WITH p AS (
+    SELECT event_id AS pid, user_id, epoch_us(ts) AS p_us
+    FROM events WHERE event_type = 'purchase'),
+t AS (
+    SELECT event_id, user_id, event_type AS channel, epoch_us(ts) AS t_us
+    FROM events WHERE event_type <> 'purchase'),
+touch AS (
+    SELECT p.pid, t.channel, t.t_us, t.event_id,
+           ROW_NUMBER() OVER (PARTITION BY p.pid
+                              ORDER BY t.t_us, t.event_id) AS rn_first,
+           ROW_NUMBER() OVER (PARTITION BY p.pid
+                              ORDER BY t.t_us DESC, t.event_id DESC)
+               AS rn_last,
+           COUNT(*) OVER (PARTITION BY p.pid) AS n_touch
+    FROM p JOIN t
+      ON p.user_id = t.user_id
+     AND t.t_us < p.p_us
+     AND t.t_us >= p.p_us - 604800000000)
+SELECT channel,
+       CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_first,
+       CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_last,
+       ROUND(SUM(1.0 / n_touch), 6) AS linear_credit
+FROM touch GROUP BY 1
+""",
+)
+def attrib_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: for every purchase, the user's
+    non-purchase events in the prior 7 days are its touchpoints; each
+    channel (event type) is credited under three standard models at
+    once — first-touch, last-touch, and linear (1/n per touch). The
+    three disagree exactly where attribution disputes live (first-touch
+    rewards discovery channels, last-touch rewards closers).
+
+    Scale shape: purchases join touches per USER (one hash shuffle on
+    user_id) with the 7-day range as a residual filter — per-user
+    activity is bounded, so no quadratic blowup; the credit windows
+    partition per PURCHASE (small groups); final rollup is a
+    combine-friendly 4-column agg over |channels| rows. First/last are
+    exact counts; only the linear column is float (sum of 1/n, rounded
+    on both sides)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros(F.col("ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("t_us").alias("p_us"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", F.col("event_type").alias("channel"), "t_us",
+    )
+    touch = p.join(t, "user_id").filter(
+        (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(604800000000))
+    )
+    w_first = Window.partitionBy("pid").orderBy("t_us", "event_id")
+    w_last = Window.partitionBy("pid").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    w_all = Window.partitionBy("pid")
+    credited = touch.select(
+        "channel",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+        F.count(F.lit(1)).over(w_all).alias("n_touch"),
+    )
+    return credited.groupBy("channel").agg(
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0)).alias(
+            "n_first"
+        ),
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0)).alias("n_last"),
+        F.round(F.sum(F.lit(1.0) / F.col("n_touch")), 6).alias(
+            "linear_credit"
+        ),
+    )
+
+
+# ------------------------------------------------- unigram LM quality
+
+
+@query(
+    "text_lm_quality",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS tok
+    FROM documents),
+c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+g AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT tok) AS v FROM t),
+s AS (
+    SELECT t.doc_id,
+           LN(CAST(c.c + 1 AS DOUBLE) / (g.n_total + g.v)) AS lp
+    FROM t JOIN c USING (tok) CROSS JOIN g)
+SELECT doc_id, COUNT(*) AS n_tokens, ROUND(-AVG(lp), 6) AS nll_nats
+FROM s GROUP BY 1
+""",
+)
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, CCNet-style (Wenzek et al., LREC
+    2020): train an add-one-smoothed unigram LM on the corpus itself,
+    then score every document by its mean token negative log-likelihood
+    — high NLL marks gibberish/outlier documents for the quality filter,
+    the statistical upgrade over ``text_quality``'s surface ratios.
+
+    Scale shape: tokens materialize once (explode), the unigram table is
+    a combine-friendly count, the (N, V) normalizer is a 1-row broadcast,
+    and scoring is one hash join token->count followed by a per-doc agg
+    — no per-row Python; at 100 TB the unigram table itself may stop
+    being broadcastable, which is why the score join is a plain shuffle
+    hash join on the token key."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    c = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    g = t.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("tok").alias("v"),
+    )
+    s = (
+        t.join(c, "tok")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n_total") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(-F.avg("lp"), 6).alias("nll_nats"),
+    )
+
+
+# ------------------------------------------------------ geo grid join
+
+
+@query(
+    "geo_grid_hotspots",
+    oracle="""
+WITH pts AS (
+    SELECT (event_id * 2654435761) % 180000 // 1000 AS cell_lat,
+           (event_id * 2246822519) % 360000 // 1000 AS cell_lon
+    FROM events),
+cells AS (
+    SELECT cell_lat, cell_lon, COUNT(*) AS n_points
+    FROM pts GROUP BY 1, 2),
+nbr AS (
+    SELECT c.cell_lat + dy.d AS cell_lat, c.cell_lon + dx.d AS cell_lon,
+           c.n_points
+    FROM cells c,
+         (VALUES (-1), (0), (1)) dy(d),
+         (VALUES (-1), (0), (1)) dx(d)),
+hood AS (
+    SELECT cell_lat, cell_lon, SUM(n_points) AS neighborhood_n
+    FROM nbr GROUP BY 1, 2)
+SELECT c.cell_lat, c.cell_lon, c.n_points,
+       CAST(h.neighborhood_n AS BIGINT) AS neighborhood_n
+FROM cells c JOIN hood h USING (cell_lat, cell_lon)
+ORDER BY neighborhood_n DESC, c.cell_lat, c.cell_lon
+LIMIT 20
+""",
+)
+def geo_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot detection on a 1-degree grid: events carry a
+    deterministic synthetic location (integer multiplicative hash of
+    event_id — Knuth 6.4, exact in both engines), points bucket into
+    grid cells, and each cell's 3x3-neighborhood density is computed by
+    EXPLODING the 9 offsets and re-aggregating — the standard trick
+    that turns a spatial range join into an equi-join on grid keys
+    (the same bucketing idea geohash/S2 indexes use).
+
+    Scale shape: point->cell is a pure projection; the cell frame is
+    |grid| (64 800) rows regardless of data size, so the 9x offset
+    explode and neighborhood rollup are constant-cost; no cross join of
+    points, no distance computation on the fact table. Top-20 is a
+    TakeOrderedAndProject with a total-order tiebreak. Everything is
+    integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 2654435761) % 180000)
+        .cast("long")
+        .alias("lat_md"),
+        ((F.col("event_id") * 2246822519) % 360000)
+        .cast("long")
+        .alias("lon_md"),
+    ).select(
+        F.floor(F.col("lat_md") / 1000).alias("cell_lat"),
+        F.floor(F.col("lon_md") / 1000).alias("cell_lon"),
+    )
+    cells = pts.groupBy("cell_lat", "cell_lon").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    offs = F.array([F.lit(d) for d in (-1, 0, 1)])
+    nbr = (
+        cells.select("cell_lat", "cell_lon", "n_points", F.explode(offs).alias("dy"))
+        .select(
+            (F.col("cell_lat") + F.col("dy")).alias("cell_lat"),
+            "cell_lon",
+            "n_points",
+            F.explode(offs).alias("dx"),
+        )
+        .select(
+            "cell_lat",
+            (F.col("cell_lon") + F.col("dx")).alias("cell_lon"),
+            "n_points",
+        )
+    )
+    hood = nbr.groupBy("cell_lat", "cell_lon").agg(
+        F.sum("n_points").alias("neighborhood_n")
+    )
+    return (
+        cells.join(hood, ["cell_lat", "cell_lon"])
+        .select("cell_lat", "cell_lon", "n_points", "neighborhood_n")
+        .orderBy(
+            F.col("neighborhood_n").desc(), "cell_lat", "cell_lon"
+        )
+        .limit(20)
+    )
+
+
+# -------------------------------------------------------- Adamic-Adar
+
+
+@query(
+    "graph_adamic_adar",
+    oracle="""
+WITH bip AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+    FROM lineitem WHERE l_quantity >= 49.0),
+e AS (
+    SELECT DISTINCT a.s AS u, b.s AS v
+    FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s),
+adj AS (
+    SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+wedge AS (
+    SELECT a.y AS u, b.y AS v, d.d
+    FROM adj a JOIN adj b ON a.x = b.x AND a.y < b.y
+    JOIN deg d ON d.x = a.x),
+cn AS (
+    SELECT u, v, COUNT(*) AS cn,
+           ROUND(SUM(1.0 / LN(CAST(d AS DOUBLE))), 6) AS aa_score
+    FROM wedge GROUP BY 1, 2),
+nonedge AS (
+    SELECT cn.u, cn.v, cn.cn, cn.aa_score
+    FROM cn LEFT JOIN e ON e.u = cn.u AND e.v = cn.v
+    WHERE e.u IS NULL)
+SELECT u, v, cn, aa_score
+FROM nonedge
+ORDER BY aa_score DESC, u, v
+LIMIT 50
+""",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar, Social Networks 2003)
+    on the co-supply graph: non-adjacent supplier pairs scored by
+    SUM(1/ln(deg(z))) over common neighbors z — rare shared partners
+    count more than promiscuous hubs, the weighting that beats raw
+    common-neighbor counts (Liben-Nowell & Kleinberg 2003); ranked
+    top-50. Complements ``graph_link_common_neighbors`` (unweighted).
+
+    Scale shape: identical wedge-join bound as triangle counting
+    (candidates only at distance 2, Sigma deg^2 work, never the
+    quadratic non-edge set); the center's degree rides INTO the wedge
+    join via one broadcast so the score is a plain combine-friendly
+    SUM; anti-join drops adjacent pairs; deterministic top-50 orders by
+    the ROUNDED score with (u, v) tiebreak on both engines. deg(z) >= 2
+    for every wedge center, so ln is always positive."""
+    from featurestore_for_joycastle_java_spark.operators.graphs import (
+        cosupply_edges,
+        degrees,
+    )
+
+    e = cosupply_edges(spark, sf_dir)
+    adj = e.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    ).unionAll(e.select(F.col("v").alias("x"), F.col("u").alias("y")))
+    deg = degrees(e)
+    a = adj.alias("a")
+    b = adj.alias("b")
+    wedge = (
+        a.join(
+            b,
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y")),
+        )
+        .join(
+            F.broadcast(deg.select(F.col("x").alias("cx"), "d")),
+            F.col("a.x") == F.col("cx"),
+        )
+        .select(
+            F.col("a.y").alias("u"),
+            F.col("b.y").alias("v"),
+            F.col("d"),
+        )
+    )
+    cn = wedge.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.round(F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))), 6)
+        .alias("aa_score"),
+    )
+    return (
+        cn.join(e, ["u", "v"], "left_anti")
+        .orderBy(F.col("aa_score").desc(), "u", "v")
+        .limit(50)
+    )
