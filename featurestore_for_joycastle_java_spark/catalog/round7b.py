@@ -716,3 +716,177 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_score").desc(), "u", "v")
         .limit(50)
     )
+
+
+# ------------------------------------------- stateful clamped cumsum
+
+
+@query(
+    "feature_capped_running_sum",
+    # The oracle replays the SAME float sequence: the recursive step is
+    # written r.bal + (e.value - 25.0) — parenthesized to match the
+    # engine's bal + (v - 25.0) association exactly, so both engines
+    # produce bit-identical IEEE doubles at every step (clamping is
+    # order-dependent; association must match, not just the math).
+    oracle="""
+WITH RECURSIVE e AS (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS rn
+    FROM events),
+r AS (
+    SELECT user_id, rn,
+           CASE WHEN (value - 25.0) > 500.0 THEN 500.0
+                WHEN (value - 25.0) < 0.0 THEN 0.0
+                ELSE (value - 25.0) END AS bal,
+           CASE WHEN (value - 25.0) > 500.0 THEN 1 ELSE 0 END AS n_capped,
+           CASE WHEN (value - 25.0) < 0.0 THEN 1 ELSE 0 END AS n_floored
+    FROM e WHERE rn = 1
+    UNION ALL
+    SELECT e.user_id, e.rn,
+           CASE WHEN r.bal + (e.value - 25.0) > 500.0 THEN 500.0
+                WHEN r.bal + (e.value - 25.0) < 0.0 THEN 0.0
+                ELSE r.bal + (e.value - 25.0) END,
+           r.n_capped
+               + CASE WHEN r.bal + (e.value - 25.0) > 500.0
+                      THEN 1 ELSE 0 END,
+           r.n_floored
+               + CASE WHEN r.bal + (e.value - 25.0) < 0.0
+                      THEN 1 ELSE 0 END
+    FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+m AS (SELECT user_id, MAX(rn) AS mx FROM e GROUP BY 1)
+SELECT r.user_id,
+       CAST(r.rn AS BIGINT) AS n_events,
+       CAST(r.n_capped AS BIGINT) AS n_capped,
+       CAST(r.n_floored AS BIGINT) AS n_floored,
+       ROUND(r.bal, 6) AS final_balance
+FROM r JOIN m ON m.user_id = r.user_id AND r.rn = m.mx
+""",
+)
+def feature_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped (capped/floored) running balance per user: each event
+    moves the balance by ``value - 25`` and the result saturates into
+    [0, 500] — loyalty points, rate-limit budgets, inventory with a bin
+    size. The clamp makes every step depend on the PREVIOUS CLAMPED
+    state, so no prefix-sum / closed form exists (unlike
+    ``feature_ewma_decay``'s linear recurrence) — this is the honest
+    "iterative per-entity state" operator.
+
+    Engine shape: ``applyInPandas`` over user_id — Arrow-batched
+    per-entity sequential state, the documented slow-path door (same
+    tier as the multimodal decoders); groups are bounded per-user
+    sequences, sorted in-worker by (epoch, event_id). The oracle is a
+    DuckDB recursive CTE replaying the identical float sequence; it
+    proves the Spark side against SQL semantics rather than a weaker
+    rows-only check. At 100 TB this shape holds: one shuffle on
+    user_id, per-group work linear in the user's history, no
+    whole-partition materialization beyond the group."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "event_id",
+        "value",
+    )
+
+    def _replay(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["t_us", "event_id"])
+        bal = 0.0
+        n_capped = 0
+        n_floored = 0
+        for v in pdf["value"].to_numpy():
+            raw = bal + (v - 25.0)
+            if raw > 500.0:
+                bal = 500.0
+                n_capped += 1
+            elif raw < 0.0:
+                bal = 0.0
+                n_floored += 1
+            else:
+                bal = raw
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "n_capped": [n_capped],
+                "n_floored": [n_floored],
+                "final_balance": [bal],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        _replay,
+        schema=(
+            "user_id long, n_events long, n_capped long, "
+            "n_floored long, final_balance double"
+        ),
+    )
+    return out.withColumn("final_balance", F.round("final_balance", 6))
+
+
+# ---------------------------------------------- streaming trending top-k
+
+
+@query(
+    "stream_trending_topk",
+    oracle="""
+WITH wc AS (
+    SELECT DATE_TRUNC('hour', ts) AS ws, event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2),
+rk AS (
+    SELECT ws, event_type, n_events,
+           ROW_NUMBER() OVER (PARTITION BY ws
+                              ORDER BY n_events DESC, event_type) AS rnk,
+           LAG(n_events) OVER (PARTITION BY event_type ORDER BY ws)
+               AS prev_n
+    FROM wc)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, n_events,
+       CAST(rnk AS INTEGER) AS rnk,
+       n_events - COALESCE(prev_n, 0) AS delta_vs_prev
+FROM rk WHERE rnk <= 3
+""",
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending dashboard: drain the topic with availableNow
+    into watermarked 1-hour tumbling counts, then rank each window's top
+    3 event types and attach the count delta vs the type's previous
+    window (the "rising/falling" arrow). The windowed aggregation runs
+    IN the stream (state = |windows x types|, freed past the watermark);
+    the rank/lag garnish runs on the drained result — at |windows x
+    types| scale, not event scale — because global ranking inside a
+    stream would need complete-mode state forever.
+
+    Determinism: counts are exact integers; rank ties break on
+    event_type; the delta for a type's first window coalesces to the
+    full count (new entrant = all growth)."""
+    from featurestore_for_joycastle_java_spark.catalog.streaming import _run
+
+    from featurestore_for_joycastle_java_spark import streaming as ST
+
+    src = ST.file_stream_source(spark, sf_dir)
+    agg = ST.tumbling_counts(src, window="1 hour", watermark="2 hours")
+    out = _run(spark, agg, "complete")
+    win = out.select(
+        F.col("window.start").alias("ws"), "event_type", "n_events"
+    )
+    w_rank = Window.partitionBy("ws").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("ws")
+    return (
+        win.withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn("prev_n", F.lag("n_events").over(w_lag))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "rnk",
+            (F.col("n_events") - F.coalesce(F.col("prev_n"), F.lit(0)))
+            .alias("delta_vs_prev"),
+        )
+    )
