@@ -890,3 +890,260 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("delta_vs_prev"),
         )
     )
+
+
+# ------------------------------------------------------ PMI collocations
+
+#: Shared token/bigram CTE (mirrors the engine's split-lower-nonempty
+#: tokenization used across the text family).
+_TOKS = """
+t AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents),
+uni AS (
+    SELECT unnest(toks) AS w FROM t),
+bi AS (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+    FROM t WHERE len(toks) >= 2)
+"""
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=f"""
+WITH {_TOKS},
+uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+un AS (SELECT COUNT(*) AS n_uni FROM uni),
+bc AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+bn AS (SELECT COUNT(*) AS n_bi FROM bi)
+SELECT bc.w1, bc.w2, bc.c_ab,
+       ROUND(LN((CAST(bc.c_ab AS DOUBLE) / bn.n_bi)
+                / ((CAST(a.c AS DOUBLE) / un.n_uni)
+                   * (CAST(b.c AS DOUBLE) / un.n_uni))), 6) AS pmi
+FROM bc
+JOIN uc a ON a.w = bc.w1
+JOIN uc b ON b.w = bc.w2
+CROSS JOIN un CROSS JOIN bn
+WHERE bc.c_ab >= 5
+ORDER BY bc.c_ab DESC, bc.w1, bc.w2
+LIMIT 30
+""",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent-token bigrams scored by pointwise
+    mutual information (Church & Hanks, CL 1990) — PMI >> 0 marks pairs
+    that co-occur far above chance ("new york", not "of the"); the
+    count >= 5 support floor removes PMI's low-frequency blowup. Top-30
+    ordered by the EXACT count (floats never decide order), PMI rounded
+    on both sides.
+
+    Scale shape: bigrams come from zipping each token array with its
+    own tail (one explode, no self-join); unigram and bigram counts are
+    combine-friendly aggs; the two count joins are plain shuffle hash
+    joins on the word key (a 100 TB vocabulary outgrows broadcast);
+    normalizers are 1-row broadcasts; top-30 is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+        ).alias("toks")
+    )
+    uni = toks.select(F.explode("toks").alias("w"))
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1).alias(
+                        "w1"
+                    ),
+                    F.expr("slice(toks, 2, size(toks) - 1)").alias("w2"),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    un = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    bn = bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    scored = (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(uc.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(bn))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("ca").cast("double") / F.col("n_uni"))
+                        * (F.col("cb").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("c_ab").desc(), "w1", "w2").limit(30)
+
+
+# ------------------------------------------------- running distinct count
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+WITH f AS (
+    SELECT event_id, user_id,
+           CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY epoch_us(ts), event_id) = 1
+                THEN 1 ELSE 0 END AS first_seen
+    FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(first_seen) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_types_so_far
+FROM (SELECT e.event_id, e.user_id, e.ts, f.first_seen
+      FROM events e JOIN f ON f.event_id = e.event_id) x
+""",
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact RUNNING DISTINCT count per entity: after each event, how
+    many distinct event types has this user produced so far? SQL has no
+    ``COUNT(DISTINCT) OVER (ORDER BY ...)`` — the exact closed form is
+    the first-occurrence trick: flag each (user, type)'s first event
+    (row_number = 1 in the per-type ordering), then running-SUM the
+    flags in event order. Two ordinary windows replace a
+    state-explosion (collect_set per row would carry the whole set in
+    every frame).
+
+    Scale shape: two hash-partitioned windows — one keyed (user, type),
+    one keyed user — both bounded per-entity; pure integer arithmetic;
+    output is event-grain (this is a feature column, not a report)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros(F.col("ts"))
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "t_us", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("n_types_so_far"),
+    )
+
+
+# --------------------------------------------------- curriculum deciles
+
+#: Unigram-LM NLL scoring CTE shared with text_lm_quality's oracle.
+_NLL = """
+t AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS tok
+    FROM documents),
+c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+g AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT tok) AS v FROM t),
+nll AS (
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           ROUND(-AVG(LN(CAST(c.c + 1 AS DOUBLE) / (g.n_total + g.v))), 6)
+               AS nll_nats
+    FROM t JOIN c USING (tok) CROSS JOIN g
+    GROUP BY t.doc_id)
+"""
+
+
+@query(
+    "train_curriculum_buckets",
+    oracle=f"""
+WITH {_NLL},
+d AS (
+    SELECT doc_id, n_tokens, nll_nats,
+           NTILE(10) OVER (ORDER BY nll_nats, doc_id) AS decile
+    FROM nll)
+SELECT CAST(decile AS INTEGER) AS decile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(nll_nats), 6) AS avg_nll,
+       MIN(nll_nats) AS min_nll,
+       MAX(nll_nats) AS max_nll
+FROM d GROUP BY 1
+""",
+)
+def train_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule (Bengio et al., ICML 2009): order the
+    corpus easy-to-hard by LM negative log-likelihood and cut it into 10
+    equal-depth difficulty stages, reporting each stage's document and
+    TOKEN budget (training schedules are token-denominated). Composes
+    ``text_lm_quality``'s scorer — deciles are over the same rounded
+    score the driver already hash-pins, with doc_id tiebreak so bucket
+    boundaries are total-ordered.
+
+    Scale shape: NTILE over a global order is the usual trap; this uses
+    the two-pass range-bucketed ``global_row_number`` + the exact
+    closed-form ``ntile_from_rank`` (no whole-corpus window), then one
+    combine-friendly rollup to 10 rows."""
+    from featurestore_for_joycastle_java_spark.operators.ranks import (
+        ntile_from_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+            )
+        ).alias("tok"),
+    )
+    c = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    g = t.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("tok").alias("v"),
+    )
+    nll = (
+        t.join(c, "tok")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.avg(
+                    F.log(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("n_total") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("nll_nats"),
+        )
+    )
+    ranked = global_row_number(nll, "nll_nats", ["doc_id"], out_col="rn")
+    tiled = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("rn"), F.col("_n_total"), 10)
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("nll_nats"), 6).alias("avg_nll"),
+        F.min("nll_nats").alias("min_nll"),
+        F.max("nll_nats").alias("max_nll"),
+    )
