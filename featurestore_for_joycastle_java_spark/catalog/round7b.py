@@ -1147,3 +1147,217 @@ def train_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nll_nats").alias("min_nll"),
         F.max("nll_nats").alias("max_nll"),
     )
+
+
+# ----------------------------------------------------- average precision
+
+
+@query(
+    "eval_avg_precision",
+    oracle="""
+WITH b AS (
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+           value
+    FROM events),
+r AS (
+    SELECT y,
+           ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn,
+           SUM(y) OVER (ORDER BY value DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+    FROM b)
+SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+       COUNT(*) AS n,
+       ROUND(SUM(CASE WHEN y = 1 THEN CAST(tp AS DOUBLE) / rn ELSE 0 END)
+             / CAST(SUM(y) AS DOUBLE), 6) AS avg_precision
+FROM r
+""",
+)
+def eval_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the PR-curve area, as ranking metrics define
+    it: mean of precision@k over the positive ranks) for "does event
+    value predict a purchase" — the imbalance-robust companion to
+    ``eval_feature_auc``'s ROC AUC (Davis & Goadrich, ICML 2006: PR
+    dominates ROC under class skew). Ties on the score break on
+    event_id in BOTH engines, pinning the permutation AP is defined
+    over.
+
+    Scale shape: the oracle's global ROW_NUMBER/cumulative-TP windows
+    are single-task; the engine ranks with the range-bucketed
+    ``global_row_number`` and reuses the SAME lineage for the
+    cumulative true-positive count via ``grouped_prefix_sum`` (one
+    logical group — only bucket totals cross the tiny prefix window),
+    so no window ever sees the whole fact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+        (-F.col("value")).alias("_negscore"),
+    )
+    ranked = global_row_number(ev, "_negscore", ["event_id"], out_col="rn")
+    cum = grouped_prefix_sum(
+        ranked.withColumn("_g", F.lit(1)),
+        ["_g"],
+        "_negscore",
+        "y",
+        out_col="tp_cum",
+        tiebreak_cols=["event_id"],
+    )
+    return cum.agg(
+        F.sum("y").alias("n_pos"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("y") == 1,
+                    F.col("tp_cum").cast("double") / F.col("rn"),
+                ).otherwise(0.0)
+            )
+            / F.sum("y").cast("double"),
+            6,
+        ).alias("avg_precision"),
+    )
+
+
+# ------------------------------------------------------ table checksums
+
+
+@query(
+    "diag_table_checksum",
+    # 40-bit row fingerprints summed under an order-INDEPENDENT exact
+    # aggregate (DuckDB sums in int128; Spark in DECIMAL(38,0)), then
+    # reduced mod 2^40 — overflow-free at any realistic row count.
+    # Doubles enter the canonical rendering as exact integer cents.
+    oracle="""
+WITH c AS (
+    SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+           CAST(SUM(CAST('0x' || substr(md5(concat_ws('|',
+               c_custkey, c_name, c_nationkey, c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT))), 1, 10)
+               AS BIGINT)) % 1099511627776 AS BIGINT) AS checksum
+    FROM customer),
+o AS (
+    SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+           CAST(SUM(CAST('0x' || substr(md5(concat_ws('|',
+               o_orderkey, o_custkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT),
+               strftime(o_orderdate, '%Y-%m-%d'))), 1, 10)
+               AS BIGINT)) % 1099511627776 AS BIGINT) AS checksum
+    FROM orders)
+SELECT * FROM c UNION ALL SELECT * FROM o
+""",
+)
+def diag_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content checksums — the cross-system
+    reconciliation primitive ("is the replica byte-identical?") that a
+    sort-then-hash cannot provide at scale: each row maps to a 40-bit
+    md5 fingerprint of a CANONICAL rendering (keys and strings verbatim,
+    money as exact integer cents, dates as ISO strings — never raw
+    float-to-string, which engines render differently), and fingerprints
+    combine under SUM, which commutes — so the checksum is partition-
+    order-free and two tables compare with one number each.
+
+    Scale shape: embarrassingly parallel map + a 1-row exact agg per
+    table (Spark sums in DECIMAL(38,0): 2^40-bit values cannot overflow
+    38 digits under ~1e26 rows); no shuffle beyond the final combine."""
+    cents = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
+
+    def chk(df, cols, name):
+        fp = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 10), 16, 10
+        ).cast("decimal(38,0)")
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(fp) % F.lit(1099511627776).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("checksum"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c = chk(
+        cust,
+        [
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            cents("c_acctbal"),
+        ],
+        "customer",
+    )
+    o = chk(
+        orders,
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            cents("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ],
+        "orders",
+    )
+    return c.unionAll(o)
+
+
+# -------------------------------------------- temperature source mixing
+
+
+@query(
+    "train_mixture_temperature",
+    oracle="""
+WITH s AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents GROUP BY 1),
+t AS (SELECT SUM(n_docs) AS total FROM s),
+w AS (
+    SELECT source, n_docs, n_chars,
+           POW(CAST(n_docs AS DOUBLE) / total, 0.7) AS raw_w
+    FROM s, t),
+z AS (SELECT SUM(raw_w) AS zsum FROM w)
+SELECT source, n_docs, n_chars,
+       ROUND(CAST(n_docs AS DOUBLE) / (SELECT total FROM t), 6)
+           AS nat_share,
+       ROUND(raw_w / zsum, 6) AS temp_share
+FROM w, z
+""",
+)
+def train_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (the alpha-sampling of
+    multilingual LM training — mC4/XLM-R use alpha ~= 0.3-0.7):
+    per-source sampling weights proportional to share^0.7, which
+    up-weights tail sources relative to natural sampling without
+    letting the head dominate. Reports natural vs temperature shares
+    side by side plus the char budget each source brings — this is the
+    knob file a data-mixing job consumes, complementing
+    ``train_source_mix`` (fixed target ratios) and
+    ``train_token_budget_mix`` (budget-capped).
+
+    Scale shape: one combine-friendly groupBy to |sources| rows; the
+    total and the normalizer are 1-row broadcasts; pow/divide run on
+    the tiny frame only."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    t = s.agg(F.sum("n_docs").alias("total"))
+    w = s.crossJoin(F.broadcast(t)).withColumn(
+        "raw_w",
+        F.pow(F.col("n_docs").cast("double") / F.col("total"), 0.7),
+    )
+    z = w.agg(F.sum("raw_w").alias("zsum"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("total"), 6
+            ).alias("nat_share"),
+            F.round(F.col("raw_w") / F.col("zsum"), 6).alias("temp_share"),
+        )
+    )
