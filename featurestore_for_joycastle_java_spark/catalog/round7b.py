@@ -1361,3 +1361,291 @@ def train_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("raw_w") / F.col("zsum"), 6).alias("temp_share"),
         )
     )
+
+
+# ------------------------------------------- Matryoshka prefix recall
+
+
+@query(
+    "sim_matryoshka_prefix",
+    # Fully value-oracled (unlike the JVM-seeded LSH indexes): both the
+    # 64-dim ground truth and the 16-dim prefix ranking are
+    # deterministic, ordered by ROUND(cos, 6) with vec_id tiebreak on
+    # both engines.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+p AS (
+    SELECT q.qid, e.vec_id,
+           ROUND(list_inner_product(e.v, q.qv)
+                 / (SQRT(list_inner_product(e.v, e.v))
+                    * SQRT(list_inner_product(q.qv, q.qv))), 6)
+               AS cos_full,
+           ROUND(list_inner_product(e.v[1:16], q.qv[1:16])
+                 / (SQRT(list_inner_product(e.v[1:16], e.v[1:16]))
+                    * SQRT(list_inner_product(q.qv[1:16], q.qv[1:16]))), 6)
+               AS cos_pre
+    FROM e JOIN q ON e.vec_id <> q.qid),
+f AS (SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_full DESC, vec_id) AS rf
+      FROM p),
+pr AS (SELECT qid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos_pre DESC, vec_id) AS rp
+       FROM p)
+SELECT f.qid AS query_id,
+       COUNT(*) AS n_hits,
+       COUNT(*) / 10.0 AS recall_at10
+FROM f JOIN pr ON pr.qid = f.qid AND pr.vec_id = f.vec_id
+WHERE f.rf <= 10 AND pr.rp <= 10
+GROUP BY 1
+""",
+    bench=False,  # recall-audit harness: runs brute force TWICE (full +
+    # prefix) over the probe batch; operational ANN paths stay benched
+)
+def sim_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-embedding retrieval audit (Kusupati et
+    al., NeurIPS 2022): per probe, top-10 cosine recall of the 16-dim
+    PREFIX ranking against the full 64-dim ground truth — the
+    measurement that decides whether a 4x cheaper first-stage scan can
+    front a rerank (the two-stage pattern ``sim_quantized_rerank``
+    already uses for int8).
+
+    Scale shape: probes broadcast against the corpus (BroadcastNestedLoop
+    — linear in corpus size, never corpus x corpus); per-probe top-10 is
+    a hash-partitioned window over bounded groups; both rankings reuse
+    ONE scored frame (Spark computes cos_full and cos_pre in the same
+    projection, one corpus pass). At index scale the prefix scan would
+    come from a column-pruned 16-dim projection — reading 1/4 of the
+    vector bytes is the whole point."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pre = lambda c: F.slice(c, 1, 16)  # noqa: E731
+    p = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_full"),
+            F.round(cosine(pre(F.col("v")), pre(F.col("qv"))), 6).alias(
+                "cos_pre"
+            ),
+        )
+    )
+    w_f = Window.partitionBy("qid").orderBy(
+        F.col("cos_full").desc(), "vec_id"
+    )
+    w_p = Window.partitionBy("qid").orderBy(
+        F.col("cos_pre").desc(), "vec_id"
+    )
+    ranked = p.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(w_f).alias("rf"),
+        F.row_number().over(w_p).alias("rp"),
+    )
+    return (
+        ranked.filter((F.col("rf") <= 10) & (F.col("rp") <= 10))
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            (F.count(F.lit(1)) / 10.0).alias("recall_at10"),
+        )
+    )
+
+
+# -------------------------------------------------- column entropy
+
+
+@query(
+    "profile_column_entropy",
+    oracle="""
+WITH et AS (
+    SELECT event_type AS v, COUNT(*) AS c FROM events GROUP BY 1),
+etn AS (SELECT SUM(c) AS n FROM et),
+uu AS (
+    SELECT user_id AS v, COUNT(*) AS c FROM events GROUP BY 1),
+uun AS (SELECT SUM(c) AS n FROM uu)
+SELECT 'event_type' AS column_name,
+       COUNT(*) AS n_distinct,
+       ROUND(-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)), 6)
+           AS entropy_nats
+FROM et, etn
+UNION ALL
+SELECT 'user_id',
+       COUNT(*),
+       ROUND(-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)), 6)
+FROM uu, uun
+""",
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per column — the information-theoretic row the
+    profiler family lacked: near-zero entropy marks constant/degenerate
+    columns (drop candidates), entropy near ln(n_distinct) marks uniform
+    keys (good partition candidates), and entropy deltas across loads
+    are a drift smell cheaper than a full histogram diff. Reported in
+    nats next to the exact distinct count.
+
+    Scale shape: one combine-friendly count per column (map-side
+    partials), a 1-row total broadcast, then the entropy fold over the
+    |distinct| frame; columns audit independently and union at the
+    end."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def ent(col: str):
+        c = ev.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        n = c.agg(F.sum("c").alias("n"))
+        p = F.col("c").cast("double") / F.col("n")
+        return (
+            c.crossJoin(F.broadcast(n))
+            .agg(
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            )
+            .select(
+                F.lit(col).alias("column_name"),
+                "n_distinct",
+                "entropy_nats",
+            )
+        )
+
+    return ent("event_type").unionAll(ent("user_id"))
+
+
+# ----------------------------------------------- hashed feature crosses
+
+
+@query(
+    "feature_crossed_hash",
+    oracle="""
+WITH x AS (
+    SELECT CAST(CAST('0x' || substr(md5(concat_ws('|',
+               c_nationkey, c_mktsegment)), 1, 4) AS BIGINT) % 64
+           AS BIGINT) AS bucket,
+           concat_ws('|', c_nationkey, c_mktsegment) AS cross_key
+    FROM customer)
+SELECT bucket,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT cross_key) AS n_crosses
+FROM x GROUP BY 1
+""",
+)
+def feature_crossed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed feature cross (the wide-model primitive — Cheng et al.,
+    DLRS 2016): nation x market-segment crossed into 64 hash buckets.
+    The bucket key is md5-derived so BOTH engines replay it exactly
+    (unlike xxhash64, which has no DuckDB twin); n_crosses > 1 rows
+    surface the collisions the hashing trick deliberately accepts —
+    the audit a feature platform publishes next to the crossed column.
+    Extends ``feature_hashing_trick`` (single-column) to interactions.
+
+    Scale shape: pure projection + one combine-friendly distinct-count
+    agg on the 64-row bucket key; no joins, no windows."""
+    c = load_table(spark, sf_dir, "customer")
+    cross_key = F.concat_ws(
+        "|", F.col("c_nationkey"), F.col("c_mktsegment")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(cross_key), 1, 4), 16, 10).cast("long")
+        % 64
+    )
+    return (
+        c.select(bucket.alias("bucket"), cross_key.alias("cross_key"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("cross_key").alias("n_crosses"),
+        )
+    )
+
+
+# -------------------------------------------------------- hourly OHLC
+
+
+@query(
+    "ts_ohlc_hourly",
+    oracle="""
+WITH p AS (
+    SELECT DATE_TRUNC('hour', ts) AS h, value, epoch_us(ts) AS t_us,
+           event_id
+    FROM events WHERE event_type = 'purchase'),
+r AS (
+    SELECT h, value,
+           ROW_NUMBER() OVER (PARTITION BY h
+                              ORDER BY t_us, event_id) AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY h
+                              ORDER BY t_us DESC, event_id DESC) AS rn_d
+    FROM p)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       COUNT(*) AS n_trades,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM r GROUP BY h
+""",
+)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open-high-low-close) candlestick rollup of purchase values
+    per hour — the canonical time-series downsampling for dashboards and
+    bar-chart feeds; open/close are position-based (first/last by
+    (epoch, event_id) — total order, so ties cannot flip the candle),
+    high/low are plain extrema. Values pass through untouched (no
+    arithmetic), so the hash compare is exact with no rounding.
+
+    Scale shape: one shuffle on the hour key; the first/last windows
+    partition per hour (bounded groups) and the final agg is
+    combine-friendly; at 100 TB the hour key is the natural partition
+    column and this collapses to a near-local rollup."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "value",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "event_id",
+    )
+    w_a = Window.partitionBy("h").orderBy("t_us", "event_id")
+    w_d = Window.partitionBy("h").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    r = p.select(
+        "h",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return (
+        r.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias(
+                "close"
+            ),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_trades",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
