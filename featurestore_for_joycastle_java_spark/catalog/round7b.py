@@ -1649,3 +1649,183 @@ def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close",
         )
     )
+
+
+# --------------------------------------------------- preference pairs
+
+
+@query(
+    "train_preference_pairs",
+    oracle="""
+WITH p AS (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id DESC) AS rn_hi,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY value ASC, event_id ASC) AS rn_lo
+    FROM events WHERE event_type = 'purchase'),
+hi AS (SELECT user_id, event_id AS chosen_id, value AS chosen_value
+       FROM p WHERE rn_hi = 1),
+lo AS (SELECT user_id, event_id AS rejected_id, value AS rejected_value
+       FROM p WHERE rn_lo = 1)
+SELECT hi.user_id, hi.chosen_id, hi.chosen_value,
+       lo.rejected_id, lo.rejected_value,
+       hi.chosen_value - lo.rejected_value AS margin
+FROM hi JOIN lo ON hi.user_id = lo.user_id
+WHERE hi.chosen_value > lo.rejected_value
+""",
+)
+def train_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (the RLHF/DPO data-prep shape): per
+    prompt-group (user), the best and worst responses (highest / lowest
+    purchase value, total-order tiebreak on event_id) become a
+    (chosen, rejected) pair with its margin; groups whose extremes tie
+    produce no pair (a zero-margin pair teaches nothing). Values and
+    margins pass through as raw doubles — one subtraction, identical in
+    both engines, no rounding.
+
+    Scale shape: two per-entity windows on the same (user) shuffle, two
+    1-row-per-group filters, one join on the group key — linear, no
+    group ever materializes beyond its own rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w_hi = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").desc()
+    )
+    w_lo = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    p = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(w_hi).alias("rn_hi"),
+        F.row_number().over(w_lo).alias("rn_lo"),
+    )
+    hi = p.filter(F.col("rn_hi") == 1).select(
+        "user_id",
+        F.col("event_id").alias("chosen_id"),
+        F.col("value").alias("chosen_value"),
+    )
+    lo = p.filter(F.col("rn_lo") == 1).select(
+        "user_id",
+        F.col("event_id").alias("rejected_id"),
+        F.col("value").alias("rejected_value"),
+    )
+    return (
+        hi.join(lo, "user_id")
+        .filter(F.col("chosen_value") > F.col("rejected_value"))
+        .select(
+            "user_id",
+            "chosen_id",
+            "chosen_value",
+            "rejected_id",
+            "rejected_value",
+            (F.col("chosen_value") - F.col("rejected_value")).alias(
+                "margin"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------- exact median
+
+
+@query(
+    "agg_exact_median",
+    # Median as the average of the order statistics at positions
+    # floor((n+1)/2) and floor((n+2)/2) under (value, unique-key) order
+    # — NOT the engines' builtin MEDIAN/percentile (whose interpolation
+    # conventions differ); both sides compute the same two elements.
+    oracle="""
+WITH b AS (
+    SELECT l_extendedprice AS v,
+           l_orderkey * 8 + l_linenumber AS k
+    FROM lineitem),
+r AS (
+    SELECT v,
+           ROW_NUMBER() OVER (ORDER BY v, k) AS rn,
+           COUNT(*) OVER () AS n
+    FROM b)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       AVG(v) AS median
+FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+""",
+)
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of extended price — the anchor for the
+    approximate percentile family (``agg_approx_percentile_bounded``
+    proves a bound; this is the true value): the two middle order
+    statistics are located by exact global rank and averaged (one
+    element when n is odd — both positions coincide).
+
+    Scale shape: the classic exact-median trap is sort-everything; here
+    the range-bucketed ``global_row_number`` finds the middle elements
+    with one hash-partitioned shuffle and a <= n_buckets prefix window,
+    then a 2-row filter feeds a scalar agg. The AVG of two doubles is
+    one IEEE op, identical in both engines — no rounding needed."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
+    )
+    r = global_row_number(li, "v", ["k"], out_col="rn")
+    return (
+        r.filter(
+            (F.col("rn") == F.floor((F.col("_n_total") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("_n_total") + 2) / 2))
+        )
+        .agg(
+            F.max("_n_total").alias("n"),
+            F.avg("v").alias("median"),
+        )
+    )
+
+
+# -------------------------------------------------- SQL PIVOT door
+
+
+@query(
+    "sql_frontend_pivot",
+    oracle="""
+SELECT user_id % 10 AS cohort,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS error
+FROM events GROUP BY 1
+""",
+)
+def sql_frontend_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text front-end door for the PIVOT clause: a user writes
+    ANSI-ish ``PIVOT (agg FOR col IN (...))`` against a registered view
+    and gets the same wide frame the DataFrame ``agg_pivot`` builds
+    programmatically. COALESCE(.., 0) in the outer select pins the
+    empty-cell convention to 0 (Spark's pivot yields NULL for absent
+    cells; the oracle's conditional aggregation yields 0).
+
+    Plan note: Catalyst rewrites PIVOT into exactly the two-stage
+    conditional aggregation the oracle spells out — same shuffle, same
+    partial aggs; the clause is sugar, not a different engine path."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT cohort,
+               COALESCE(click, 0L) AS click,
+               COALESCE(view, 0L) AS view,
+               COALESCE(purchase, 0L) AS purchase,
+               COALESCE(signup, 0L) AS signup,
+               COALESCE(error, 0L) AS error
+        FROM (SELECT user_id % 10 AS cohort, event_type FROM events_v)
+        PIVOT (COUNT(1) FOR event_type IN
+               ('click' AS click, 'view' AS view, 'purchase' AS purchase,
+                'signup' AS signup, 'error' AS error))
+        """
+    )
