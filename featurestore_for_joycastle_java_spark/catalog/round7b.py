@@ -1829,3 +1829,147 @@ def sql_frontend_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 'signup' AS signup, 'error' AS error))
         """
     )
+
+
+# ---------------------------------------------------------- CDC apply
+
+
+@query(
+    "scd_cdc_apply",
+    oracle="""
+WITH cdc AS (
+    SELECT user_id,
+           CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error' THEN 'D'
+                ELSE 'U' END AS op,
+           value, epoch_us(ts) AS t_us, event_id
+    FROM events),
+last AS (
+    SELECT user_id, op, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY t_us DESC, event_id DESC) AS rn
+    FROM cdc)
+SELECT user_id, op AS last_op, value AS current_value
+FROM last WHERE rn = 1 AND op <> 'D'
+""",
+)
+def scd_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge-apply: collapse an ordered change stream
+    (insert/update/delete ops per key — here derived deterministically
+    from event types) into the final table state: the LAST op per key
+    wins, and a trailing delete removes the key entirely. This is the
+    Debezium-to-lakehouse apply step (Delta/Iceberg MERGE semantics),
+    and the delete path is what `feature_scd1_upsert` (upsert-only)
+    cannot express.
+
+    Scale shape: one per-key window ordered by (event time, change id)
+    — bounded per-entity groups, one shuffle; the apply never joins the
+    snapshot because last-op-wins subsumes it (with a base snapshot the
+    same window runs over snapshot UNION changes). Values pass through
+    untouched."""
+    ev = load_table(spark, sf_dir, "events")
+    cdc = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        cdc.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("value").alias("current_value"),
+        )
+    )
+
+
+# ------------------------------------------------ totals reconciliation
+
+
+@query(
+    "quality_totals_reconcile",
+    oracle="""
+WITH l AS (
+    SELECT l_orderkey,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                          * (1 + l_tax) * 100) AS BIGINT)) AS line_cents
+    FROM lineitem GROUP BY 1),
+j AS (
+    SELECT o.o_orderkey,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+           l.line_cents
+    FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey)
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_headerless_lines,
+       CAST(SUM(CASE WHEN line_cents IS NOT NULL
+                      AND ABS(header_cents - line_cents) <= 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+       CAST(SUM(CASE WHEN line_cents IS NOT NULL
+                     THEN ABS(header_cents - line_cents) ELSE 0 END)
+            AS BIGINT) AS total_abs_diff_cents,
+       CAST(MAX(CASE WHEN line_cents IS NOT NULL
+                     THEN ABS(header_cents - line_cents) END)
+            AS BIGINT) AS max_abs_diff_cents
+FROM j
+""",
+)
+def quality_totals_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: does each order header's total
+    equal the sum of its lines under the TPC-H net formula
+    (extended * (1-disc) * (1+tax))? Reports order counts, headers with
+    no lines, within-a-cent matches, and the exact aggregate drift in
+    integer cents — the invoice-reconciliation audit every finance
+    pipeline runs (on THIS synthetic fixture headers are independent of
+    lines, so the audit exactly quantifies that: 0 consistent, 257
+    line-less orders at sf0.01 — a deterministic finding, not a broken
+    check).
+
+    Scale shape: one combine-friendly per-order rollup of the fact, one
+    LEFT join to headers on the order key (co-partitioned; zero-shuffle
+    with bucketed snapshots), one scalar agg. All integer cents — the
+    per-line rounding is applied identically in both engines BEFORE the
+    sum, so the comparison is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    l = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("long")
+        ).alias("line_cents")
+    )
+    j = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "header_cents"
+        ),
+    ).join(l, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    diff = F.abs(F.col("header_cents") - F.col("line_cents"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("line_cents").isNull().cast("long")).alias(
+            "n_headerless_lines"
+        ),
+        F.sum(
+            (F.col("line_cents").isNotNull() & (diff <= 1)).cast("long")
+        ).alias("n_consistent"),
+        F.sum(
+            F.when(F.col("line_cents").isNotNull(), diff).otherwise(0)
+        ).alias("total_abs_diff_cents"),
+        F.max(
+            F.when(F.col("line_cents").isNotNull(), diff)
+        ).alias("max_abs_diff_cents"),
+    )
