@@ -1973,3 +1973,56 @@ def quality_totals_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("line_cents").isNotNull(), diff)
         ).alias("max_abs_diff_cents"),
     )
+
+
+# ------------------------------------------------------ IVF-PQ compose
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle="""
+SELECT COUNT(*) AS n_queries, 5 AS k, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 50 = 1
+""",
+    bench=False,  # recall-audit harness (builds codebooks AND the
+    # brute-force ground truth); the composed operator itself is the
+    # production path
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ANN stack — IVF cell pruning x PQ code compression x
+    exact shortlist re-rank (``operators.similarity.ivfpq_topk``): the
+    index answers "scan less" (n_probe/n_centroids of the corpus) and
+    "read less per vector" (m ints vs dim floats) at once, which is the
+    multiplication faiss deployments run at scale. JVM-seeded codebooks
+    preclude cross-engine replay; the driver check is the recall bound:
+    average top-5 recall vs brute force must clear 0.6 (the floor sits
+    under the measured band so only a real regression in assignment,
+    probing, encoding, ADC, or re-rank flips the boolean). Measured
+    recall at n_probe=6/16 cells: 0.70 (sf0.001), 0.72 (sf0.01) — the
+    compounded loss of the two lossy stages (n_probe=4 measured
+    0.58-0.62, n_probe=8 0.80-0.82: the probe count is the recall/cost
+    dial, exactly as in faiss)."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivfpq_topk(
+        e, q, k=5, n_centroids=16, n_probe=6, m=16, shortlist=100
+    ).select("query_id", "vec_id")
+    brute = brute_force_topk(e, q, k=5).select("query_id", "vec_id")
+    hits = ann.join(brute, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    nq = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    return nq.crossJoin(hits).select(
+        "n_queries",
+        F.lit(5).cast("int").alias("k"),
+        (F.col("n_hits") / (F.col("n_queries") * 5) >= 0.6).alias(
+            "recall_ok"
+        ),
+    )
