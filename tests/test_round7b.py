@@ -1,0 +1,301 @@
+"""Targeted semantics for the round-7b queries — every test drives the
+REGISTERED query over an injected fixture (monkeypatched ``load_table``,
+the r6 lesson: a local reimplementation cannot catch engine regressions),
+pinning the boundary rules the oracles alone would only exercise if the
+fixture happened to hit them.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pyspark.sql.functions as F
+
+import featurestore_for_joycastle_java_spark.catalog.round7b as r7b
+from featurestore_for_joycastle_java_spark import registry
+
+registry.load_catalog()
+from featurestore_for_joycastle_java_spark.registry import QUERIES
+
+
+def _ts(s: int) -> datetime:
+    return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+
+def _inject(monkeypatch, tables: dict):
+    """Serve fixture frames through the module's load_table."""
+    monkeypatch.setattr(
+        r7b, "load_table", lambda _s, _d, name: tables[name]
+    )
+
+
+# ------------------------------------------------------- interval merge
+
+
+def test_interval_merge_touching_merges_gap_splits(spark, monkeypatch):
+    """Boundary rule: an interval starting EXACTLY at a prior max end
+    merges (start > prev_end is strict); one second later splits."""
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0)),      # [0, 900)
+            (1, _ts(900)),    # touches 900 -> merges   => [0, 1800)
+            (1, _ts(2701)),   # 2701 > 1800 -> new island
+            (2, _ts(0)),      # second user independent
+        ],
+        "user_id long, ts timestamp",
+    )
+    _inject(monkeypatch, {"events": ev})
+    rows = {
+        (r["user_id"], r["island_id"]): (
+            r["start_s"],
+            r["end_s"],
+            r["n_events"],
+        )
+        for r in QUERIES["interval_merge_overlaps"](spark, "_").collect()
+    }
+    assert rows[(1, 1)] == (0, 1800, 2)
+    assert rows[(1, 2)] == (2701, 3601, 1)
+    assert rows[(2, 1)] == (0, 900, 1)
+    assert len(rows) == 3
+
+
+# ------------------------------------------------------------ ABC bound
+
+
+def test_abc_boundary_part_is_class_a(spark, monkeypatch):
+    """A part landing cumulative share EXACTLY on 80 % is class A
+    (thresholds are <= on exact integers)."""
+    li = spark.createDataFrame(
+        [(1, 80.0, 0.0), (2, 20.0, 0.0)],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    _inject(monkeypatch, {"lineitem": li})
+    out = {
+        r["abc_class"]: (r["n_parts"], r["rev_e4"])
+        for r in QUERIES["agg_abc_pareto"](spark, "_").collect()
+    }
+    assert out["A"] == (1, 800000)
+    assert out["C"] == (1, 200000)
+    assert "B" not in out
+
+
+# ----------------------------------------------------- capped balance
+
+
+def test_capped_running_sum_clamps_and_counts(spark, monkeypatch):
+    """Cap and floor both bind; counts flag the PRE-clamp raw value."""
+    ev = spark.createDataFrame(
+        [
+            # user 1: 475 -> cap at 500 (raw 550) -> -20 -> -24
+            (1, 1, _ts(10), 500.0),
+            (2, 1, _ts(20), 100.0),
+            (3, 1, _ts(30), 5.0),
+            (4, 1, _ts(40), 1.0),
+            # user 2: one event, raw -15 -> floor at 0
+            (5, 2, _ts(10), 10.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    _inject(monkeypatch, {"events": ev})
+    rows = {
+        r["user_id"]: r
+        for r in QUERIES["feature_capped_running_sum"](spark, "_").collect()
+    }
+    u1 = rows[1]
+    assert (u1["n_events"], u1["n_capped"], u1["n_floored"]) == (4, 1, 0)
+    assert u1["final_balance"] == 456.0
+    u2 = rows[2]
+    assert (u2["n_events"], u2["n_capped"], u2["n_floored"]) == (1, 0, 1)
+    assert u2["final_balance"] == 0.0
+
+
+# -------------------------------------------------------------- CDC
+
+
+def test_cdc_delete_then_update_revives_trailing_delete_removes(
+    spark, monkeypatch
+):
+    ev = spark.createDataFrame(
+        [
+            # user 1: I -> D -> U(5.0): revived, current 5.0
+            (1, 1, _ts(10), "signup", 1.0),
+            (2, 1, _ts(20), "error", 0.0),
+            (3, 1, _ts(30), "click", 5.0),
+            # user 2: U -> D: gone
+            (4, 2, _ts(10), "view", 2.0),
+            (5, 2, _ts(20), "error", 0.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    _inject(monkeypatch, {"events": ev})
+    rows = {
+        r["user_id"]: (r["last_op"], r["current_value"])
+        for r in QUERIES["scd_cdc_apply"](spark, "_").collect()
+    }
+    assert rows == {1: ("U", 5.0)}
+
+
+# -------------------------------------------------------- attribution
+
+
+def test_attribution_window_boundaries(spark, monkeypatch):
+    """Touch exactly 7 days before is IN (>=); touch at purchase time is
+    OUT (strict <); later touches are out."""
+    t_p = 10_000_000
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts(t_p), "purchase", 9.0),
+            (2, 1, _ts(t_p - 604800), "click", 0.0),  # boundary: in
+            (3, 1, _ts(t_p), "view", 0.0),            # same instant: out
+            (4, 1, _ts(t_p + 5), "view", 0.0),        # after: out
+            (5, 1, _ts(t_p - 604801), "view", 0.0),   # too old: out
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    _inject(monkeypatch, {"events": ev})
+    rows = {
+        r["channel"]: (r["n_first"], r["n_last"], r["linear_credit"])
+        for r in QUERIES["attrib_multitouch"](spark, "_").collect()
+    }
+    assert rows == {"click": (1, 1, 1.0)}
+
+
+# --------------------------------------------------- running distinct
+
+
+def test_running_distinct_counts_first_occurrences(spark, monkeypatch):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts(10), "a"),
+            (2, 1, _ts(20), "b"),
+            (3, 1, _ts(30), "a"),
+            (4, 1, _ts(40), "c"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    _inject(monkeypatch, {"events": ev})
+    got = {
+        r["event_id"]: r["n_types_so_far"]
+        for r in QUERIES["window_running_distinct"](spark, "_").collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 3}
+
+
+# ------------------------------------------------------- exact median
+
+
+def test_exact_median_even_and_odd(spark, monkeypatch):
+    li_even = spark.createDataFrame(
+        [(i, 1, float(v)) for i, v in enumerate([4.0, 1.0, 3.0, 2.0])],
+        "l_orderkey long, l_linenumber int, l_extendedprice double",
+    )
+    _inject(monkeypatch, {"lineitem": li_even})
+    r = QUERIES["agg_exact_median"](spark, "_").collect()[0]
+    assert (r["n"], r["median"]) == (4, 2.5)
+
+    li_odd = spark.createDataFrame(
+        [(i, 1, float(v)) for i, v in enumerate([9.0, 1.0, 5.0])],
+        "l_orderkey long, l_linenumber int, l_extendedprice double",
+    )
+    _inject(monkeypatch, {"lineitem": li_odd})
+    r = QUERIES["agg_exact_median"](spark, "_").collect()[0]
+    assert (r["n"], r["median"]) == (3, 5.0)
+
+
+# -------------------------------------------------- preference pairs
+
+
+def test_preference_pairs_tie_produces_no_pair(spark, monkeypatch):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts(10), "purchase", 7.0),
+            (2, 1, _ts(20), "purchase", 7.0),  # tied extremes -> no pair
+            (3, 2, _ts(10), "purchase", 9.0),
+            (4, 2, _ts(20), "purchase", 3.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    _inject(monkeypatch, {"events": ev})
+    rows = QUERIES["train_preference_pairs"](spark, "_").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["chosen_id"], r["rejected_id"]) == (2, 3, 4)
+    assert r["margin"] == 6.0
+
+
+# ----------------------------------------------------------- checksum
+
+
+def test_checksum_order_independent_and_content_sensitive(
+    spark, monkeypatch, sf_dir
+):
+    """Same rows in any partition order -> same checksum; a one-cent
+    change -> different checksum."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    _inject(monkeypatch, {"customer": cust, "orders": orders})
+    base = {
+        r["table_name"]: r["checksum"]
+        for r in QUERIES["diag_table_checksum"](spark, "_").collect()
+    }
+
+    _inject(
+        monkeypatch,
+        {
+            "customer": cust.repartition(7).sortWithinPartitions(
+                F.col("c_name").desc()
+            ),
+            "orders": orders.repartition(5),
+        },
+    )
+    shuffled = {
+        r["table_name"]: r["checksum"]
+        for r in QUERIES["diag_table_checksum"](spark, "_").collect()
+    }
+    assert shuffled == base
+
+    _inject(
+        monkeypatch,
+        {
+            "customer": cust.withColumn(
+                "c_acctbal",
+                F.when(
+                    F.col("c_custkey") == 1, F.col("c_acctbal") + 0.01
+                ).otherwise(F.col("c_acctbal")),
+            ),
+            "orders": orders,
+        },
+    )
+    tampered = {
+        r["table_name"]: r["checksum"]
+        for r in QUERIES["diag_table_checksum"](spark, "_").collect()
+    }
+    assert tampered["customer"] != base["customer"]
+    assert tampered["orders"] == base["orders"]
+
+
+# ------------------------------------------------------ trigram scope
+
+
+def test_trigrams_never_cross_users(spark, monkeypatch):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts(10), "a"),
+            (2, 1, _ts(20), "b"),
+            (3, 2, _ts(30), "c"),  # different user: no a>b>c trigram
+            (4, 3, _ts(10), "x"),
+            (5, 3, _ts(20), "y"),
+            (6, 3, _ts(30), "z"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    _inject(monkeypatch, {"events": ev})
+    rows = [
+        (r["e1"], r["e2"], r["e3"], r["n"])
+        for r in QUERIES["seq_trigram_motifs"](spark, "_").collect()
+    ]
+    assert rows == [("x", "y", "z", 1)]
