@@ -70,9 +70,11 @@ _CATALOG_MODULES = [
     "round5f",
     "round5g",
     "round5h",
-    # round7b (this continuation's additions) sits BELOW round5e..5h so
+    # round7b (28 queries, this continuation) sits BELOW round5e..5h so
     # the r8 window arithmetic above still closes out every older
-    # never-checked query first; round7b queues behind them (r9 head).
+    # never-checked query first; round7b queues behind them. r9 window
+    # = round7b (28) + the then-oldest driver rows (r4-vintage
+    # round4/asof/ingest head = 22) to reach 50.
     "round7b",
     "round4",
     "asof",
