@@ -2026,3 +2026,291 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ok"
         ),
     )
+
+
+# ---------------------------------------------------- cluster purity
+
+
+@query(
+    "sim_cluster_purity",
+    # Same deterministic lowid-centroid assignment replay as the
+    # sim_ivf_topk oracle (cell = argmax raw cosine, ties to the lowest
+    # cent_id — the fold's strictly-greater-keeps-first rule).
+    oracle="""
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings),
+cents AS (
+    SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+assigned AS (
+    SELECT vec_id, label, cent_id FROM (
+        SELECT e.vec_id, e.label, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_inner_product(e.v, c.cv)
+                   / (SQRT(list_inner_product(e.v, e.v))
+                      * SQRT(list_inner_product(c.cv, c.cv))) DESC,
+                   c.cent_id) AS rn
+        FROM e CROSS JOIN cents c)
+    WHERE rn = 1),
+lc AS (
+    SELECT cent_id, label, COUNT(*) AS c FROM assigned GROUP BY 1, 2),
+top AS (
+    SELECT cent_id, label AS top_label, c AS top_n FROM (
+        SELECT cent_id, label, c,
+               ROW_NUMBER() OVER (PARTITION BY cent_id
+                                  ORDER BY c DESC, label) AS rn
+        FROM lc)
+    WHERE rn = 1),
+sz AS (SELECT cent_id, CAST(SUM(c) AS BIGINT) AS n_vecs FROM lc GROUP BY 1)
+SELECT s.cent_id, s.n_vecs, t.top_label,
+       CAST(t.top_n AS BIGINT) AS top_n,
+       CAST(t.top_n * 1000000 // s.n_vecs AS BIGINT) AS purity_ppm
+FROM sz s JOIN top t USING (cent_id)
+""",
+)
+def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit: assign every embedding to its nearest
+    of the 16 deterministic cells and score each cell's label PURITY
+    (majority-label share, in exact ppm) against the ground-truth
+    ``label`` column — the external-validation number (purity, Manning
+    et al. IR ch.16) that tells you whether the IVF/SemDeDup geometry
+    actually respects the semantic classes it will be used to prune.
+
+    Scale shape: the zero-shuffle broadcast-fold assignment (shared
+    with IVF), one combine-friendly (cell, label) count, a per-cell
+    top-1 window over |cells x labels| rows, integer ppm — no floats in
+    the output."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        as_double,
+        assign_nearest_cell,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("__cv")
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            as_double(F.col("embedding")).alias("__mv"),
+        )
+    )
+    assigned = assign_nearest_cell(
+        e.select("vec_id", "__cv"), cents, "vec_id"
+    ).select("vec_id", "cent_id")
+    labeled = assigned.join(e.select("vec_id", "label"), "vec_id")
+    lc = labeled.groupBy("cent_id", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("cent_id").orderBy(F.col("c").desc(), "label")
+    top = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cent_id",
+            F.col("label").alias("top_label"),
+            F.col("c").alias("top_n"),
+        )
+    )
+    sz = lc.groupBy("cent_id").agg(F.sum("c").alias("n_vecs"))
+    return sz.join(top, "cent_id").select(
+        "cent_id",
+        "n_vecs",
+        "top_label",
+        "top_n",
+        F.expr("top_n * 1000000 DIV n_vecs").cast("bigint").alias(
+            "purity_ppm"
+        ),
+    )
+
+
+# ------------------------------------------------------- lift deciles
+
+
+@query(
+    "eval_lift_deciles",
+    oracle="""
+WITH b AS (
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+           value
+    FROM events),
+d AS (
+    SELECT y, NTILE(10) OVER (ORDER BY value DESC, event_id) AS decile
+    FROM b),
+g AS (
+    SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+    FROM d GROUP BY 1),
+t AS (SELECT SUM(n) AS tn, SUM(n_pos) AS tp FROM g)
+SELECT CAST(decile AS INTEGER) AS decile, n, n_pos,
+       ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / tp, 6) AS cum_gain,
+       ROUND((CAST(n_pos AS DOUBLE) / n)
+             / (CAST(tp AS DOUBLE) / tn), 6) AS lift
+FROM g, t
+""",
+)
+def eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift table / cumulative-gains chart: events ranked by score
+    (value) into 10 equal-depth deciles; each decile reports its
+    positive (purchase) count, the cumulative share of all positives
+    captured down to it (the gains curve), and its lift over the base
+    rate — the campaign-targeting report every scoring model ships
+    with, next to ROC (``eval_feature_auc``) and PR
+    (``eval_avg_precision``).
+
+    Scale shape: deciles come from the range-bucketed global row number
+    + closed-form NTILE (no global window over the fact); the gains
+    cumsum runs over the 10-row decile frame."""
+    from featurestore_for_joycastle_java_spark.operators.ranks import (
+        ntile_from_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+        (-F.col("value")).alias("_negscore"),
+    )
+    ranked = global_row_number(ev, "_negscore", ["event_id"], out_col="rn")
+    tiled = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("rn"), F.col("_n_total"), 10)
+    )
+    g = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    t = g.agg(F.sum("n").alias("tn"), F.sum("n_pos").alias("tp"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("cum_pos").cast("double") / F.col("tp"), 6
+            ).alias("cum_gain"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("tp").cast("double") / F.col("tn")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ------------------------------------------------- degree distribution
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+WITH bip AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+    FROM lineitem WHERE l_quantity >= 49.0),
+e AS (
+    SELECT DISTINCT a.s AS u, b.s AS v
+    FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s),
+adj AS (SELECT u AS x FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY 1)
+SELECT CAST(LENGTH(BIN(d)) AS INTEGER) AS bit_bin,
+       COUNT(*) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS min_d,
+       CAST(MAX(d) AS BIGINT) AS max_d
+FROM deg GROUP BY 1
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-supply graph in power-of-two bins —
+    the first thing to look at before ANY graph algorithm at scale: a
+    heavy tail means wedge joins need the high-degree mitigation and
+    hash partitions will skew (feeds `diag_key_skew`-style decisions for
+    `graph_triangles_cosupply`/`graph_adamic_adar`). Bins are the BIT
+    LENGTH of the degree (length of the binary rendering) — integer-
+    exact in both engines, dodging the floor(log2(x)) float trap where
+    one engine's log2(8) = 2.9999... flips a bin.
+
+    Scale shape: degree frame is node-sized (one combine-friendly
+    count), binning is a projection, the histogram is <= 64 rows."""
+    from featurestore_for_joycastle_java_spark.operators.graphs import (
+        cosupply_edges,
+        degrees,
+    )
+
+    deg = degrees(cosupply_edges(spark, sf_dir))
+    return (
+        deg.select(
+            F.length(F.bin(F.col("d"))).cast("int").alias("bit_bin"),
+            "d",
+        )
+        .groupBy("bit_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+        )
+    )
+
+
+# --------------------------------------------- duplicate rate by source
+
+
+@query(
+    "quality_duplicate_rate_by_source",
+    oracle="""
+WITH f AS (
+    SELECT doc_id, source,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents),
+g AS (SELECT fp, COUNT(*) AS cnt FROM f GROUP BY 1)
+SELECT f.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+       CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS dup_rate_ppm
+FROM f JOIN g USING (fp)
+GROUP BY 1
+""",
+)
+def quality_duplicate_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source exact-duplicate exposure: the share of each source's
+    documents whose normalized fingerprint appears more than once
+    ANYWHERE in the corpus (cross-source copies count for both sides) —
+    the curation dashboard number that decides which feeds need
+    dedup attention first, upstream of the pair-level operators
+    (`dedup_exact_groups` etc.). Rates in exact integer ppm.
+
+    Scale shape: fingerprints are a projection; one combine-friendly
+    count per fingerprint; one hash join fp -> count; one rollup per
+    source. Never materializes pairs."""
+    from featurestore_for_joycastle_java_spark.operators.text import (
+        fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    g = f.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
+    j = f.join(g, "fp")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_docs"),
+        F.expr(
+            "sum(case when cnt > 1 then 1 else 0 end) * 1000000"
+            " DIV count(1)"
+        )
+        .cast("bigint")
+        .alias("dup_rate_ppm"),
+    )
