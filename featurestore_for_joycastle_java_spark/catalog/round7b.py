@@ -2314,3 +2314,81 @@ def quality_duplicate_rate_by_source(
         .cast("bigint")
         .alias("dup_rate_ppm"),
     )
+
+
+# ------------------------------------------------------- lag features
+
+
+@query(
+    "feature_lag_matrix",
+    oracle="""
+WITH d AS (
+    SELECT user_id, DATE_TRUNC('day', ts) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS spend
+    FROM events GROUP BY 1, 2)
+SELECT a.user_id,
+       strftime(a.day, '%Y-%m-%d') AS day,
+       a.spend,
+       COALESCE(l1.spend, 0.0) AS spend_lag1,
+       COALESCE(l7.spend, 0.0) AS spend_lag7
+FROM d a
+LEFT JOIN d l1 ON l1.user_id = a.user_id
+               AND l1.day = a.day - INTERVAL 1 DAY
+LEFT JOIN d l7 ON l7.user_id = a.user_id
+               AND l7.day = a.day - INTERVAL 7 DAY
+""",
+)
+def feature_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-correct lag features for forecasting: each (user, day)'s
+    spend next to the spend exactly 1 and 7 CALENDAR days earlier,
+    via self-joins on the date offset — NOT a positional LAG window,
+    which silently returns the wrong day whenever a user skips days
+    (the classic forecasting-feature bug). Missing calendar lags
+    coalesce to 0 (the "no activity" semantic a spend feature wants,
+    unlike a sensor reading where null must survive).
+
+    Scale shape: one combine-friendly daily rollup, then two
+    co-partitioned self-joins on (user, day) — same-key joins that
+    bucketed/partitioned feature tables make shuffle-free; sums use the
+    order-independent exact-decimal path shared with
+    ``feature_daily_user``."""
+    from featurestore_for_joycastle_java_spark.operators.relational import (
+        exact_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(exact_sum(F.col("value")).alias("spend"))
+    a = d.alias("a")
+    l1 = d.select(
+        F.col("user_id").alias("u1"),
+        F.col("day").alias("d1"),
+        F.col("spend").alias("s1"),
+    )
+    l7 = d.select(
+        F.col("user_id").alias("u7"),
+        F.col("day").alias("d7"),
+        F.col("spend").alias("s7"),
+    )
+    return (
+        a.join(
+            l1,
+            (F.col("u1") == F.col("a.user_id"))
+            & (F.col("d1") == F.date_sub(F.col("a.day"), 1)),
+            "left",
+        )
+        .join(
+            l7,
+            (F.col("u7") == F.col("a.user_id"))
+            & (F.col("d7") == F.date_sub(F.col("a.day"), 7)),
+            "left",
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.date_format("a.day", "yyyy-MM-dd").alias("day"),
+            F.col("a.spend").alias("spend"),
+            F.coalesce(F.col("s1"), F.lit(0.0)).alias("spend_lag1"),
+            F.coalesce(F.col("s7"), F.lit(0.0)).alias("spend_lag7"),
+        )
+    )

@@ -299,3 +299,61 @@ def test_trigrams_never_cross_users(spark, monkeypatch):
         for r in QUERIES["seq_trigram_motifs"](spark, "_").collect()
     ]
     assert rows == [("x", "y", "z", 1)]
+
+
+# ------------------------------------------- checkpoint recovery
+
+
+def test_stream_checkpoint_recovery_across_restarts(spark, tmp_path):
+    """Exactly-once ACROSS RESTARTS, not just within a run: a second
+    drain from the same checkpoint with no new input emits nothing; a
+    third drain after a new file arrives processes ONLY the new file.
+    This is the recovery contract the per-batch overwrite sink + the
+    checkpoint's source offsets provide together."""
+    import os
+
+    from featurestore_for_joycastle_java_spark import streaming as ST
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    base = spark.createDataFrame(
+        [(i, i % 3, "click" if i % 2 else "view", float(i)) for i in range(20)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    base.filter("event_id < 10").coalesce(1).write.parquet(src + "/f1")
+
+    schema = "event_id long, user_id long, event_type string, value double"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = ST.demux_stream_sink(stream, out, checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(out)
+    assert first.count() == 10
+    batches_1 = set(os.listdir(out))
+
+    # restart with the SAME checkpoint, no new data: nothing new
+    drain()
+    assert set(os.listdir(out)) == batches_1
+    assert spark.read.parquet(out).count() == 10
+
+    # a new file arrives; only IT is processed on the next restart
+    base.filter("event_id >= 10").coalesce(1).write.parquet(src + "/f2")
+    drain()
+    after = spark.read.parquet(out)
+    assert after.count() == 20
+    new_batches = set(os.listdir(out)) - batches_1
+    assert len(new_batches) == 1
+    only_new = spark.read.parquet(f"{out}/{new_batches.pop()}")
+    assert sorted(r["event_id"] for r in only_new.collect()) == list(
+        range(10, 20)
+    )
