@@ -2392,3 +2392,214 @@ def feature_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("s7"), F.lit(0.0)).alias("spend_lag7"),
         )
     )
+
+
+# ---------------------------------------- dup pairs: same vs cross source
+
+
+@query(
+    "dedup_same_vs_cross_source",
+    oracle="""
+WITH f AS (
+    SELECT doc_id, source,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents),
+p AS (
+    SELECT CASE WHEN a.source = b.source THEN 'same_source'
+                ELSE 'cross_source' END AS pair_class
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+SELECT pair_class, COUNT(*) AS n_pairs
+FROM p GROUP BY 1
+""",
+)
+def dedup_same_vs_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-provenance classification: exact-dup pairs split into
+    same-source (a feed re-emitting its own documents — fix the
+    producer) vs cross-source (mirrors/syndication — fix the mixing
+    weights). The remediation differs completely, which is why the
+    split matters more than the total (`quality_duplicate_rate_by_source`
+    gives the per-feed exposure; this says WHERE the copies come from).
+
+    Scale shape: the fingerprint equi-join materializes pairs only
+    within duplicate groups (Σ group² over groups with > 1 member —
+    duplicate groups are small by construction after the first dedup
+    pass); one combine-friendly class count."""
+    from featurestore_for_joycastle_java_spark.operators.text import (
+        fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    a = f.select(
+        F.col("fp"),
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+    )
+    b = f.select(
+        F.col("fp"),
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+    )
+    p = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        p.select(
+            F.when(F.col("src_a") == F.col("src_b"), "same_source")
+            .otherwise("cross_source")
+            .alias("pair_class")
+        )
+        .groupBy("pair_class")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --------------------------------------------- time-decayed frequency
+
+
+@query(
+    "feature_time_decay_counts",
+    oracle="""
+WITH m AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(EXP(-0.1 * ((m.now_us - epoch_us(ts))
+                             / 86400000000.0))), 6) AS decayed_count
+FROM events, m
+GROUP BY user_id
+""",
+)
+def feature_time_decay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event frequency per user (half-life
+    ~6.9 days at lambda = 0.1/day), anchored at the corpus max
+    timestamp — the recency-weighted activity feature recommender
+    pipelines use instead of a raw count (a user active yesterday !=
+    a user active last quarter). Complements ``feature_ewma_decay``
+    (which smooths a VALUE series; this decays the COUNT measure).
+
+    Scale shape: a 1-row max-timestamp broadcast, then one
+    combine-friendly per-user agg — the decay weight is a pure per-row
+    expression inside codegen."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros(F.col("ts"))
+    )
+    m = ev.agg(F.max("t_us").alias("now_us"))
+    w = F.exp(
+        -0.1 * ((F.col("now_us") - F.col("t_us")) / 86400000000.0)
+    )
+    return (
+        ev.crossJoin(F.broadcast(m))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(w), 6).alias("decayed_count"),
+        )
+    )
+
+
+# ------------------------------------------------- sequence gap audit
+
+
+@query(
+    "quality_sequence_gaps",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT event_id) AS n_distinct_ids,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id,
+       CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(DISTINCT event_id)
+            AS BIGINT) AS n_missing_ids,
+       COUNT(*) - COUNT(DISTINCT event_id) AS n_duplicate_ids
+FROM events
+""",
+)
+def quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit for monotonically-keyed feeds (CDC
+    offsets, event ids, invoice numbers): missing ids = span minus
+    distinct count, duplicate ids = rows minus distinct — the two
+    numbers that catch producer resets and replay bugs BEFORE any
+    per-gap investigation (enumerating the gaps themselves is the
+    follow-up query, islands-style, only worth running when this one
+    is non-zero).
+
+    Scale shape: one exact-distinct aggregate over the key — a single
+    scan + the count-distinct Expand; every output is integer."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        (
+            F.max("event_id")
+            - F.min("event_id")
+            + 1
+            - F.countDistinct("event_id")
+        ).alias("n_missing_ids"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias(
+            "n_duplicate_ids"
+        ),
+    )
+
+
+# --------------------------------------------------- assortativity
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+WITH bip AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+    FROM lineitem WHERE l_quantity >= 49.0),
+e AS (
+    SELECT DISTINCT a.s AS u, b.s AS v
+    FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s),
+adj AS (SELECT u AS x FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT x, CAST(COUNT(*) AS DOUBLE) AS d FROM adj GROUP BY 1),
+de AS (
+    SELECT du.d AS dx, dv.d AS dy
+    FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+    UNION ALL
+    SELECT dv.d, du.d
+    FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v)
+SELECT COUNT(*) AS n_endpoints,
+       ROUND((AVG(dx * dy) - AVG(dx) * AVG(dy))
+             / (SQRT(AVG(dx * dx) - AVG(dx) * AVG(dx))
+                * SQRT(AVG(dy * dy) - AVG(dy) * AVG(dy))), 6)
+           AS assortativity
+FROM de
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman, PRL 2002): the Pearson correlation
+    of endpoint degrees over every edge (symmetrized) — positive means
+    hubs attach to hubs (social networks), negative means hubs attach
+    to leaves (technological/dependency graphs). One number that
+    predicts how skew-prone every downstream wedge join and partition
+    scheme will be, next to `graph_degree_distribution`'s histogram.
+
+    Scale shape: two broadcast degree joins onto the edge list, a
+    symmetrizing union, one scalar aggregate. Degrees are small exact
+    integers in double (means/products exact until astronomically large
+    sums); the final correlation rounds on both sides."""
+    from featurestore_for_joycastle_java_spark.operators.graphs import (
+        cosupply_edges,
+        degrees,
+    )
+
+    e = cosupply_edges(spark, sf_dir)
+    deg = degrees(e)
+    du = deg.select(F.col("x").alias("u"), F.col("d").cast("double").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").cast("double").alias("dv"))
+    j = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    de = j.select(
+        F.col("du").alias("dx"), F.col("dv").alias("dy")
+    ).unionAll(j.select(F.col("dv").alias("dx"), F.col("du").alias("dy")))
+    num = F.avg(F.col("dx") * F.col("dy")) - F.avg("dx") * F.avg("dy")
+    den = F.sqrt(
+        F.avg(F.col("dx") * F.col("dx")) - F.avg("dx") * F.avg("dx")
+    ) * F.sqrt(F.avg(F.col("dy") * F.col("dy")) - F.avg("dy") * F.avg("dy"))
+    return de.agg(
+        F.count(F.lit(1)).alias("n_endpoints"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
