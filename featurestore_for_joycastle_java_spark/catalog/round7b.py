@@ -512,7 +512,13 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no per-row Python; at 100 TB the unigram table itself may stop
     being broadcastable, which is why the score join is a plain shuffle
     hash join on the token key."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _nll_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _nll_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc unigram-LM scores ``(doc_id, n_tokens, nll_nats)`` —
+    shared by ``text_lm_quality`` (the score surface) and
+    ``train_curriculum_buckets`` (the consumer)."""
     t = docs.select(
         "doc_id",
         F.explode(
@@ -527,20 +533,22 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.countDistinct("tok").alias("v"),
     )
-    s = (
+    return (
         t.join(c, "tok")
         .crossJoin(F.broadcast(g))
-        .select(
-            "doc_id",
-            F.log(
-                (F.col("c") + 1).cast("double")
-                / (F.col("n_total") + F.col("v"))
-            ).alias("lp"),
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.avg(
+                    F.log(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("n_total") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("nll_nats"),
         )
-    )
-    return s.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(-F.avg("lp"), 6).alias("nll_nats"),
     )
 
 
@@ -1105,37 +1113,7 @@ def train_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntile_from_rank,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), " "), lambda x: x != ""
-            )
-        ).alias("tok"),
-    )
-    c = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    g = t.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.countDistinct("tok").alias("v"),
-    )
-    nll = (
-        t.join(c, "tok")
-        .crossJoin(F.broadcast(g))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                -F.avg(
-                    F.log(
-                        (F.col("c") + 1).cast("double")
-                        / (F.col("n_total") + F.col("v"))
-                    )
-                ),
-                6,
-            ).alias("nll_nats"),
-        )
-    )
+    nll = _nll_frame(load_table(spark, sf_dir, "documents"))
     ranked = global_row_number(nll, "nll_nats", ["doc_id"], out_col="rn")
     tiled = ranked.withColumn(
         "decile", ntile_from_rank(F.col("rn"), F.col("_n_total"), 10)
