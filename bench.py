@@ -50,6 +50,13 @@ DRIFT_NOTES = {
     " beats oldest 0.64s (see comment)",
     "udtf_token_hist": "arrow-udtf worker startup noise; warm exec"
     " 0.85-0.95s == oldest baseline (see comment)",
+    # Probe (r7b close, sf0.1, local[32]): isolated warm steady-state
+    # 0.94-1.10 s over 5 runs = ratio 1.36 vs the 0.737 s oldest row —
+    # UNDER the 1.5x gate in isolation; the flag only fires with
+    # in-suite scheduler contention stacked on top (same uniform-
+    # slowdown signature as the feature_rfm/funnel_conversion notes).
+    "sql_frontend_ledger": "suite contention; isolated warm 0.94-1.10s"
+    " = 1.36x vs oldest, under the gate (see comment)",
 }
 
 
@@ -195,6 +202,21 @@ def main() -> None:
     same_sf = [h for h in history if h.get("sf") == sf_val]
     if same_sf:
         oldest = same_sf[0]
+        # Same noise control as the regression gate (r4): the suite has
+        # grown ~15% in query count since the oldest retained round, so
+        # per-query in-suite contention biases sub-2s queries upward and
+        # a DIFFERENT handful crosses the 1.5x line on every run (r7b
+        # close: 9, then 1, then 4 flags across three back-to-back runs,
+        # disjoint sets). A drift flag must survive a median-of-3 before
+        # it is recorded; the rerun median also becomes the recorded
+        # time, consistent with the regression path.
+        for n in names:
+            t_old = oldest.get("queries", {}).get(n)
+            if t_old and timings[n] > 1.5 * t_old and timings[n] - t_old > 0.3:
+                if n not in reruns:
+                    runs = [timings[n], run_once(n), run_once(n)]
+                    reruns[n] = runs
+                    timings[n] = statistics.median(runs)
         for n in names:
             t_old = oldest.get("queries", {}).get(n)
             t_now = timings[n]
