@@ -2581,3 +2581,212 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_endpoints"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+# ------------------------------------------- global clustering coeff
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+WITH bip AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+    FROM lineitem WHERE l_quantity >= 49.0),
+e AS (
+    SELECT DISTINCT a.s AS u, b.s AS v
+    FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+adj AS (SELECT u AS x FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       w.n_wedges,
+       ROUND(3.0 * t.n_triangles / w.n_wedges, 6) AS global_cc
+FROM tri t, w
+""",
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global clustering coefficient (transitivity): 3 x triangles /
+    wedges — what fraction of open two-paths close. The one-number
+    density summary next to `graph_triangles_cosupply` (which localizes
+    triangles) and `graph_assortativity` (who attaches to whom); high
+    transitivity predicts that wedge-join candidate generation
+    (Adamic-Adar, common-neighbors) will verify efficiently.
+
+    Scale shape: triangles by the ordered-triple join on the u < v edge
+    list (each triangle counted once, the standard Sigma deg^2-bounded
+    enumeration); wedges in closed form from the degree frame (integer
+    d(d-1)/2 — exact); one 1-row cross of two scalars."""
+    from featurestore_for_joycastle_java_spark.operators.graphs import (
+        cosupply_edges,
+        degrees,
+    )
+
+    e = cosupply_edges(spark, sf_dir)
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = degrees(e)
+    w = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(w)).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("global_cc"),
+    )
+
+
+# --------------------------------------------- weekday seasonality
+
+
+@query(
+    "ts_weekday_seasonality",
+    # Spark dayofweek is 1=Sunday..7=Saturday; DuckDB dayofweek is
+    # 0=Sunday..6 — the oracle adds 1 to line the keys up.
+    oracle="""
+WITH d AS (
+    SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           value
+    FROM events WHERE event_type = 'purchase'),
+g AS (
+    SELECT dow, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS spend
+    FROM d GROUP BY 1),
+x AS (SELECT MAX(spend / n) AS hi, MIN(spend / n) AS lo FROM g)
+SELECT g.dow, g.n, g.spend,
+       ROUND(g.spend / g.n, 6) AS avg_spend,
+       ROUND(x.hi / x.lo, 6) AS weekly_amplitude
+FROM g, x
+""",
+)
+def ts_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality profile: purchase count and spend per day of
+    week plus the weekly amplitude (best-day over worst-day average
+    ratio, repeated on every row as the series-level statistic) — the
+    calendar decomposition a forecaster checks before choosing a
+    seasonal period, complementing ``ts_autocorr_hourly`` (which finds
+    the period statistically; this names it).
+
+    Scale shape: one combine-friendly 7-group agg with the exact
+    decimal-sum path; the amplitude is a 1-row broadcast back over the
+    7-row frame."""
+    from featurestore_for_joycastle_java_spark.operators.relational import (
+        exact_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    g = ev.groupBy(F.dayofweek("ts").cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("value")).alias("spend"),
+    )
+    x = g.agg(
+        F.max(F.col("spend") / F.col("n")).alias("hi"),
+        F.min(F.col("spend") / F.col("n")).alias("lo"),
+    )
+    return g.crossJoin(F.broadcast(x)).select(
+        "dow",
+        "n",
+        "spend",
+        F.round(F.col("spend") / F.col("n"), 6).alias("avg_spend"),
+        F.round(F.col("hi") / F.col("lo"), 6).alias("weekly_amplitude"),
+    )
+
+
+# ------------------------------------------- higher moments (manual)
+
+
+@query(
+    "agg_moments_skew_kurtosis",
+    # Built-in skewness/kurtosis are NOT used: Spark's are population
+    # moments, DuckDB's are sample-adjusted — silently different
+    # numbers. Both sides compute the same explicit power sums and the
+    # same population formulas.
+    oracle="""
+WITH s AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(l_extendedprice) AS s1,
+           SUM(l_extendedprice * l_extendedprice) AS s2,
+           SUM(l_extendedprice * l_extendedprice * l_extendedprice) AS s3,
+           SUM(l_extendedprice * l_extendedprice * l_extendedprice
+               * l_extendedprice) AS s4
+    FROM lineitem GROUP BY 1),
+m AS (
+    SELECT l_returnflag, n,
+           s1 / n AS m1,
+           s2 / n - (s1 / n) * (s1 / n) AS var_pop,
+           s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n)
+               * (s1 / n) AS mu3,
+           s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS mu4
+    FROM s)
+SELECT l_returnflag, n,
+       ROUND(m1, 4) AS mean,
+       ROUND(mu3 / POW(var_pop, 1.5), 4) AS skewness_pop,
+       ROUND(mu4 / (var_pop * var_pop) - 3, 4) AS excess_kurtosis_pop
+FROM m
+""",
+)
+def agg_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per return flag from
+    explicit power sums — distribution-shape profiling for feature QA
+    (skew ~ 0 and kurtosis ~ 0 means z-scoring is safe;
+    `feature_winsorize`-grade tails show up here first). Deliberately
+    NOT the engines' built-ins: Spark ships population moments, DuckDB
+    sample-adjusted ones — same name, different number; the explicit
+    central-moment identities pin ONE definition on both sides.
+
+    Scale shape: one combine-friendly agg of four power sums (map-side
+    partials), then scalar arithmetic on the |groups| frame. Rounded at
+    4 decimals: the power sums reach ~1e21 where double ulps are ~1e5,
+    so agreement holds at coarse precision by design — the docstring of
+    record for why s4 at 100 TB needs a two-pass centered algorithm
+    instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    var_pop = F.col("s2") / F.col("n") - m1 * m1
+    mu3 = F.col("s3") / F.col("n") - 3 * m1 * (F.col("s2") / F.col("n")) + 2 * m1 * m1 * m1
+    mu4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m1 * (F.col("s3") / F.col("n"))
+        + 6 * m1 * m1 * (F.col("s2") / F.col("n"))
+        - 3 * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m1, 4).alias("mean"),
+        F.round(mu3 / F.pow(var_pop, 1.5), 4).alias("skewness_pop"),
+        F.round(mu4 / (var_pop * var_pop) - 3, 4).alias(
+            "excess_kurtosis_pop"
+        ),
+    )
