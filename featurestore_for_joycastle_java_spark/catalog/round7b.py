@@ -2790,3 +2790,125 @@ def agg_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excess_kurtosis_pop"
         ),
     )
+
+
+# ------------------------------------------------- parquet inventory
+
+
+@query(
+    "layout_file_inventory",
+    oracle="""
+SELECT 'orders' AS table_name, 'orders.parquet' AS file_name,
+       COUNT(*) AS n_rows FROM orders
+UNION ALL
+SELECT 'customer', 'customer.parquet', COUNT(*) FROM customer
+UNION ALL
+SELECT 'lineitem', 'lineitem.parquet', COUNT(*) FROM lineitem
+""",
+)
+def layout_file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical file inventory through Spark's hidden ``_metadata``
+    column: per parquet file, its basename and row count — the
+    storage-introspection door (file skew, small-file detection,
+    compaction planning inputs) that reads NO data columns: the row
+    count groups by a constant-per-file metadata column, so column
+    pruning reduces the scan to file enumeration + counts. The oracle
+    restates the same truth declaratively (one file per table in the
+    fixtures, basenames deterministic) because DuckDB table functions
+    take literal paths and oracles must stay SF-independent; the
+    footer route (``parquet_file_metadata``) was verified equivalent
+    once at sf0.01 during development."""
+    import os
+
+    out = None
+    for t in ("orders", "customer", "lineitem"):
+        d = (
+            spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            .select(F.col("_metadata.file_name").alias("file_name"))
+            .groupBy("file_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                F.lit(t).alias("table_name"), "file_name", "n_rows"
+            )
+        )
+        out = d if out is None else out.unionAll(d)
+    return out
+
+
+# --------------------------------------------- ER agreement patterns
+
+
+@query(
+    "er_agreement_patterns",
+    oracle="""
+WITH c AS (
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bal_bucket,
+           substr(c_name, -2) AS name_tail
+    FROM customer),
+p AS (
+    SELECT levenshtein(a.c_name, b.c_name) <= 2 AS name_agree,
+           a.bal_bucket = b.bal_bucket AS bal_agree
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.name_tail = b.name_tail
+     AND a.c_custkey < b.c_custkey),
+t AS (SELECT COUNT(*) AS total FROM p)
+SELECT p.name_agree, p.bal_agree,
+       COUNT(*) AS n_pairs,
+       CAST(COUNT(*) * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM p, t
+GROUP BY 1, 2, t.total
+""",
+)
+def er_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement-pattern census over blocked candidate pairs — the
+    Fellegi-Sunter/Splink INPUT: how many candidate pairs agree on each
+    field combination (name within levenshtein 2, same $100 balance
+    bucket). The EM step that turns this census into m/u probabilities
+    is driver-side arithmetic on these 4 rows; the distributed work is
+    exactly this count, which is why it is the query worth pinning.
+
+    Scale shape: candidates come from a compound equi-join block
+    (nation x segment x name-tail) — Sigma block^2 never n^2, the same
+    inverted-index discipline as `er_customer_clusters` (tightening the
+    block key is the dial as data grows); pattern rollup is a
+    combine-friendly 4-group agg with exact integer shares."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100.0).cast("long").alias(
+            "bal_bucket"
+        ),
+        F.substring(F.col("c_name"), -2, 2).alias("name_tail"),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.name_tail") == F.col("b.name_tail"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        (
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2
+        ).alias("name_agree"),
+        (F.col("a.bal_bucket") == F.col("b.bal_bucket")).alias(
+            "bal_agree"
+        ),
+    )
+    t = p.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        p.crossJoin(F.broadcast(t))
+        .groupBy("name_agree", "bal_agree")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("count(1) * 1000000 DIV first(total)")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )
