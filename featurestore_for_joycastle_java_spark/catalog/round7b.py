@@ -2912,3 +2912,120 @@ def er_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_ppm"),
         )
     )
+
+
+# ------------------------------------------------ curation funnel
+
+
+@query(
+    "train_curation_funnel",
+    oracle="""
+WITH f AS (
+    SELECT doc_id, source,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           len(list_filter(string_split(lower(text), ' '),
+                           x -> x <> '')) AS n_tokens
+    FROM documents),
+surv AS (
+    SELECT doc_id, source, n_tokens,
+           doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_survivor
+    FROM f),
+t AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS tok
+    FROM documents),
+c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+g AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT tok) AS v FROM t),
+nll AS (
+    SELECT t.doc_id,
+           ROUND(-AVG(LN(CAST(c.c + 1 AS DOUBLE) / (g.n_total + g.v))), 6)
+               AS nll_nats
+    FROM t JOIN c USING (tok) CROSS JOIN g GROUP BY t.doc_id),
+staged AS (
+    SELECT s.doc_id, s.source, s.n_tokens, s.is_survivor,
+           s.is_survivor AND nll.nll_nats <= 3.41 AS quality_ok
+    FROM surv s JOIN nll ON nll.doc_id = s.doc_id),
+budgeted AS (
+    SELECT *,
+           CASE WHEN quality_ok THEN
+               SUM(CASE WHEN quality_ok THEN n_tokens ELSE 0 END)
+                   OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               END AS cum_tokens
+    FROM staged)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN is_survivor THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_dedup,
+       CAST(SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_quality,
+       CAST(SUM(CASE WHEN quality_ok AND cum_tokens <= 800
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN quality_ok AND cum_tokens <= 800
+                     THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM budgeted
+GROUP BY source
+""",
+)
+def train_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE LLM-corpus curation pipeline as one accountable funnel:
+    exact-dedup survivors -> LM-quality gate (unigram NLL <= 3.41, the
+    ~p90 of this corpus) -> per-source token budget (first 800 tokens
+    per source in doc_id order), with per-source counts at EVERY stage
+    — the number the data lead actually reviews ("where did my
+    documents go?"). Composes `dedup_exact_survivors`,
+    `text_lm_quality`, and `train_token_budget_mix`'s budget rule into
+    one lineage with exact integer accounting.
+
+    Scale shape: survivor flags are one fp-keyed window (bounded dup
+    groups); NLL is the shared scorer (one token explode, one hash
+    join); the budget prefix sum partitions per source ordered by
+    doc_id (the scale-safe variant is `grouped_prefix_sum`, used by
+    `train_token_budget_mix`; a plain per-source window is kept here
+    because the funnel's unit of work is the per-source slice and the
+    two are proven equivalent in tests/test_round7.py)."""
+    from featurestore_for_joycastle_java_spark.operators.text import (
+        fingerprint,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    w_fp = Window.partitionBy("fp")
+    surv = f.withColumn(
+        "is_survivor", F.col("doc_id") == F.min("doc_id").over(w_fp)
+    )
+    nll = _nll_frame(docs).select("doc_id", "nll_nats")
+    staged = surv.join(nll, "doc_id").withColumn(
+        "quality_ok", F.col("is_survivor") & (F.col("nll_nats") <= 3.41)
+    )
+    w_b = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = staged.withColumn(
+        "cum_tokens",
+        F.when(
+            F.col("quality_ok"),
+            F.sum(
+                F.when(F.col("quality_ok"), F.col("n_tokens")).otherwise(0)
+            ).over(w_b),
+        ),
+    )
+    kept = F.col("quality_ok") & (F.col("cum_tokens") <= 800)
+    return budgeted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("is_survivor").cast("long")).alias("n_after_dedup"),
+        F.sum(F.col("quality_ok").cast("long")).alias("n_after_quality"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+    )
