@@ -1,25 +1,37 @@
-"""Round-7 continuation (batch B): classic analytics shapes the registry
-did not cover yet — interval gaps-and-islands merge, Pareto/ABC
-classification, Spearman rank correlation, Jensen-Shannon segment drift,
-sequential trigram motifs, and an l-diversity privacy audit.
+"""Round-7 continuation: the analytics and pipeline shapes the registry
+did not cover yet, grouped by family —
 
-Each one is chosen for a distinct SCALE shape:
+- classic analytics: gaps-and-islands interval merge, ABC/Pareto,
+  Spearman, JS divergence, trigram motifs, hourly OHLC, weekday
+  seasonality, population skew/kurtosis, exact global median, lift
+  deciles, average precision, multi-touch attribution, calendar-correct
+  lag features, time-decayed counts, running-distinct windows;
+- LLM-pipeline: unigram-LM quality scoring (CCNet-style), curriculum
+  deciles, temperature mixing, preference pairs, PMI collocations,
+  per-source dup exposure + provenance split, the end-to-end curation
+  funnel (dedup -> quality -> budget, per-stage accounting);
+- retrieval/similarity: Matryoshka prefix recall, composed IVF-PQ,
+  cluster purity vs labels;
+- graph: Adamic-Adar, degree distribution (bit-length bins),
+  assortativity, global clustering coefficient;
+- governance/ops: l-diversity, sequence-gap audit, header/detail
+  reconciliation, order-independent table checksums, CDC merge-apply,
+  column entropy, `_metadata` file inventory, ER agreement patterns,
+  streaming trending top-k, the clamped-running-balance stateful door.
 
-- islands merge: per-entity ordered windows (bounded per-user groups);
-- ABC: a GLOBAL ordered prefix sum done without a global window
-  (``operators.ranks.grouped_prefix_sum`` with one logical group — the
-  only single-task window sees <= n_buckets rows);
-- Spearman: two exact global average-ranks via the two-pass range-bucket
-  ``global_row_number`` (no whole-table ``Window.orderBy``), tie groups
-  resolved by the avg-of-row-numbers identity;
-- JS divergence / trigrams / l-diversity: plain combine-friendly
-  aggregations (map-side partial aggs, one shuffle each).
+Shared discipline:
 
-Cross-engine float discipline (same rules as the rest of the catalog):
-monetary values go through exact integer cents (prices are 2-decimal
-doubles in the fixtures), ranks are exact halves (sums stay exact in
-binary64), and every genuinely-float output (log terms, correlation) is
-rounded to 6 decimals on BOTH sides.
+- SCALE: global ordered work goes through the two-pass range-bucketed
+  helpers (``global_row_number`` / ``grouped_prefix_sum`` — no
+  whole-table ``Window.orderBy``); per-entity work stays in bounded
+  hash-partitioned windows; range joins become equi-joins via grid or
+  block keys; candidate generation is always index-shaped (wedge,
+  fingerprint, block), never all-pairs.
+- FLOATS: money and shares travel as exact integers; ranks are exact
+  halves; any top-k over a float score orders by the ROUNDED score (or
+  an exact count) with a total-order tiebreak; genuinely-float outputs
+  round identically on both sides; the one stateful float replay
+  (`feature_capped_running_sum`) matches IEEE association step by step.
 """
 
 from __future__ import annotations
