@@ -3041,3 +3041,146 @@ def train_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_kept"
         ),
     )
+
+
+# ------------------------------------------------- WoW growth report
+
+
+@query(
+    "ts_wow_growth",
+    oracle="""
+WITH w AS (
+    SELECT event_type,
+           DATE_TRUNC('week', ts) AS wk,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2),
+l AS (
+    SELECT event_type, wk, n,
+           LAG(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+    FROM w)
+SELECT event_type,
+       strftime(wk, '%Y-%m-%d') AS week_start,
+       n,
+       n - COALESCE(prev_n, 0) AS delta,
+       CASE WHEN prev_n IS NULL THEN NULL
+            ELSE ROUND((CAST(n AS DOUBLE) - prev_n) / prev_n, 6)
+       END AS pct_change
+FROM l
+""",
+)
+def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the period-over-period
+    report every BI layer ships: weekly counts, absolute delta, and
+    percent change vs the previous week (NULL on each series' first
+    week — 'growth from nothing' is undefined, not infinite). Lag is
+    over the WEEKLY ROLLUP (|types x weeks| rows), positional-lag-safe
+    because the rollup grain is dense by construction within a series'
+    observed span only if no week is empty — an empty week SHIFTS the
+    comparison to the last observed week, which is the standard BI
+    semantic for sparse series (calendar-strict variants join on
+    wk - 7 days, the `feature_lag_matrix` pattern).
+
+    Scale shape: one combine-friendly rollup, then a per-type window
+    over the tiny weekly frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lw = Window.partitionBy("event_type").orderBy("wk")
+    l = w.withColumn("prev_n", F.lag("n").over(lw))
+    return l.select(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "n",
+        (F.col("n") - F.coalesce(F.col("prev_n"), F.lit(0))).alias(
+            "delta"
+        ),
+        F.when(
+            F.col("prev_n").isNotNull(),
+            F.round(
+                (F.col("n").cast("double") - F.col("prev_n"))
+                / F.col("prev_n"),
+                6,
+            ),
+        ).alias("pct_change"),
+    )
+
+
+# ------------------------------------------------- sharded export
+
+#: sf_dir -> export scratch dir (one write per process, atexit-cleaned —
+#: the same persist-once pattern as round7's signature scratches).
+_EXPORT_SCRATCH: dict[str, str] = {}
+
+
+@query(
+    "train_export_shards",
+    # The manifest the engine reads back FROM THE FILES must equal the
+    # manifest the oracle derives declaratively from the base table —
+    # the export round-trip (shard routing, line rendering, no loss, no
+    # duplication) is the thing under test. Lines are TSV (doc_id \t
+    # text): deterministic to render in both engines, unlike JSON
+    # escaping.
+    oracle="""
+WITH l AS (
+    SELECT doc_id % 8 AS shard_id,
+           doc_id || chr(9) || text AS line
+    FROM documents)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST('0x' || substr(md5(line), 1, 10) AS BIGINT))
+            % 1099511627776 AS BIGINT) AS checksum
+FROM l GROUP BY 1
+""",
+    bench=False,  # eager file write at construction (once per process)
+)
+def train_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded training-corpus export with a verified manifest: docs
+    route to 8 shards (doc_id mod — content-addressed routing keeps
+    re-exports stable), each shard lands as TSV text files via a
+    partitioned write, and the returned manifest (per shard: doc count
+    + order-independent 40-bit checksum) is computed by READING THE
+    FILES BACK — so the oracle comparison proves the whole export
+    round-trip: routing, rendering, no loss, no duplication. This is
+    the handoff artifact a training job validates before consuming a
+    corpus drop (cf. `train_dataset_card` for the human-facing half).
+
+    Scale shape: one partitioned text write (shard = directory,
+    append-free overwrite), one read-back with partition discovery, one
+    combine-friendly manifest agg using the `diag_table_checksum`
+    summation. Eager at construction (once per process, atexit-cleaned
+    scratch), listed in the plan-lint eager set."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _EXPORT_SCRATCH.get(sf_dir)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="fs_export_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        out = os.path.join(root, "shards")
+        (
+            docs.select(
+                (F.col("doc_id") % 8).alias("shard_id"),
+                F.concat_ws(
+                    "\t", F.col("doc_id").cast("string"), F.col("text")
+                ).alias("value"),
+            )
+            .repartition("shard_id")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .text(out)
+        )
+        _EXPORT_SCRATCH[sf_dir] = out
+    lines = spark.read.text(out)  # partition col shard_id discovered
+    fp = F.conv(
+        F.substring(F.md5(F.col("value")), 1, 10), 16, 10
+    ).cast("decimal(38,0)")
+    return lines.groupBy(F.col("shard_id").cast("long").alias("shard_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(fp) % F.lit(1099511627776).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("checksum"),
+    )

@@ -63,6 +63,9 @@ _EAGER_CONSTRUCTION = {
     # eager by design: the Observation API only yields metrics after the
     # production action runs, so construction triggers the job
     "profile_observe_metrics",
+    # eager sharded-export write at construction (once per process,
+    # atexit-cleaned); the read-back manifest IS the oracle check
+    "train_export_shards",
 }
 
 #: CartesianProduct (shuffle cartesian — BOTH sides big) is deliberate
