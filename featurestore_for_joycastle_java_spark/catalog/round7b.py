@@ -3184,3 +3184,147 @@ def train_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("checksum"),
     )
+
+
+# --------------------------------------------------- count encoding
+
+
+@query(
+    "feature_count_encoding",
+    oracle="""
+WITH enc AS (
+    SELECT c_nationkey, COUNT(*) AS nation_count
+    FROM customer GROUP BY 1)
+SELECT c.c_custkey, c.c_nationkey, e.nation_count
+FROM customer c JOIN enc e USING (c_nationkey)
+""",
+)
+def feature_count_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count (frequency) encoding of a categorical: each row carries its
+    category's row count — the zero-leakage, zero-vocabulary encoder
+    that often matches target encoding on tree models (and unlike
+    `feature_target_encoding` needs no label, so it survives inference
+    time unchanged). Completes the categorical-encoder family: target,
+    OOF-target, hashing, crossing, and now count.
+
+    Scale shape: one combine-friendly count to |categories| rows,
+    broadcast back onto the fact — no shuffle of the fact at dim-sized
+    cardinality (the join key being the encoded column itself)."""
+    c = load_table(spark, sf_dir, "customer")
+    enc = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("nation_count")
+    )
+    return c.select("c_custkey", "c_nationkey").join(
+        F.broadcast(enc), "c_nationkey"
+    ).select("c_custkey", "c_nationkey", "nation_count")
+
+
+# ---------------------------------------------------- right outer
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+SELECT n.n_name,
+       c.c_custkey
+FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join — every nation survives even with no qualifying
+    high-balance customer (null c_custkey), completing the join-type
+    inventory (inner/left/semi/anti/full/cross/right). Planner note:
+    Catalyst canonicalizes right joins by flipping build sides, so the
+    physical plan is the mirrored left-outer — the row semantics are
+    what this query pins."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_nationkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return c.join(
+        n, F.col("c_nationkey") == F.col("n_nationkey"), "right"
+    ).select("n_name", "c_custkey")
+
+
+# --------------------------------------------------- bitwise scalars
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+       CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+       CAST(xor(o_orderkey, 21845) AS BIGINT) AS xored,
+       CAST(o_orderkey << 2 AS BIGINT) AS shl2,
+       CAST(o_orderkey >> 3 AS BIGINT) AS shr3,
+       bit_count(o_orderkey) AS popcount
+FROM orders WHERE o_orderkey <= 1000
+""",
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family — AND/OR/XOR, shifts, popcount — the ops
+    behind flag words, bitmap fragments, and hash mixing (`layout_
+    morton_keys` interleaves with exactly these). All integer-exact;
+    completes the scalar-function inventory next to the string / date /
+    math / array / map / json / conditional / try families."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 1000
+    )
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(255).cast("long").alias("low_byte"),
+        k.bitwiseOR(4096).cast("long").alias("with_flag"),
+        k.bitwiseXOR(21845).cast("long").alias("xored"),
+        F.shiftleft(k, 2).cast("long").alias("shl2"),
+        F.shiftright(k, 3).cast("long").alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+# ------------------------------------------------- ordered listagg
+
+
+@query(
+    "agg_ordered_listagg",
+    oracle="""
+SELECT r.r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+       COUNT(*) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def agg_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): nations per
+    region as one deterministic comma-joined string — the denormalized
+    label column reporting layers ask for constantly. Spark has no
+    ordered string_agg aggregate; the deterministic spelling is
+    collect_list -> array_sort -> array_join, which pins the order
+    INSIDE the expression instead of praying over input order (the
+    classic listagg nondeterminism bug).
+
+    Scale shape: one combine-friendly collect per group — safe when the
+    per-group list is bounded (25 nations); for unbounded groups the
+    answer is top-k truncation first, never an unbounded collect."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(
+            F.broadcast(r),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations_csv"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
