@@ -3328,3 +3328,152 @@ def agg_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+# ------------------------------------------------- ratio to parent
+
+
+@query(
+    "agg_ratio_to_parent",
+    oracle="""
+WITH rev AS (
+    SELECT n.n_regionkey, c.c_nationkey,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2),
+reg AS (
+    SELECT n_regionkey, SUM(rev_cents) AS region_cents
+    FROM rev GROUP BY 1),
+tot AS (SELECT SUM(rev_cents) AS total_cents FROM rev)
+SELECT r.r_name, n.n_name,
+       CAST(v.rev_cents AS BIGINT) AS rev_cents,
+       CAST(v.rev_cents * 1000000 // g.region_cents AS BIGINT)
+           AS share_in_region_ppm,
+       CAST(v.rev_cents * 1000000 // t.total_cents AS BIGINT)
+           AS share_of_total_ppm
+FROM rev v
+JOIN reg g ON g.n_regionkey = v.n_regionkey
+JOIN nation n ON n.n_nationkey = v.c_nationkey
+JOIN region r ON r.r_regionkey = v.n_regionkey
+CROSS JOIN tot t
+""",
+)
+def agg_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent rollup: each nation's order revenue as an exact
+    ppm share of its REGION and of the GRAND TOTAL — the two-level
+    contribution report (drill-down with 'percent of parent' columns)
+    that plain GROUPING SETS can't express without the reference back
+    to the parent level. All integer cents and integer ppm.
+
+    Scale shape: one fact rollup to |nations| rows; the region and
+    grand-total frames are tiny re-aggregations of THAT (never a second
+    fact scan); dims broadcast back."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    reg = rev.groupBy("n_regionkey").agg(
+        F.sum("rev_cents").alias("region_cents")
+    )
+    tot = rev.agg(F.sum("rev_cents").alias("total_cents"))
+    return (
+        rev.join(F.broadcast(reg), "n_regionkey")
+        .crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            "rev_cents",
+            F.expr("rev_cents * 1000000 DIV region_cents")
+            .cast("bigint")
+            .alias("share_in_region_ppm"),
+            F.expr("rev_cents * 1000000 DIV total_cents")
+            .cast("bigint")
+            .alias("share_of_total_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------- IVF n_probe curve
+
+
+@query(
+    "sim_ivf_nprobe_curve",
+    oracle="""
+SELECT 2 AS n_probe, COUNT(*) AS n_queries, 5 AS k,
+       TRUE AS recall_ok, TRUE AS monotone_ok
+FROM embeddings WHERE vec_id % 50 = 1
+UNION ALL
+SELECT 4, COUNT(*), 5, TRUE, TRUE
+FROM embeddings WHERE vec_id % 50 = 1
+UNION ALL
+SELECT 8, COUNT(*), 5, TRUE, TRUE
+FROM embeddings WHERE vec_id % 50 = 1
+""",
+    bench=False,  # characterization harness: three IVF runs + the
+    # brute-force ground truth per invocation
+)
+def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost dial as a committed artifact: top-5 recall vs
+    brute force at n_probe = 2, 4, 8 of 16 cells — the curve an ops
+    team publishes to pick an operating point (scan fraction scales
+    with n_probe/n_centroids; measured recall 0.44-0.54 / 0.58-0.62 /
+    0.80-0.82 across sf0.001-0.01). Two driver-checked properties per
+    row: recall clears a floor set under the measured band (0.30 /
+    0.45 / 0.65 — only a real index regression dips under), and the
+    curve is MONOTONE non-decreasing in n_probe (more cells probed can
+    only add candidates; a violation means probe routing is broken)."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = brute_force_topk(e, q, k=5).select("query_id", "vec_id")
+    nq = q.count()
+    floors = {2: 0.30, 4: 0.45, 8: 0.65}
+    recalls = {}
+    for n_probe in (2, 4, 8):
+        ann = ivf_topk(
+            e, q, k=5, n_centroids=16, n_probe=n_probe
+        ).select("query_id", "vec_id")
+        hits = ann.join(brute, ["query_id", "vec_id"]).count()
+        recalls[n_probe] = hits / (nq * 5)
+    monotone = recalls[2] <= recalls[4] <= recalls[8]
+    rows = [
+        (n_probe, nq, 5, recalls[n_probe] >= floors[n_probe], monotone)
+        for n_probe in (2, 4, 8)
+    ]
+    return e.sparkSession.createDataFrame(
+        rows,
+        "n_probe int, n_queries long, k int, recall_ok boolean,"
+        " monotone_ok boolean",
+    )

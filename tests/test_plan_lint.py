@@ -66,6 +66,9 @@ _EAGER_CONSTRUCTION = {
     # eager sharded-export write at construction (once per process,
     # atexit-cleaned); the read-back manifest IS the oracle check
     "train_export_shards",
+    # eager by design: measures three IVF recalls + ground truth at
+    # construction and returns the characterization rows
+    "sim_ivf_nprobe_curve",
 }
 
 #: CartesianProduct (shuffle cartesian — BOTH sides big) is deliberate
