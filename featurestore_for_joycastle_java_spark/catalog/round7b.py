@@ -3477,3 +3477,98 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_probe int, n_queries long, k int, recall_ok boolean,"
         " monotone_ok boolean",
     )
+
+
+# ------------------------------------------------- rolling z-score
+
+
+@query(
+    "window_rolling_zscore",
+    oracle="""
+WITH w AS (
+    SELECT event_id, user_id, value,
+           COUNT(*) OVER win AS n_win,
+           AVG(value) OVER win AS m1,
+           AVG(value * value) OVER win AS m2
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id,
+       ROUND((value - m1) / SQRT(m2 - m1 * m1), 6) AS rolling_z
+FROM w
+WHERE n_win >= 3 AND m2 - m1 * m1 > 0
+""",
+)
+def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score over each user's trailing 7 events — the
+    time-LOCAL anomaly feature (`feature_anomaly_zscore` standardizes
+    against the user's GLOBAL distribution; a drifting baseline needs
+    the rolling one). Variance comes from the explicit moment identity
+    avg(x^2) - avg(x)^2 computed by the SAME frame in both engines —
+    never the builtins (population vs sample again); rows with fewer
+    than 3 observations or zero variance emit nothing (a z-score
+    against no spread is noise, not signal).
+
+    Scale shape: one bounded per-entity window (7-row frames), three
+    frame aggregates sharing one shuffle and sort."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros(F.col("ts"))
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(win).alias("n_win"),
+        F.avg("value").over(win).alias("m1"),
+        F.avg(F.col("value") * F.col("value")).over(win).alias("m2"),
+    )
+    var = F.col("m2") - F.col("m1") * F.col("m1")
+    return w.filter((F.col("n_win") >= 3) & (var > 0)).select(
+        "event_id",
+        "user_id",
+        F.round((F.col("value") - F.col("m1")) / F.sqrt(var), 6).alias(
+            "rolling_z"
+        ),
+    )
+
+
+# ----------------------------------------------------- punchcard
+
+
+@query(
+    "ts_punchcard",
+    # Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6 — +1 in
+    # the oracle lines the keys up (same mapping as
+    # ts_weekday_seasonality).
+    oracle="""
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hr,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def ts_punchcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The punchcard: event and distinct-user counts per (day-of-week,
+    hour-of-day) cell — the activity heatmap behind capacity planning
+    and anomaly eyeballing (a hot cell that empties is an outage; a
+    cold cell that fills is a bot). 7x24 output regardless of data
+    size.
+
+    Scale shape: one combine-friendly agg on a tiny composite key; the
+    distinct-user count is the only Expand, bounded by the 168-cell
+    grid on the reduce side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
