@@ -3572,3 +3572,170 @@ def ts_punchcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ------------------------------------------- smoothed target encoding
+
+
+@query(
+    "feature_target_encoding_smoothed",
+    oracle="""
+WITH y AS (
+    SELECT user_id,
+           CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+    FROM events),
+g AS (SELECT AVG(y) AS gmean FROM y),
+e AS (
+    SELECT user_id, COUNT(*) AS n, SUM(y) AS sum_y FROM y GROUP BY 1)
+SELECT e.user_id, e.n,
+       ROUND((e.sum_y + 10.0 * g.gmean) / (e.n + 10.0), 6)
+           AS te_smoothed,
+       ROUND(g.gmean, 6) AS global_mean
+FROM e, g
+""",
+)
+def feature_target_encoding_smoothed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """m-estimate (Bayesian-smoothed) target encoding (Micci-Barreca,
+    SIGKDD Expl. 2001): each user's purchase rate shrunk toward the
+    global mean with pseudo-count m=10 — the regularization that makes
+    target encoding survive high-cardinality keys where the plain
+    per-key mean (`feature_target_encoding`) memorizes noise, and the
+    bias-variance dial between it and the leakage-safe OOF variant.
+
+    Scale shape: one combine-friendly per-key agg + a 1-row global-mean
+    broadcast; the smoothing is per-row arithmetic on the key frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    g = ev.agg(F.avg("y").alias("gmean"))
+    e = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sum_y")
+    )
+    return e.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "n",
+        F.round(
+            (F.col("sum_y") + 10.0 * F.col("gmean")) / (F.col("n") + 10.0),
+            6,
+        ).alias("te_smoothed"),
+        F.round("gmean", 6).alias("global_mean"),
+    )
+
+
+# ----------------------------------------------- LOO kNN accuracy
+
+
+@query(
+    "sim_knn_loo_accuracy",
+    # Fully value-oracled: deterministic brute-force neighbors (rounded
+    # cosine, vec_id tiebreak), majority vote with lowest-label
+    # tiebreak, exact integer accuracy.
+    oracle="""
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings),
+p AS (
+    SELECT a.vec_id, a.label AS true_label, b.label AS nbr_label,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+               ROUND(list_inner_product(a.v, b.v)
+                     / (SQRT(list_inner_product(a.v, a.v))
+                        * SQRT(list_inner_product(b.v, b.v))), 6) DESC,
+               b.vec_id) AS rn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+votes AS (
+    SELECT vec_id, true_label, nbr_label, COUNT(*) AS c
+    FROM p WHERE rn <= 5 GROUP BY 1, 2, 3),
+pred AS (
+    SELECT vec_id, true_label, nbr_label AS pred_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY c DESC, nbr_label) AS pr
+        FROM votes)
+    WHERE pr = 1)
+SELECT COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS accuracy_ppm
+FROM pred
+""",
+    bench=False,  # leave-one-out over all vectors is deliberately
+    # quadratic — the correctness anchor; the scale path swaps the
+    # brute-force neighbor stage for the IVF/PQ shortlist
+)
+def sim_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN classification accuracy over the embedding
+    labels — the standard intrinsic quality number for an embedding
+    space ("do neighbors share labels?"), reported in exact ppm.
+    Majority vote breaks ties toward the lowest label; neighbors order
+    by (rounded cosine, vec_id) — the same total-order discipline as
+    every ranking in the catalog, so both engines replay the identical
+    vote.
+
+    Scale shape: deliberately the quadratic anchor (bench-skipped, like
+    `dedup_embedding_cosine`): every vector scores every other. The
+    production path swaps the neighbor stage for the IVF/PQ shortlist
+    (`ivfpq_topk`) — the vote and accuracy stages are unchanged."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    a = e.select(
+        F.col("vec_id"), F.col("label").alias("true_label"), F.col("v")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("v").alias("bv"),
+    )
+    p = (
+        a.join(b, F.col("vec_id") != F.col("b_id"))
+        .select(
+            "vec_id",
+            "true_label",
+            "nbr_label",
+            F.round(cosine(F.col("v"), F.col("bv")), 6).alias("cos"),
+            "b_id",
+        )
+    )
+    w_n = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("b_id")
+    )
+    top5 = p.withColumn("rn", F.row_number().over(w_n)).filter(
+        F.col("rn") <= 5
+    )
+    votes = top5.groupBy("vec_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_v = Window.partitionBy("vec_id").orderBy(
+        F.col("c").desc(), "nbr_label"
+    )
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w_v))
+        .filter(F.col("pr") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("nbr_label").alias("pred_label"),
+        )
+    )
+    hit = (F.col("pred_label") == F.col("true_label")).cast("long")
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(hit).alias("n_correct"),
+        F.expr(
+            "sum(case when pred_label = true_label then 1 else 0 end)"
+            " * 1000000 DIV count(1)"
+        )
+        .cast("bigint")
+        .alias("accuracy_ppm"),
+    )

@@ -80,6 +80,8 @@ _CARTESIAN_OK = {
     "join_cross",  # the cross-join operator itself
     "dedup_embedding_cosine",  # exact all-pairs correctness anchor
     "sim_cosine_topk",  # brute-force baseline (scale path: LSH/IVF/PQ)
+    "sim_knn_loo_accuracy",  # leave-one-out anchor (scale path: ivfpq
+    # shortlist feeds the same vote stage)
 }
 
 #: Python execution (Arrow-batched or connector) is the operator here.
