@@ -3739,3 +3739,87 @@ def sim_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("accuracy_ppm"),
     )
+
+
+# ------------------------------------------------------- Zipf fit
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+WITH t AS (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS tok
+    FROM documents),
+c AS (SELECT tok, COUNT(*) AS f FROM t GROUP BY 1),
+r AS (
+    SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rnk
+    FROM c
+    ORDER BY f DESC, tok
+    LIMIT 100),
+x AS (
+    SELECT LN(CAST(rnk AS DOUBLE)) AS lx, LN(CAST(f AS DOUBLE)) AS ly
+    FROM r),
+s AS (
+    SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+           SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+    FROM x)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           AS zipf_slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS intercept
+FROM s
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: least-squares slope of ln(frequency) vs ln(rank)
+    over the top-100 tokens — natural language sits near slope -1;
+    strong departures mark templated/boilerplate or synthetic text, the
+    corpus-level smell test next to the per-doc quality scores
+    (`text_lm_quality`, `text_repetition`). Closed-form OLS over 100
+    points; rank ties break on the token string in both engines.
+
+    Scale shape: one combine-friendly token count, a top-100
+    TakeOrderedAndProject, and a 100-row scalar regression — the fit
+    frame is constant-size at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+            )
+        ).alias("tok")
+    )
+    c = t.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    r = (
+        c.orderBy(F.col("f").desc(), "tok")
+        .limit(100)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("f").desc(), "tok")
+            ),
+        )
+    )
+    x = r.select(
+        F.log(F.col("rnk").cast("double")).alias("lx"),
+        F.log(F.col("f").cast("double")).alias("ly"),
+    )
+    s = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
