@@ -546,7 +546,13 @@ def minhash_lsh_pairs_incremental(
     corpus never self-joins, so daily ingestion into a 100 TB corpus pays
     for the batch, not for the corpus².  Both-new pairs fall out of the
     same join (batch bands are unioned into the probe's right side once,
-    with ``id_a < id_b`` dedup)."""
+    with ``id_a < id_b`` dedup).
+
+    Ids SHOULD be disjoint between ``base_docs`` and ``new_docs`` (an
+    ingestion batch vs the existing corpus); if an id appears on both
+    sides it is treated as a re-ingest — the NEW row's text wins in the
+    exact verify (base row anti-joined away), and candidate pairs stay
+    deduplicated via the ``distinct()`` on the band join."""
     from featurestore_for_joycastle_java_spark.operators.text import shingles
 
     if num_perm % n_bands:
@@ -585,12 +591,18 @@ def minhash_lsh_pairs_incremental(
     # exact verify: fetch raw text for CANDIDATE ids only (semi-join
     # prune before tokenization — at scale this is a point-lookup set,
     # not a corpus scan)
-    all_docs = base_docs.select(
+    new_texts = new_docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__t")
-    ).unionByName(
-        new_docs.select(
+    )
+    # re-ingest guard: an id present in BOTH sides keeps only the new
+    # row's text (otherwise the duplicate id would multiply verify-join
+    # output rows); anti-join is a no-op for the normal disjoint case
+    all_docs = (
+        base_docs.select(
             F.col(id_col).alias("id"), F.col(text_col).alias("__t")
         )
+        .join(new_texts, "id", "anti")
+        .unionByName(new_texts)
     )
     cand_ids = cand.select(F.col("id_a").alias("id")).unionByName(
         cand.select(F.col("id_b").alias("id"))

@@ -105,6 +105,7 @@ def grouped_prefix_sum(
     out_col: str = "running_sum",
     tiebreak_cols: list[str] | None = None,
     n_buckets: int = 32,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Exact per-group running sum ``SUM(value) OVER (PARTITION BY grp
     ORDER BY order_col ROWS UNBOUNDED PRECEDING..CURRENT ROW)`` without
@@ -122,7 +123,15 @@ def grouped_prefix_sum(
 
     Bucket monotonicity: equal order values share a bucket (range floor
     of the order value), so tiebreak columns never cross buckets — the
-    same contract as ``global_row_number``."""
+    same contract as ``global_row_number``.
+
+    PRECONDITION for the default ``broadcast_offsets=True``: the operator
+    targets FEW HUGE groups (the TB-sized-group case above), so the
+    offsets frame is |groups| × ``n_buckets`` rows and safely broadcast.
+    For a high-cardinality ``group_cols`` call (where a plain partitioned
+    window would have been fine anyway), pass ``broadcast_offsets=False``
+    to let the optimizer pick the join strategy instead of forcing a
+    driver-side collect of a large offsets frame."""
     tiebreak_cols = list(tiebreak_cols or [])
     v = F.col(order_col).cast("double")
     stats = df.groupBy(*group_cols).agg(
@@ -163,8 +172,10 @@ def grouped_prefix_sum(
         F.coalesce(F.sum("_bsum").over(w_pfx), F.lit(0)).alias("_offset"),
     )
 
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
     return (
-        running.join(F.broadcast(offsets), [*group_cols, "_bucket"])
+        running.join(offsets, [*group_cols, "_bucket"])
         .withColumn(out_col, F.col("_offset") + F.col("_run_in"))
         .drop("_bucket", "_run_in", "_offset", "_lo", "_hi")
     )

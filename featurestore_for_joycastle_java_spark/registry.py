@@ -54,28 +54,33 @@ BENCH_SKIP: set[str] = set()
 #: stays protected by tests/test_oracle_parity.py and the full
 #: tools/driver_sim.py sweep (215/215 green at sf0.01 AND sf0.1 —
 #: SIM_r*.json).
-#: r8 rotation (execute at round-8 open): move round5b/round5c/round5d
-#: BELOW round5h — the r7 window covered them — so the r8 window reads
-#: round7-tail (30: the r7 window took only its first 2 of round7's 32)
-#: + round5e (8) + round5f (6) + round5g (3) + round5h (3) = exactly 50,
-#: finishing off every never-driver-checked query.
+#: r8 rotation (EXECUTED at round-8 open): round5e (8) + round5f (6) +
+#: round5g (3) + round5h (3) = 20 lead, then round7 — whose two
+#: r7-driver-verified queries (dedup_incremental_batch, dedup_semdedup)
+#: were moved to register LAST within the module — contributes its 30
+#: never-checked queries as window slots 21-50. The r8 window is thus
+#: exactly the 50 queries that have never had a driver CORRECTNESS row
+#: outside round7b, clearing the pre-round7b debt entirely.
+#: r9 rotation (execute at round-9 open): move round5e..round7 below
+#: round7b. round7b has 56 queries (NOT the stale 28 a previous comment
+#: claimed) so it alone overfills the 50-row window — r9 window =
+#: round7b's first 50 in registration order. r10 window = round7b tail
+#: (6) + the then-oldest driver rows, which after round7b clears are the
+#: r3-vintage TPC-H refresh (tpch3 12 + tpch 5) + r4-vintage asof (6) +
+#: ingest (4) + round4 head (17) = 50.
 _CATALOG_MODULES = [
-    "round5b",
-    "round5c",
-    "round5d",
-    "round7",
-    # below the 50-query driver window from here (round5e..round5h +
-    # the round7 tail: never driver-checked, first in line for r8)
     "round5e",
     "round5f",
     "round5g",
     "round5h",
-    # round7b (28 queries, this continuation) sits BELOW round5e..5h so
-    # the r8 window arithmetic above still closes out every older
-    # never-checked query first; round7b queues behind them. r9 window
-    # = round7b (28) + the then-oldest driver rows (r4-vintage
-    # round4/asof/ingest head = 22) to reach 50.
+    "round7",
+    # below the 50-query driver window from here: round7b (56 queries)
+    # queues for r9 (its first 50) and r10 (its last 6 + the TPC-H /
+    # r4-vintage refresh per the r9/r10 plan above).
     "round7b",
+    "round5b",
+    "round5c",
+    "round5d",
     "round4",
     "asof",
     "ingest",
