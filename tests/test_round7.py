@@ -682,6 +682,12 @@ def test_profile_single_scan_and_null_accounting(spark, sf_dir):
     df = QUERIES["profile_table_stats"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+    # scale gates (r8): the N-distinct-aggregates rewrite is banned —
+    # no Expand multiplication, and no single-partition exchange below
+    # the final |columns|-row stage (the "last reducer" this query's
+    # two-level form exists to avoid)
+    assert "Expand" not in plan, plan
+    assert "SinglePartition" not in plan, plan
     rows = {r["column_name"]: r for r in df.collect()}
     assert set(rows) == {
         "o_orderkey", "o_custkey", "o_orderstatus",
