@@ -1349,7 +1349,12 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Canonical value key: ``CAST(value AS STRING)`` — injective per
     column (long/double/timestamp/string renderings are value-faithful
     in Spark 3+), so level-2 ``count(dk)`` equals the exact
-    ``COUNT(DISTINCT col)``.
+    ``COUNT(DISTINCT col)``. Floating columns add ``+ 0.0`` first:
+    IEEE addition of +0.0 is exact for every value but normalizes -0.0
+    to +0.0, matching how Spark's own aggregation keys (and DuckDB's
+    DISTINCT) treat the two zeros as one value — without it the string
+    keys '-0.0'/'0.0' would double-count. (All NaNs render as one
+    'NaN' string, which already matches grouping semantics.)
 
     Reference scope: the reference pipeline has no profiler; this is the
     north-star data-pipeline surface (SURVEY.md §2.3 family).
@@ -1365,10 +1370,12 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries = []
     for c, kind in _PROFILE_COLS:
         col = F.col(c)
+        is_float = t.schema[c].dataType.simpleString() in ("double", "float")
+        dk = (col + F.lit(0.0)) if is_float else col
         entries.append(
             F.struct(
                 F.lit(c).alias("column_name"),
-                col.cast("string").alias("dk"),
+                dk.cast("string").alias("dk"),
                 (
                     col.cast("double")
                     if kind == "num"

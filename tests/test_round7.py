@@ -730,6 +730,100 @@ def test_profile_counts_nulls(spark):
     assert got["o_totalprice"]["min_num"] == 5.0
 
 
+def test_profile_distinct_normalizes_signed_zero_and_nan(spark):
+    """The canonical string key must agree with aggregation-key
+    semantics on the float edge cases: -0.0 == 0.0 (one distinct value,
+    as Spark grouping and DuckDB DISTINCT both treat them) and all NaNs
+    equal (one distinct value). Without the +0.0 normalization the keys
+    '-0.0'/'0.0' double-count."""
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    nan = float("nan")
+    src = spark.createDataFrame(
+        [(1, 1, "A", -0.0, None, "P"),
+         (2, 1, "A", 0.0, None, "P"),
+         (3, 1, "A", nan, None, "P"),
+         (4, 1, "A", nan, None, "P"),
+         (5, 1, "A", 2.5, None, "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    import unittest.mock as mock
+    with mock.patch.object(
+        R7, "load_table", lambda spark, sf_dir, name: src
+    ):
+        got = {
+            r["column_name"]: r
+            for r in R7.profile_table_stats(spark, "ignored").collect()
+        }
+    # {0.0, nan, 2.5} — the two zeros collapse, the two NaNs collapse
+    assert got["o_totalprice"]["n_distinct"] == 3
+    # and the engine's own reference agrees
+    expected = src.selectExpr(
+        "count(DISTINCT o_totalprice) AS d"
+    ).collect()[0]["d"]
+    assert got["o_totalprice"]["n_distinct"] == expected
+
+
+def test_profile_matches_spark_reference_on_random_frames(spark):
+    """Property check: on randomized frames (nulls, duplicate values,
+    extreme longs/doubles, empty strings) every profiler statistic must
+    equal the naive per-column Spark reference (count/nulls/exact
+    countDistinct/min/max) — pinning the canonical-key injectivity the
+    two-level rewrite relies on."""
+    import random
+
+    from featurestore_for_joycastle_java_spark.catalog import round7 as R7
+
+    rng = random.Random(1742)
+    longs = [None, 0, 1, -1, 2**53, 2**53 + 1, -(2**62), 7, 7]
+    doubles = [None, 0.0, 1e-300, 1e300, -1.5, 0.1 + 0.2, 0.3, 123.456]
+    strs = [None, "", " ", "a", "A", "0.0", "null"]
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                rng.choice(longs),
+                rng.choice(longs),
+                rng.choice(strs),
+                rng.choice(doubles),
+                None,
+                rng.choice(strs),
+            )
+        )
+    src = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    import unittest.mock as mock
+    with mock.patch.object(
+        R7, "load_table", lambda spark, sf_dir, name: src
+    ):
+        got = {
+            r["column_name"]: r
+            for r in R7.profile_table_stats(spark, "ignored").collect()
+        }
+    for c, kind in R7._PROFILE_COLS:
+        ref = src.selectExpr(
+            "count(*) AS n",
+            f"count(*) - count({c}) AS nulls",
+            f"count(DISTINCT {c}) AS dist",
+            f"min({c}) AS mn",
+            f"max({c}) AS mx",
+        ).collect()[0]
+        r = got[c]
+        assert r["n_rows"] == ref["n"], c
+        assert r["n_nulls"] == ref["nulls"], c
+        assert r["n_distinct"] == ref["dist"], c
+        if kind == "num":
+            want_mn = None if ref["mn"] is None else round(float(ref["mn"]), 6)
+            want_mx = None if ref["mx"] is None else round(float(ref["mx"]), 6)
+            assert r["min_num"] == want_mn and r["max_num"] == want_mx, c
+        elif kind == "str":
+            assert r["min_str"] == ref["mn"] and r["max_str"] == ref["mx"], c
+
+
 def test_quality_expectations_detects_injected_violations(spark):
     """Each rule fires on a frame with one violation of its kind, and the
     FK rule counts orphan FACT rows (not distinct keys)."""
