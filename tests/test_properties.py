@@ -379,3 +379,62 @@ def test_twa_shift_invariant(spark, points, shift):
         return (r["num"], r["den"])
 
     assert twa(0) == twa(shift)
+
+
+_scd_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=20),  # ts (ties allowed)
+        st.sampled_from([None, 0.0, 1.0, 2.0]),  # value (NULL runs too)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(_scd_rows, st.integers(min_value=0, max_value=21))
+def test_scd2_apply_composition_law_random(spark, rows, cut):
+    """apply(build(prefix), suffix) == build(full) for a random change log
+    and a random TIME split (prefix ts < cut <= suffix ts) — random keys,
+    duplicate timestamps tie-broken by event id, NULL values, keys living
+    entirely in one side. The fixed-fixture split test can't reach these
+    shapes."""
+    from featurestore_for_joycastle_java_spark.operators.scd import (
+        scd2_apply,
+        scd2_build,
+    )
+
+    log_rows = [(k, t, v, i) for i, (k, t, v) in enumerate(rows)]
+    log = spark.createDataFrame(
+        log_rows, "user_id long, t long, value double, event_id long"
+    )
+
+    def canon(df):
+        return sorted(
+            (
+                (
+                    r["user_id"],
+                    r["value"],
+                    r["valid_from"],
+                    r["valid_to"],
+                    r["is_current"],
+                )
+                for r in df.collect()
+            ),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    full = canon(scd2_build(log, "user_id", "t", "value", "event_id"))
+    prefix = log.filter(F.col("t") < cut)
+    suffix = log.filter(F.col("t") >= cut)
+    if prefix.isEmpty():
+        # no dim yet: apply's contract needs a seedable dimension; the
+        # degenerate split is just build(full) — covered elsewhere
+        return
+    dim = scd2_build(prefix, "user_id", "t", "value", "event_id")
+    applied = scd2_apply(
+        dim, suffix, "user_id", "t", "value", "event_id"
+    )
+    got = canon(applied)
+    assert got == full, f"rows={log_rows} cut={cut}: {got} != {full}"
