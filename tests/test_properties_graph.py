@@ -136,3 +136,44 @@ def test_connected_components_match_union_find(spark, edges, isolated):
         for r in connected_components(nodes, e_df).collect()
     }
     assert got == want, f"edges={edges} iso={isolated}: {got} != {want}"
+
+
+# --------------------------------------------------------- integer pagerank
+
+
+@settings(**_SETTINGS)
+@given(_edges, st.integers(min_value=1, max_value=4))
+def test_pagerank_int_matches_python_replay(spark, edges, iters):
+    """The whole point of integer PageRank is bit-exact replayability:
+    a 15-line Python loop with the same floor-division arithmetic must
+    reproduce every rank_micro on a random DIRECTED graph (random edge
+    direction, dangling nodes, no-in-edge nodes, varying iteration
+    counts)."""
+    from featurestore_for_joycastle_java_spark.operators.graph import (
+        SCALE,
+        pagerank_int,
+    )
+
+    # orient each undirected pair by parity for direction diversity
+    directed = [
+        ((u, v) if (u + v) % 2 == 0 else (v, u)) for u, v in edges
+    ]
+    nodes = sorted({x for e in directed for x in e})
+    deg = {u: 0 for u in nodes}
+    for u, _ in directed:
+        deg[u] += 1
+    r = {x: SCALE for x in nodes}
+    for _ in range(iters):
+        insum = {x: 0 for x in nodes}
+        for u, v in directed:
+            insum[v] += r[u] // deg[u]
+        r = {x: (SCALE * 15) // 100 + (85 * insum[x]) // 100 for x in nodes}
+
+    df = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in directed], "src long, dst long"
+    )
+    got = {
+        row["node"]: row["rank_micro"]
+        for row in pagerank_int(df, iterations=iters).collect()
+    }
+    assert got == r, f"edges={directed} iters={iters}: {got} != {r}"
