@@ -94,13 +94,24 @@ def kmeans_centroids(
     n_centroids: int = 16,
     seed: int = 42,
     max_iter: int = 20,
+    fit_sample: int | None = None,
 ) -> DataFrame:
     """Real IVF centroids: seeded distributed k-means|| over the corpus
     (``pyspark.ml.clustering.KMeans``). Returns ``(cent_id, __mv)`` with
     cent_id = cluster index. The fit is a few passes over the data
     (k-means|| init + ``max_iter`` Lloyd rounds), all executor-side; only
     the k centroid vectors come back to the driver. Deterministic for a
-    fixed seed + input."""
+    fixed seed + input.
+
+    ``fit_sample``: when set, the fit runs on a ~``fit_sample``-row
+    random sample of the corpus instead of every row — the standard
+    production trade (FAISS trains IVF quantizers on 39-256 points per
+    centroid): each Lloyd pass costs O(sample·k) instead of O(n·k), so
+    training stays bounded as the corpus grows and only the single
+    O(n·k) assignment pass touches all rows. Centroids learned from a
+    sample depend on the sample, so callers that need exact cross-run
+    replayability (the oracle-checked queries) keep the default
+    full-corpus fit."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -119,7 +130,16 @@ def kmeans_centroids(
         ),
         1,
     )
-    feat = corpus.select(array_to_vector(normed).alias("features"))
+    fit_src = corpus
+    if fit_sample is not None:
+        n = corpus.count()
+        if n > fit_sample:
+            # slight over-sample so the fit never sees < k points; the
+            # sample is seeded but partitioning-dependent (documented)
+            fit_src = corpus.sample(
+                fraction=min(1.0, 1.1 * fit_sample / n), seed=seed
+            )
+    feat = fit_src.select(array_to_vector(normed).alias("features"))
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
     ).fit(feat)
@@ -179,6 +199,7 @@ def semdedup_survivors(
     threshold: float = 0.4,
     centroids: str = "lowid",
     seed: int = 42,
+    fit_sample: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-cluster dedup (Abbas et al., 2023,
     arXiv:2303.09540): cluster the corpus, compare vectors ONLY within
@@ -197,14 +218,28 @@ def semdedup_survivors(
     (``assign_nearest_cell``); the quadratic compare runs per CLUSTER —
     Σ m_i² candidate pairs instead of n² (16× fewer on the fixtures,
     k×-ish in general for balanced clusters; at 100 TB pick
-    n_centroids ~ n/10⁵ so cells stay block-sized). The survivor rule is
+    n_centroids ~ n/10⁵ so cells stay block-sized). Growing k only
+    helps if cells stay BALANCED — that needs data-adaptive centroids
+    (``"kmeans"``), not ``"lowid"`` (measured in SCALETEST_r08: scaling
+    lowid cell count leaves alpha≈1.4 because all low-id centroids sit
+    in one region). Cost split with k ∝ n: the pair SHUFFLE (Spark's
+    actual bottleneck) stays linear, while the n·k assignment is
+    per-row broadcast compute — embarrassingly parallel, no data
+    movement, GEMM-shaped (this is the SemDeDup paper's own trade; on
+    FIXED hardware the visible optimum is k ~ √n → Θ(n^1.5) total).
+    Use ``fit_sample`` so k-means training is O(sample·k) instead of
+    20 Lloyd passes over the corpus. The survivor rule is
     one groupBy over the near-dup pairs, no iteration — unlike CC-based
     dedup it never chains A~B~C transitively, which is SemDeDup's
     documented semantics (per-cluster, direct-neighbor pruning)."""
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
     if centroids == "kmeans":
         cents = kmeans_centroids(
-            corpus, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+            corpus,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            seed=seed,
+            fit_sample=fit_sample,
         )
     else:
         cents = (

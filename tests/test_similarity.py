@@ -193,3 +193,31 @@ def test_pq_topk_recall_with_rerank(spark, sf_dir):
     brute = brute_force_topk(e, q, k=5).select("query_id", "vec_id")
     hits = pq.join(brute, ["query_id", "vec_id"]).count()
     assert hits / 50 >= 0.6
+
+
+def test_kmeans_fit_sample_bounded_training(spark, sf_dir):
+    """fit_sample trains on a bounded sample (O(sample*k) Lloyd passes —
+    the 100 TB knob): still returns exactly k centroids of the right
+    dim, and semdedup over sampled-fit cells keeps one row per vector
+    with cell-local survivor semantics intact."""
+    from pyspark.sql import functions as F
+
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        kmeans_centroids,
+        semdedup_survivors,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(e, n_centroids=8, fit_sample=200).collect()
+    assert len(cents) == 8
+    assert all(len(r["__mv"]) == len(cents[0]["__mv"]) for r in cents)
+
+    out = semdedup_survivors(
+        e, n_centroids=8, centroids="kmeans", fit_sample=200
+    )
+    rows = out.collect()
+    assert len(rows) == e.count()  # one verdict per vector
+    assert {r["cent_id"] for r in rows} <= set(range(8))
+    # the lowest id within any cell can never be dropped (no smaller id)
+    low = min(rows, key=lambda r: r["vec_id"])
+    assert low["survivor"]

@@ -1,0 +1,274 @@
+"""Measured scaling curves for the headline scale-path operators —
+committed evidence for the 100 TB design claims, not just prose.
+
+Inflates the sf0.1 ``documents`` / ``embeddings`` tables by 2x/4x/8x
+(every other table symlinked) and times a representative set of
+registry queries at each factor, fitting the growth exponent
+``alpha`` in ``t ~ factor^alpha`` by least squares on the log-log
+curve. A bucketed/banded/cell-pruned operator should come out near
+alpha <= 1 (linear scan + near-linear shuffle); anything trending
+toward 2 would expose a hidden all-pairs stage.
+
+Inflation preserves the dup/cluster structure WITHIN each replica and
+breaks it ACROSS replicas:
+
+- documents: replica i shifts doc_id by i*10_000_000 and rewrites the
+  text through an alphabet rotation (``translate`` by i letters), so
+  near-dup pairs replicate per copy instead of exploding quadratically
+  across copies (identical copies would make every replica of doc X
+  match every other — a measurement artifact, not a corpus shape);
+  n_chars is preserved by construction (translate is 1:1).
+- embeddings: replica i shifts vec_id the same way and offsets every
+  component by i*0.0137, displacing the replica's point cloud so
+  cluster structure repeats instead of stacking.
+
+Also measures the INCREMENTAL ingest claim directly: a fixed 500-doc
+batch probed (``minhash_lsh_pairs_incremental``) against a corpus of
+growing size whose MinHash signatures are persisted to parquet — the
+per-batch cost should grow only with the linear corpus-index scan
+term, far below the full rebuild's slope.
+
+Usage: python tools/scale_curve.py [out.json] [factors...]
+Writes SCALETEST_r{N}.json-style artifact (default SCALETEST.json).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+_SF = "/root/testdata/sf0.1"
+_SCRATCH = os.path.join(_REPO, ".scratch", "scale")
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+#: registry queries timed per factor — each one's 100 TB story is a
+#: bucketed / banded / cell-pruned / single-scan shape that must NOT
+#: bend quadratic as the driving table grows
+_QUERIES = [
+    "dedup_exact_groups",  # one md5-key hash shuffle
+    "dedup_minhash_lsh",  # banded LSH candidates + exact verify
+    "dedup_simhash_md5",  # banded simhash
+    "dedup_semdedup",  # cell-bucketed embedding dedup
+    "dedup_cc_clusters",  # jaccard edges + iterative min-label CC
+    "sim_cosine_topk",  # brute-force ANN baseline (fixed query set)
+    "sim_ivf_topk",  # cell-pruned ANN
+    "text_bm25_topk",  # inverted-index retrieval
+    "text_stats",  # single-scan HOF text analysis
+]
+
+
+def _rot(i: int) -> str:
+    return _ALPHA[i % 26 :] + _ALPHA[: i % 26]
+
+
+def _build_factor_dir(factor: int) -> str:
+    """Scratch sf_dir with documents/embeddings inflated ``factor``x."""
+    import duckdb
+
+    from featurestore_for_joycastle_java_spark.schemas import TABLE_NAMES
+
+    base = os.path.join(_SCRATCH, f"x{factor}")
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    os.makedirs(base)
+    con = duckdb.connect()
+    doc_parts = [
+        f"""SELECT doc_id + {i * 10_000_000} AS doc_id,
+               translate(text, '{_ALPHA}', '{_rot(i)}') AS text,
+               lang, source, n_chars
+        FROM read_parquet('{_SF}/documents.parquet')"""
+        for i in range(factor)
+    ]
+    con.execute(
+        f"COPY ({' UNION ALL '.join(doc_parts)}) TO "
+        f"'{base}/documents.parquet' (FORMAT PARQUET)"
+    )
+    emb_parts = [
+        f"""SELECT vec_id + {i * 10_000_000} AS vec_id,
+               list_transform(embedding,
+                   x -> CAST(x + {i} * 0.0137 AS FLOAT)) AS embedding,
+               label
+        FROM read_parquet('{_SF}/embeddings.parquet')"""
+        for i in range(factor)
+    ]
+    con.execute(
+        f"COPY ({' UNION ALL '.join(emb_parts)}) TO "
+        f"'{base}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    for t in TABLE_NAMES:
+        if t in ("documents", "embeddings"):
+            continue
+        src = os.path.join(_SF, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(base, f"{t}.parquet"))
+    return base
+
+
+def _fit_alpha(factors: list[int], times: list[float]) -> float:
+    """Least-squares slope of log(t) on log(factor)."""
+    xs = [math.log(f) for f in factors]
+    ys = [math.log(max(t, 1e-3)) for t in times]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    return round(
+        sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 2
+    )
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else "SCALETEST.json"
+    factors = (
+        [int(a) for a in sys.argv[2:]] if len(sys.argv) > 2 else [1, 2, 4, 8]
+    )
+
+    from featurestore_for_joycastle_java_spark import get_spark, registry
+
+    registry.load_catalog()
+    from featurestore_for_joycastle_java_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_signatures,
+    )
+    from featurestore_for_joycastle_java_spark.registry import QUERIES
+    from featurestore_for_joycastle_java_spark.sources import load_table
+
+    spark = get_spark(
+        app_name="scale-curve", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    def run(thunk) -> float:
+        # time CONSTRUCTION + execution: the iterative operators (CC,
+        # k-core, k-means) run their loops eagerly while the query
+        # function builds the frame, so timing only the final write
+        # would miss their whole cost
+        t0 = time.monotonic()
+        thunk().write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        spark.catalog.clearCache()
+        return dt
+
+    dirs = {f: _build_factor_dir(f) for f in factors}
+    results: dict[str, dict] = {}
+
+    def curve(name: str, thunk_for, rows_for=None) -> None:
+        times, rows = [], []
+        for f in factors:
+            run(thunk_for(f))  # warm (plan/codegen) — discarded
+            times.append(round(run(thunk_for(f)), 2))
+            rows.append((rows_for or thunk_for)(f)().count())
+        results[name] = {
+            "sec": dict(zip(map(str, factors), times)),
+            "out_rows": dict(zip(map(str, factors), rows)),
+            "alpha": _fit_alpha(factors, times),
+        }
+        print(f"{name}: {times} alpha={results[name]['alpha']}", flush=True)
+
+    for name in _QUERIES:
+        curve(
+            name,
+            lambda f, n=name: (lambda: QUERIES[n](spark, dirs[f])),
+        )
+
+    # SemDeDup at the fixed-hardware optimum: data-adaptive (k-means)
+    # centroids with k ~ sqrt(n) and a bounded training sample. The
+    # fixed-16-cell registry curve above shows the anti-pattern (cells
+    # grow with the corpus, Sigma m^2 bends quadratic); this one shows
+    # the parametrization the operator docstring prescribes. Expected
+    # alpha ~1.5 — the brute-assignment optimum (n*k assign + n^2/k
+    # pairs balance at k=sqrt(n)); with k ∝ n the pair SHUFFLE is
+    # linear and the n*k term is per-row broadcast compute that scales
+    # with executors, not data movement (see the operator docstring).
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        semdedup_survivors,
+    )
+
+    curve(
+        "semdedup_kmeans_sqrt_cells",
+        lambda f: (
+            lambda: semdedup_survivors(
+                load_table(spark, dirs[f], "embeddings"),
+                n_centroids=int(16 * f**0.5),
+                centroids="kmeans",
+                fit_sample=64 * int(16 * f**0.5),
+            )
+        ),
+    )
+
+    # incremental-ingest claim: fixed 500-doc batch, growing corpus with
+    # PERSISTED signatures (index build excluded from the probe timing —
+    # that is the operator's contract at ingest time)
+    import duckdb
+
+    batch_path = os.path.join(_SCRATCH, "batch")
+    if os.path.isdir(batch_path):
+        shutil.rmtree(batch_path)
+    os.makedirs(batch_path)
+    duckdb.connect().execute(
+        f"""COPY (SELECT doc_id + 90_000_000 AS doc_id,
+                   translate(text, '{_ALPHA}', '{_rot(13)}') AS text,
+                   lang, source, n_chars
+            FROM read_parquet('{_SF}/documents.parquet')
+            WHERE doc_id < 500)
+        TO '{batch_path}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    batch = spark.read.parquet(f"{batch_path}/documents.parquet")
+    probe_times = []
+    for f in factors:
+        corpus = load_table(spark, dirs[f], "documents")
+        sig_path = os.path.join(_SCRATCH, f"sigs_x{f}")
+        # num_perm must match the probe's banding (64 = the operator
+        # default the registry queries use)
+        minhash_signatures(corpus, "doc_id", "text", num_perm=64).write.mode(
+            "overwrite"
+        ).parquet(sig_path)
+        sigs = spark.read.parquet(sig_path)
+        probe = lambda: minhash_lsh_pairs_incremental(
+            corpus, batch, "doc_id", "text", base_sigs=sigs
+        )
+        run(probe)
+        probe_times.append(round(run(probe), 2))
+    results["incremental_probe_persisted_sigs"] = {
+        "sec": dict(zip(map(str, factors), probe_times)),
+        "batch_docs": 500,
+        "alpha": _fit_alpha(factors, probe_times),
+        "note": "fixed batch vs growing corpus; signatures persisted — "
+        "the slope is the corpus-index scan term, not a rebuild",
+    }
+    print(
+        f"incremental_probe: {probe_times} "
+        f"alpha={results['incremental_probe_persisted_sigs']['alpha']}",
+        flush=True,
+    )
+
+    doc = {
+        "sf_base": _SF,
+        "factors": factors,
+        "docs_at_factor": {str(f): 5000 * f for f in factors},
+        "method": "noop-format write, warm run timed (plan/codegen paid "
+        "by a discarded first run), cache cleared between runs, "
+        "local[32]/32 shuffle partitions",
+        "alpha": "least-squares slope of log(sec) vs log(factor); ~1 = "
+        "linear, ~2 = quadratic; sub-second times include fixed "
+        "scheduling overhead that biases alpha DOWN at small factors",
+        "queries": results,
+    }
+    with open(os.path.join(_REPO, out), "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    shutil.rmtree(_SCRATCH, ignore_errors=True)
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
