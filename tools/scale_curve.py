@@ -48,6 +48,16 @@ _SF = "/root/testdata/sf0.1"
 _SCRATCH = os.path.join(_REPO, ".scratch", "scale")
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
+#: relational queries timed on the inflated FACT tables (lineitem /
+#: orders / customer replicated with consistent key offsets; dims
+#: symlinked — facts grow, dims don't, the realistic star-schema shape)
+_TPCH_QUERIES = [
+    "tpch_q1_pricing",  # single-scan agg
+    "tpch_q3_shipping",  # customer x orders x lineitem join
+    "tpch_q9_profit",  # 6-way join, the heaviest classic
+    "tpch_q18_bigorders",  # group-having semi-join + top-k
+]
+
 #: registry queries timed per factor — each one's 100 TB story is a
 #: bucketed / banded / cell-pruned / single-scan shape that must NOT
 #: bend quadratic as the driving table grows
@@ -102,8 +112,27 @@ def _build_factor_dir(factor: int) -> str:
         f"COPY ({' UNION ALL '.join(emb_parts)}) TO "
         f"'{base}/embeddings.parquet' (FORMAT PARQUET)"
     )
+    # fact tables: replicate with CONSISTENT key offsets so every join
+    # key resolves within its replica (customer->orders->lineitem);
+    # part/supplier/nation/region stay symlinked — dims don't grow
+    _K = 100_000_000
+    fact_replace = {
+        "customer": "c_custkey + {o} AS c_custkey",
+        "orders": "o_orderkey + {o} AS o_orderkey, o_custkey + {o} AS o_custkey",
+        "lineitem": "l_orderkey + {o} AS l_orderkey",
+    }
+    for t, repl in fact_replace.items():
+        parts = [
+            f"SELECT * REPLACE ({repl.format(o=i * _K)}) "
+            f"FROM read_parquet('{_SF}/{t}.parquet')"
+            for i in range(factor)
+        ]
+        con.execute(
+            f"COPY ({' UNION ALL '.join(parts)}) TO "
+            f"'{base}/{t}.parquet' (FORMAT PARQUET)"
+        )
     for t in TABLE_NAMES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", *fact_replace):
             continue
         src = os.path.join(_SF, f"{t}.parquet")
         if os.path.exists(src):
@@ -174,7 +203,7 @@ def main() -> int:
         }
         print(f"{name}: {times} alpha={results[name]['alpha']}", flush=True)
 
-    for name in _QUERIES:
+    for name in _QUERIES + _TPCH_QUERIES:
         curve(
             name,
             lambda f, n=name: (lambda: QUERIES[n](spark, dirs[f])),
