@@ -69,10 +69,25 @@ def main() -> int:
                 or ("MapInPandas" in p)
                 or ("PythonDataSource" in p)
                 or ("FlatMapGroupsInPandas" in p),
-                "codegen": "WholeStageCodegen" in p,
                 "pushed_filters": "PushedFilters: [" in p
                 and "PushedFilters: []" not in p,
             }
+            # Codegen presence can't be read off an AQE plan before
+            # execution (AdaptiveSparkPlan defers codegen until runtime
+            # re-planning, so both "formatted" and "codegen" explains
+            # report nothing) — plan the query a second time with AQE
+            # off to expose the static whole-stage-codegen structure.
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    QUERIES[name](spark, sf).explain("codegen")
+                head = buf.getvalue().split(".", 1)[0]
+                n_cg = int(head.rsplit("Found ", 1)[-1].split(" ", 1)[0])
+                rows[name]["codegen_subtrees"] = n_cg
+                rows[name]["codegen"] = n_cg > 0
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
         except Exception as ex:  # noqa: BLE001 — record, don't abort
             rows[name] = {"error": str(ex)[:160]}
         spark.catalog.clearCache()
