@@ -64,10 +64,13 @@ BENCH_SKIP: set[str] = set()
 #: r9 rotation (execute at round-9 open): move round5e..round7 below
 #: round7b. round7b has 56 queries (NOT the stale 28 a previous comment
 #: claimed) so it alone overfills the 50-row window — r9 window =
-#: round7b's first 50 in registration order. r10 window = round7b tail
-#: (6) + the then-oldest driver rows, which after round7b clears are the
-#: r3-vintage TPC-H refresh (tpch3 12 + tpch 5) + r4-vintage asof (6) +
-#: ingest (4) + round4 head (17) = 50.
+#: round7b's first 50 in registration order, which (after the r8 move of
+#: its five bench=False measurement harnesses to register LAST in the
+#: module) are exactly 50 production queries. r10 window = round7b tail
+#: (6: text_zipf_fit + the five harnesses) + the then-oldest driver
+#: rows, which after round7b clears are the r3-vintage TPC-H refresh
+#: (tpch3 12 + tpch 5) + r4-vintage asof (6) + ingest (4) + round4 head
+#: (17) = 50.
 _CATALOG_MODULES = [
     "round5e",
     "round5f",

@@ -11,10 +11,13 @@ from datetime import datetime, timezone
 
 import pyspark.sql.functions as F
 
-import featurestore_for_joycastle_java_spark.catalog.round7b as r7b
 from featurestore_for_joycastle_java_spark import registry
 
+# load the catalog in CANONICAL order before importing round7b directly:
+# a bare module import would otherwise register round7b's queries first
+# and scramble the registration order the driver-window tests pin
 registry.load_catalog()
+import featurestore_for_joycastle_java_spark.catalog.round7b as r7b
 from featurestore_for_joycastle_java_spark.registry import QUERIES
 
 
