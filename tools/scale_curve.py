@@ -58,6 +58,16 @@ _TPCH_QUERIES = [
     "tpch_q18_bigorders",  # group-having semi-join + top-k
 ]
 
+#: the reference's flagship pipeline (events fact inflated): JSON parse +
+#: regex extract + completeness filter + demux — the queries BASELINE.md's
+#: single 5.78s number describes, here as a measured curve (batch plan and
+#: the availableNow streaming drain)
+_FLAGSHIP_QUERIES = [
+    "ingest_dwd",
+    "ingest_demux_counts",
+    "stream_drain_demux_counts",
+]
+
 #: registry queries timed per factor — each one's 100 TB story is a
 #: bucketed / banded / cell-pruned / single-scan shape that must NOT
 #: bend quadratic as the driving table grows
@@ -120,6 +130,7 @@ def _build_factor_dir(factor: int) -> str:
         "customer": "c_custkey + {o} AS c_custkey",
         "orders": "o_orderkey + {o} AS o_orderkey, o_custkey + {o} AS o_custkey",
         "lineitem": "l_orderkey + {o} AS l_orderkey",
+        "events": "event_id + {o} AS event_id, user_id + {o} AS user_id",
     }
     for t, repl in fact_replace.items():
         parts = [
@@ -169,7 +180,13 @@ def main() -> int:
     from featurestore_for_joycastle_java_spark.sources import load_table
 
     spark = get_spark(
-        app_name="scale-curve", master="local[32]", shuffle_partitions=32
+        app_name="scale-curve",
+        master="local[32]",
+        shuffle_partitions=32,
+        # inflated facts push broadcast builds past the 1g driver default
+        # (q9's build side at 8x); this is measurement-harness config,
+        # not an engine default — a cluster sizes its driver anyway
+        extra_conf={"spark.driver.memory": "8g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
@@ -194,7 +211,13 @@ def main() -> int:
         times, rows = [], []
         for f in factors:
             run(thunk_for(f))  # warm (plan/codegen) — discarded
-            times.append(round(run(thunk_for(f)), 2))
+            # min of two measured runs: the noise-floor estimator —
+            # scheduler/GC contention only ever ADDS time, so min is the
+            # consistent per-factor cost and keeps alpha from being bent
+            # by a single contended run
+            times.append(
+                round(min(run(thunk_for(f)), run(thunk_for(f))), 2)
+            )
             rows.append((rows_for or thunk_for)(f)().count())
         results[name] = {
             "sec": dict(zip(map(str, factors), times)),
@@ -203,7 +226,7 @@ def main() -> int:
         }
         print(f"{name}: {times} alpha={results[name]['alpha']}", flush=True)
 
-    for name in _QUERIES + _TPCH_QUERIES:
+    for name in _QUERIES + _TPCH_QUERIES + _FLAGSHIP_QUERIES:
         curve(
             name,
             lambda f, n=name: (lambda: QUERIES[n](spark, dirs[f])),
@@ -266,7 +289,7 @@ def main() -> int:
             corpus, batch, "doc_id", "text", base_sigs=sigs
         )
         run(probe)
-        probe_times.append(round(run(probe), 2))
+        probe_times.append(round(min(run(probe), run(probe)), 2))
     results["incremental_probe_persisted_sigs"] = {
         "sec": dict(zip(map(str, factors), probe_times)),
         "batch_docs": 500,
@@ -284,9 +307,10 @@ def main() -> int:
         "sf_base": _SF,
         "factors": factors,
         "docs_at_factor": {str(f): 5000 * f for f in factors},
-        "method": "noop-format write, warm run timed (plan/codegen paid "
-        "by a discarded first run), cache cleared between runs, "
-        "local[32]/32 shuffle partitions",
+        "method": "noop-format write; per factor: one discarded warm run "
+        "(plan/codegen), then MIN of two measured runs (noise-floor "
+        "estimator — contention only adds time); cache cleared between "
+        "runs, local[32]/32 shuffle partitions",
         "alpha": "least-squares slope of log(sec) vs log(factor); ~1 = "
         "linear, ~2 = quadratic; sub-second times include fixed "
         "scheduling overhead that biases alpha DOWN at small factors",
