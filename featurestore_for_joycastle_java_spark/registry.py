@@ -72,15 +72,19 @@ BENCH_SKIP: set[str] = set()
 #: (tpch3 12 + tpch 5) + r4-vintage asof (6) + ingest (4) + round4 head
 #: (17) = 50.
 _CATALOG_MODULES = [
+    # r9 rotation EXECUTED: round7b leads — its first 50 registrations
+    # (all production queries; the five bench=False measurement harnesses
+    # register LAST in the module, after text_zipf_fit) fill the driver's
+    # 50-row window exactly. The round7b tail 6 + the r3/r4-vintage
+    # refresh (tpch3 12 + tpch 5 + asof 6 + ingest 4 + round4 head 17)
+    # are the r10 window per the plan above; tests/test_survey_registry.py
+    # pins both windows.
+    "round7b",
     "round5e",
     "round5f",
     "round5g",
     "round5h",
     "round7",
-    # below the 50-query driver window from here: round7b (56 queries)
-    # queues for r9 (its first 50) and r10 (its last 6 + the TPC-H /
-    # r4-vintage refresh per the r9/r10 plan above).
-    "round7b",
     "round5b",
     "round5c",
     "round5d",

@@ -104,29 +104,65 @@ def test_registry_rotation_counts_are_current():
     assert len(_module_names("round5h")) == 3
 
 
-def test_r8_driver_window_is_the_never_checked_50():
-    """The first 50 registered queries are the driver's correctness
-    window. r8's window must be exactly the 50 queries that never had a
-    driver row: round5e..5h (20) + round7 minus its two r7-verified
-    head queries (30)."""
+#: round7b's six last-registering queries (text_zipf_fit + the five
+#: bench=False measurement harnesses moved to the module tail in r8) —
+#: outside the r9 window, head of the r10 window.
+_ROUND7B_TAIL = [
+    "text_zipf_fit",
+    "sim_matryoshka_prefix",
+    "sim_ivfpq_topk",
+    "train_export_shards",
+    "sim_ivf_nprobe_curve",
+    "sim_knn_loo_accuracy",
+]
+
+
+def _module_names_ordered(module: str) -> list[str]:
+    _load_all()
+    src = (
+        REPO
+        / "featurestore_for_joycastle_java_spark"
+        / "catalog"
+        / f"{module}.py"
+    ).read_text()
+    names = re.findall(r'@query\(\s*\n?\s*"([a-z0-9_]+)"', src)
+    assert names and len(set(names)) == len(names)
+    return names
+
+
+def test_r9_driver_window_is_round7b_first_50():
+    """r9 rotation (EXECUTED): round7b leads _CATALOG_MODULES, so the
+    driver's 50-row window is exactly round7b's first 50 registrations —
+    the 50 production queries that have never had a driver CORRECTNESS
+    row. The tail 6 (text_zipf_fit + five harnesses) register at
+    positions 51-56 and head the r10 window."""
     _load_all()
     window = list(registry.QUERIES)[:50]
-    expected = (
-        _module_names("round5e")
-        | _module_names("round5f")
-        | _module_names("round5g")
-        | _module_names("round5h")
-        | (
-            _module_names("round7")
-            - {"dedup_incremental_batch", "dedup_semdedup"}
-        )
-    )
+    expected = _module_names("round7b") - set(_ROUND7B_TAIL)
+    assert len(expected) == 50
     assert set(window) == expected
-    # the two r7-verified queries register immediately after the window
-    assert set(list(registry.QUERIES)[50:52]) == {
-        "dedup_incremental_batch",
-        "dedup_semdedup",
-    }
+    assert list(registry.QUERIES)[50:56] == _ROUND7B_TAIL
+
+
+def test_r10_window_arithmetic_holds():
+    """Pin the r10 plan (registry.py rotation comment) so it can't
+    silently mis-slot like the r6 stall: after r10 moves the round7b
+    tail + the stale-row modules to the head, the window must be the
+    round7b tail (6) + tpch3 (12) + tpch (5) + asof (6) + ingest (4)
+    + round4's first 17 registrations = exactly 50 distinct names."""
+    tail = _ROUND7B_TAIL
+    tpch3 = _module_names_ordered("tpch3")
+    tpch = _module_names_ordered("tpch")
+    asof = _module_names_ordered("asof")
+    ingest = _module_names_ordered("ingest")
+    round4 = _module_names_ordered("round4")
+    assert (len(tpch3), len(tpch), len(asof), len(ingest)) == (12, 5, 6, 4)
+    assert len(round4) >= 17
+    planned = tail + tpch3 + tpch + asof + ingest + round4[:17]
+    assert len(planned) == 50
+    assert len(set(planned)) == 50
+    # every planned name is actually registered
+    assert set(planned) <= set(registry.QUERIES)
 
 
 def test_no_stale_rotation_notes():
