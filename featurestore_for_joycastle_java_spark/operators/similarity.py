@@ -133,20 +133,33 @@ def kmeans_centroids(
     fit_src = corpus
     if fit_sample is not None:
         n = corpus.count()
-        if n > fit_sample:
-            # slight over-sample so the fit never sees < k points; the
-            # sample is seeded but partitioning-dependent (documented)
+        # floor the sample target at ~40 points per centroid (FAISS's
+        # own warn threshold) so a fit_sample chosen close to k can't
+        # hand the fit fewer points than centroids (ADVICE r8); the
+        # sample is seeded but partitioning-dependent (documented)
+        target = max(fit_sample, 40 * n_centroids)
+        if n > target:
             fit_src = corpus.sample(
-                fraction=min(1.0, 1.1 * fit_sample / n), seed=seed
+                fraction=min(1.0, 1.1 * target / n), seed=seed
             )
     feat = fit_src.select(array_to_vector(normed).alias("features"))
-    model = KMeans(
+    km = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
-    ).fit(feat)
-    rows = [
-        (i, [float(x) for x in ctr])
-        for i, ctr in enumerate(model.clusterCenters())
-    ]
+    )
+    try:
+        centers = km.fit(feat).clusterCenters()
+    except Exception:
+        if fit_src is corpus:
+            raise  # a full-corpus fit failure is a real error
+        centers = []
+    if len(centers) != n_centroids and fit_src is not corpus:
+        # pathological draw (possible in principle even above the floor):
+        # refit on the full corpus rather than silently returning fewer
+        # cells than callers — and the exactly-k tests — assume
+        centers = km.fit(
+            corpus.select(array_to_vector(normed).alias("features"))
+        ).clusterCenters()
+    rows = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)]
     return corpus.sparkSession.createDataFrame(
         rows, "cent_id bigint, __mv array<double>"
     )

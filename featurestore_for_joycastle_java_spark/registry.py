@@ -107,6 +107,10 @@ _CATALOG_MODULES = [
     "training",
     "extras",
     "advanced",
+    # r9 addition (VERDICT r8 ask #2) — registers LAST so the r9/r10
+    # driver windows above are untouched; earns its driver row once the
+    # rotation debt clears (r11+).
+    "round9",
 ]
 
 
