@@ -77,6 +77,11 @@ def main() -> int:
             # re-planning, so both "formatted" and "codegen" explains
             # report nothing) — plan the query a second time with AQE
             # off to expose the static whole-stage-codegen structure.
+            # The probe gets its own try/except so a header-parse hiccup
+            # records codegen_subtrees: null instead of wiping the
+            # formatted-plan fields, and the AQE conf is restored to its
+            # SAVED prior value, not a hardcoded 'true' (ADVICE r8).
+            aqe_prior = spark.conf.get("spark.sql.adaptive.enabled")
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             try:
                 buf = io.StringIO()
@@ -86,8 +91,11 @@ def main() -> int:
                 n_cg = int(head.rsplit("Found ", 1)[-1].split(" ", 1)[0])
                 rows[name]["codegen_subtrees"] = n_cg
                 rows[name]["codegen"] = n_cg > 0
+            except Exception as ex:  # noqa: BLE001 — probe-only failure
+                rows[name]["codegen_subtrees"] = None
+                rows[name]["codegen_probe_error"] = str(ex)[:160]
             finally:
-                spark.conf.set("spark.sql.adaptive.enabled", "true")
+                spark.conf.set("spark.sql.adaptive.enabled", aqe_prior)
         except Exception as ex:  # noqa: BLE001 — record, don't abort
             rows[name] = {"error": str(ex)[:160]}
         spark.catalog.clearCache()

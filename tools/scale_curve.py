@@ -68,6 +68,16 @@ _FLAGSHIP_QUERIES = [
     "stream_drain_demux_counts",
 ]
 
+#: streaming-state family (VERDICT r8 ask #8): the claimed cost model is
+#: state-rows x trigger-commits (a fixed floor) plus a linear per-event
+#: term — measured under the same 2x/4x/8x event inflation as the drain
+#: so the claim is a curve, not a docstring
+_STREAMING_STATE_QUERIES = [
+    "stream_stateful_totals",
+    "stream_hourly_active_users",
+    "stream_late_drops",
+]
+
 #: registry queries timed per factor — each one's 100 TB story is a
 #: bucketed / banded / cell-pruned / single-scan shape that must NOT
 #: bend quadratic as the driving table grows
@@ -208,7 +218,7 @@ def main() -> int:
     results: dict[str, dict] = {}
 
     def curve(name: str, thunk_for, rows_for=None) -> None:
-        times, rows = [], []
+        times = []
         for f in factors:
             run(thunk_for(f))  # warm (plan/codegen) — discarded
             # min of two measured runs: the noise-floor estimator —
@@ -218,15 +228,24 @@ def main() -> int:
             times.append(
                 round(min(run(thunk_for(f)), run(thunk_for(f))), 2)
             )
-            rows.append((rows_for or thunk_for)(f)().count())
+        # output size recorded at the BASE factor only: a fourth
+        # execution per factor just for a row count roughly doubled
+        # harness time on the eager iterative queries (ADVICE r8) —
+        # the timing curve is the artifact, the base count is context
+        out_rows_base = (rows_for or thunk_for)(factors[0])().count()
         results[name] = {
             "sec": dict(zip(map(str, factors), times)),
-            "out_rows": dict(zip(map(str, factors), rows)),
+            "out_rows_base": out_rows_base,
             "alpha": _fit_alpha(factors, times),
         }
         print(f"{name}: {times} alpha={results[name]['alpha']}", flush=True)
 
-    for name in _QUERIES + _TPCH_QUERIES + _FLAGSHIP_QUERIES:
+    for name in (
+        _QUERIES
+        + _TPCH_QUERIES
+        + _FLAGSHIP_QUERIES
+        + _STREAMING_STATE_QUERIES
+    ):
         curve(
             name,
             lambda f, n=name: (lambda: QUERIES[n](spark, dirs[f])),
@@ -303,10 +322,19 @@ def main() -> int:
         flush=True,
     )
 
+    # derive from the actual fixture, not a hardcoded 5000*f — the
+    # sf0.1 row count has changed between rounds before (ADVICE r8)
+    base_docs = (
+        duckdb.connect()
+        .execute(
+            f"SELECT COUNT(*) FROM read_parquet('{_SF}/documents.parquet')"
+        )
+        .fetchone()[0]
+    )
     doc = {
         "sf_base": _SF,
         "factors": factors,
-        "docs_at_factor": {str(f): 5000 * f for f in factors},
+        "docs_at_factor": {str(f): base_docs * f for f in factors},
         "method": "noop-format write; per factor: one discarded warm run "
         "(plan/codegen), then MIN of two measured runs (noise-floor "
         "estimator — contention only adds time); cache cleared between "
