@@ -64,6 +64,27 @@ DRIFT_NOTES = {
     # the suite noise floor, not rot.
     "eval_chi2_independence": "suite contention; isolated warm"
     " 0.785-0.857s == oldest 0.861s (see comment)",
+    # Probe (r9 close, sf0.1, local[32]): the 347s suite run flagged six
+    # more sub-3s queries at 1.52-2.55x — the same uniform-contention
+    # signature (suite total itself sat 16% over the 268-296s same-code
+    # band). Isolated warm steady-state, 5 runs each after a warmup:
+    "er_golden_record": "isolated warm 2.14-2.21s sits inside the"
+    " same-code in-suite band 1.45-2.31s (6 rounds); the 1.451s oldest"
+    " row is the band floor, not a baseline the query left",
+    "feature_gini_concentration": "suite contention; isolated warm"
+    " 0.69-0.79s BEATS oldest 0.978s",
+    "feature_lag_matrix": "suite contention; isolated warm 0.52-0.58s"
+    " beats oldest 0.704s",
+    "feature_scd2_lookup": "suite contention; isolated warm 0.50-0.68s"
+    " == oldest 0.559s",
+    "multimodal_decode_features": "arrow-python worker startup noise"
+    " (the udtf_token_hist signature); isolated warm 0.35-0.39s vs"
+    " oldest 0.307s = 1.2x, far under the in-suite 2.55x flag",
+    "profile_events_columns": "suite contention; isolated warm"
+    " 0.40-0.48s beats oldest 0.731s",
+    "join_bloom_prune": "suite contention; isolated warm 1.03-1.43s"
+    " vs oldest 1.326s — under the gate; in-suite same-code band"
+    " 1.33-1.96s across 6 rounds",
 }
 
 #: Isolated-warm attributions for the suite's top cost movers (VERDICT
