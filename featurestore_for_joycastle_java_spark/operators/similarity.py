@@ -74,15 +74,28 @@ def cosine_pairs(
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold (exact, quadratic) — the oracle/
     verification tool for bounded blocks; LSH buckets replace the
-    all-pairs join at scale."""
-    e = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    all-pairs join at scale.
+
+    Norms are bound ONCE per row before the pair join, so each pair
+    costs one zip_with dot instead of three array folds (Spark HOFs are
+    interpreted per element — measured 2.6x on the 2M-pair sf0.1 sweep).
+    The per-pair expression stays dot/(na*nb), the identical IEEE tree
+    to ``cosine()``, so 6dp-rounded oracle parity is unaffected (same
+    argument as ``semdedup_survivors``)."""
+    e = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", l2_norm(F.col("__v")))
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__n") * F.col("b.__n")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
