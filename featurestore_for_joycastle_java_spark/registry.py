@@ -80,6 +80,11 @@ _CATALOG_MODULES = [
     # are the r10 window per the plan above; tests/test_survey_registry.py
     # pins both windows.
     "round7b",
+    # the six round7b tail registrations (text_zipf_fit + five harnesses)
+    # live in their own module so the r10 rotation is a pure reorder:
+    # r10 moves [round7b_tail, tpch3, tpch, asof, ingest, round4] to the
+    # head (round4's first 17 fill the window to 50) and round7b below.
+    "round7b_tail",
     "round5e",
     "round5f",
     "round5g",

@@ -52,6 +52,7 @@ def _survey_section(start: str, end: str) -> str:
     [
         ("round7", "### 2.12", "### 2.13"),
         ("round7b", "### 2.13", "## 3. Query lifecycle"),
+        ("round7b_tail", "### 2.13", "## 3. Query lifecycle"),
     ],
 )
 def test_round_sections_list_every_query(module, start, end):
@@ -96,7 +97,8 @@ def test_registry_rotation_counts_are_current():
     """The rotation comment's per-module arithmetic went stale once
     (r7: 'round7b (28 queries)' vs 56 registered — ADVICE r7). Pin the
     counts the r8/r9/r10 plan in registry.py relies on."""
-    assert len(_module_names("round7b")) == 56
+    assert len(_module_names("round7b")) == 50
+    assert len(_module_names("round7b_tail")) == 6
     assert len(_module_names("round7")) == 32
     assert len(_module_names("round5e")) == 8
     assert len(_module_names("round5f")) == 6
@@ -105,8 +107,9 @@ def test_registry_rotation_counts_are_current():
 
 
 #: round7b's six last-registering queries (text_zipf_fit + the five
-#: bench=False measurement harnesses moved to the module tail in r8) —
-#: outside the r9 window, head of the r10 window.
+#: bench=False measurement harnesses) — outside the r9 window, head of
+#: the r10 window; split into catalog/round7b_tail.py so the r10
+#: rotation is a pure module reorder.
 _ROUND7B_TAIL = [
     "text_zipf_fit",
     "sim_matryoshka_prefix",
@@ -138,10 +141,11 @@ def test_r9_driver_window_is_round7b_first_50():
     positions 51-56 and head the r10 window."""
     _load_all()
     window = list(registry.QUERIES)[:50]
-    expected = _module_names("round7b") - set(_ROUND7B_TAIL)
+    expected = _module_names("round7b")
     assert len(expected) == 50
     assert set(window) == expected
     assert list(registry.QUERIES)[50:56] == _ROUND7B_TAIL
+    assert _module_names_ordered("round7b_tail") == _ROUND7B_TAIL
 
 
 def test_r10_window_arithmetic_holds():
