@@ -61,16 +61,19 @@ BENCH_SKIP: set[str] = set()
 #: never-checked queries as window slots 21-50. The r8 window is thus
 #: exactly the 50 queries that have never had a driver CORRECTNESS row
 #: outside round7b, clearing the pre-round7b debt entirely.
-#: r9 rotation (execute at round-9 open): move round5e..round7 below
-#: round7b. round7b has 56 queries (NOT the stale 28 a previous comment
-#: claimed) so it alone overfills the 50-row window — r9 window =
-#: round7b's first 50 in registration order, which (after the r8 move of
-#: its five bench=False measurement harnesses to register LAST in the
-#: module) are exactly 50 production queries. r10 window = round7b tail
-#: (6: text_zipf_fit + the five harnesses) + the then-oldest driver
-#: rows, which after round7b clears are the r3-vintage TPC-H refresh
-#: (tpch3 12 + tpch 5) + r4-vintage asof (6) + ingest (4) + round4 head
-#: (17) = 50.
+#: r9 rotation (EXECUTED at round-9 open): round7b moved to the head.
+#: It registers 56 queries (NOT the stale 28 a previous comment
+#: claimed), so the r9 window = its first 50 in registration order —
+#: exactly the 50 production queries, because the six tail
+#: registrations (text_zipf_fit + the five bench=False measurement
+#: harnesses) were split into catalog/round7b_tail.py, which imports
+#: immediately after and keeps the global order byte-identical.
+#: r10 window = that tail (6) + the then-oldest driver rows: the
+#: r3-vintage TPC-H refresh (tpch3 12 + tpch 5) + r4-vintage asof (6)
+#: + ingest (4) + round4 head (17) = 50. The r10 move is a pure
+#: reorder of [round7b_tail, tpch3, tpch, asof, ingest, round4] to the
+#: head, pinned by tests/test_survey_registry.py::
+#: test_r10_window_arithmetic_holds.
 _CATALOG_MODULES = [
     # r9 rotation EXECUTED: round7b leads — its first 50 registrations
     # (all production queries; the five bench=False measurement harnesses
