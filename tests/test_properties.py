@@ -438,3 +438,44 @@ def test_scd2_apply_composition_law_random(spark, rows, cut):
     )
     got = canon(applied)
     assert got == full, f"rows={log_rows} cut={cut}: {got} != {full}"
+
+
+# ---------------------------------------------------------- cosine_pairs
+
+_vec = st.lists(
+    st.integers(min_value=-100, max_value=100), min_size=4, max_size=4
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_vec, min_size=2, max_size=10))
+def test_cosine_pairs_matches_numpy_reference(spark, vecs):
+    """cosine_pairs (norms bound once per row — the r9 rewrite) against
+    an independent float reference: every pair's 6dp-rounded cosine and
+    the thresholded pair set must match exactly. Integer-component
+    vectors keep dot/norm exactly representable so the reference is
+    unambiguous; zero vectors are skipped (norm 0 -> null cosine, which
+    the >= filter drops — mirrored by skipping them here)."""
+    import math
+
+    vecs = [v for v in vecs if any(x != 0 for x in v)]
+    if len(vecs) < 2:
+        return
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs(df, threshold=-1.0).collect()
+    }
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            na = math.sqrt(sum(x * x for x in vecs[a]))
+            nb = math.sqrt(sum(x * x for x in vecs[b]))
+            assert got[(a, b)] == round(dot / (na * nb), 6)
