@@ -68,26 +68,29 @@ BENCH_SKIP: set[str] = set()
 #: registrations (text_zipf_fit + the five bench=False measurement
 #: harnesses) were split into catalog/round7b_tail.py, which imports
 #: immediately after and keeps the global order byte-identical.
-#: r10 window = that tail (6) + the then-oldest driver rows: the
-#: r3-vintage TPC-H refresh (tpch3 12 + tpch 5) + r4-vintage asof (6)
-#: + ingest (4) + round4 head (17) = 50. The r10 move is a pure
-#: reorder of [round7b_tail, tpch3, tpch, asof, ingest, round4] to the
-#: head, pinned by tests/test_survey_registry.py::
-#: test_r10_window_arithmetic_holds.
+#: r10 rotation (EXECUTED at round-10 open): the round7b tail (6) +
+#: the then-oldest driver rows — tpch3 (12) + tpch (5) + asof (6) +
+#: ingest (4) + round4 head (17) = 50, exactly the staged plan. Next:
+#: the r11 window leads with round9 + the r3-vintage
+#: round3/text/dedup/similarity/windows/scalars + r4-vintage
+#: relational (1+6+6+7+2+5+5+18 = 50), pinned below and in
+#: tests/test_survey_registry.py::test_r11_window_arithmetic_holds.
 _CATALOG_MODULES = [
-    # r9 rotation EXECUTED: round7b leads — its first 50 registrations
-    # (all production queries; the five bench=False measurement harnesses
-    # register LAST in the module, after text_zipf_fit) fill the driver's
-    # 50-row window exactly. The round7b tail 6 + the r3/r4-vintage
-    # refresh (tpch3 12 + tpch 5 + asof 6 + ingest 4 + round4 head 17)
-    # are the r10 window per the plan above; tests/test_survey_registry.py
-    # pins both windows.
-    "round7b",
-    # the six round7b tail registrations (text_zipf_fit + five harnesses)
-    # live in their own module so the r10 rotation is a pure reorder:
-    # r10 moves [round7b_tail, tpch3, tpch, asof, ingest, round4] to the
-    # head (round4's first 17 fill the window to 50) and round7b below.
+    # r10 rotation EXECUTED (the pure reorder staged at r9 close): the
+    # round7b tail 6 + the then-oldest driver rows — the r3-vintage
+    # TPC-H refresh (tpch3 12 + tpch 5) + r4-vintage asof (6) +
+    # ingest (4) + round4's first 17 = exactly the driver's 50-row
+    # window, pinned by tests/test_survey_registry.py::
+    # test_r10_window_is_tail_plus_stale_modules.
     "round7b_tail",
+    "tpch3",
+    "tpch",
+    "asof",
+    "ingest",
+    "round4",
+    # r9-window queries (round7b's 50 production registrations) drop
+    # below the window, freshly driver-verified last round.
+    "round7b",
     "round5e",
     "round5f",
     "round5g",
@@ -96,13 +99,16 @@ _CATALOG_MODULES = [
     "round5b",
     "round5c",
     "round5d",
-    "round4",
-    "asof",
-    "ingest",
+    # r11 window (staged — pinned by test_r11_window_arithmetic_holds):
+    # round9 (1) + the r3-vintage round3 (6) + text (6) + dedup (7) +
+    # similarity (2) + windows (5) + scalars (5) + r4-vintage
+    # relational (18) = exactly 50. The r11 move is again a pure
+    # reorder: [round9, round3, text, dedup, similarity, windows,
+    # scalars, relational] to the head. round4's tail 4 (registrations
+    # 18-21) then join the r6-vintage round5/round2/streaming/
+    # multimodal/training/extras/advanced modules as the r12 pool.
     "relational",
     "round3",
-    "tpch3",
-    "tpch",
     "text",
     "dedup",
     "similarity",
@@ -115,9 +121,7 @@ _CATALOG_MODULES = [
     "training",
     "extras",
     "advanced",
-    # r9 addition (VERDICT r8 ask #2) — registers LAST so the r9/r10
-    # driver windows above are untouched; earns its driver row once the
-    # rotation debt clears (r11+).
+    # r9 addition — earns its driver row in the r11 window above.
     "round9",
 ]
 

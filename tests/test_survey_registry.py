@@ -133,36 +133,59 @@ def _module_names_ordered(module: str) -> list[str]:
     return names
 
 
-def test_r9_driver_window_is_round7b_first_50():
-    """r9 rotation (EXECUTED): round7b leads _CATALOG_MODULES, so the
-    driver's 50-row window is exactly round7b's first 50 registrations —
-    the 50 production queries that have never had a driver CORRECTNESS
-    row. The tail 6 (text_zipf_fit + five harnesses) register at
-    positions 51-56 and head the r10 window."""
+def test_r10_window_is_tail_plus_stale_modules():
+    """r10 rotation (EXECUTED): [round7b_tail, tpch3, tpch, asof,
+    ingest, round4] lead _CATALOG_MODULES, so the driver's 50-row
+    window is the round7b tail (6) + tpch3 (12) + tpch (5) + asof (6)
+    + ingest (4) + round4's first 17 — refreshing the r3/r4-vintage
+    driver rows and landing first rows on the tail harnesses."""
     _load_all()
     window = list(registry.QUERIES)[:50]
-    expected = _module_names("round7b")
-    assert len(expected) == 50
-    assert set(window) == expected
-    assert list(registry.QUERIES)[50:56] == _ROUND7B_TAIL
+    expected = (
+        _ROUND7B_TAIL
+        + _module_names_ordered("tpch3")
+        + _module_names_ordered("tpch")
+        + _module_names_ordered("asof")
+        + _module_names_ordered("ingest")
+        + _module_names_ordered("round4")[:17]
+    )
+    assert window == expected
     assert _module_names_ordered("round7b_tail") == _ROUND7B_TAIL
+    # round4's tail 4 (r12 pool), then round7b's 50 r9-verified
+    # production queries, sit just below the window.
+    assert list(registry.QUERIES)[50:54] == _module_names_ordered("round4")[17:]
+    assert set(list(registry.QUERIES)[54:104]) == _module_names("round7b")
 
 
-def test_r10_window_arithmetic_holds():
-    """Pin the r10 plan (registry.py rotation comment) so it can't
-    silently mis-slot like the r6 stall: after r10 moves the round7b
-    tail + the stale-row modules to the head, the window must be the
-    round7b tail (6) + tpch3 (12) + tpch (5) + asof (6) + ingest (4)
-    + round4's first 17 registrations = exactly 50 distinct names."""
-    tail = _ROUND7B_TAIL
-    tpch3 = _module_names_ordered("tpch3")
-    tpch = _module_names_ordered("tpch")
-    asof = _module_names_ordered("asof")
-    ingest = _module_names_ordered("ingest")
-    round4 = _module_names_ordered("round4")
-    assert (len(tpch3), len(tpch), len(asof), len(ingest)) == (12, 5, 6, 4)
-    assert len(round4) >= 17
-    planned = tail + tpch3 + tpch + asof + ingest + round4[:17]
+def test_r11_window_arithmetic_holds():
+    """Pin the r11 plan (registry.py rotation comment) so it can't
+    silently mis-slot like the r6 stall: r11 moves [round9, round3,
+    text, dedup, similarity, windows, scalars, relational] to the
+    head, making the window round9 (1) + round3 (6) + text (6) +
+    dedup (7) + similarity (2) + windows (5) + scalars (5) +
+    relational (18) = exactly 50 distinct registered names."""
+    mods = [
+        "round9",
+        "round3",
+        "text",
+        "dedup",
+        "similarity",
+        "windows",
+        "scalars",
+        "relational",
+    ]
+    counts = {m: len(_module_names_ordered(m)) for m in mods}
+    assert counts == {
+        "round9": 1,
+        "round3": 6,
+        "text": 6,
+        "dedup": 7,
+        "similarity": 2,
+        "windows": 5,
+        "scalars": 5,
+        "relational": 18,
+    }
+    planned = [n for m in mods for n in _module_names_ordered(m)]
     assert len(planned) == 50
     assert len(set(planned)) == 50
     # every planned name is actually registered
