@@ -363,17 +363,31 @@ FROM s
 def feature_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer scoring, the
     feature-store staple — with every quintile an EXACT global NTILE(5)
-    computed scale-safely: ``global_row_number`` two-pass range bucketing
-    + ``ntile_from_rank`` integer arithmetic (operators/ranks.py), so no
-    window in the plan funnels the full user population through one task
-    (a plain NTILE() OVER (ORDER BY …) would — the r1-flagged
-    scale-killer). Score convention: 1 = best quintile (most recent /
-    most frequent / highest spend); descending orders rank on the negated
-    metric with user_id tiebreak, exactly NTILE's (metric DESC, user_id)
-    order. Monetary sums decimal-exactly before the double cast (the
-    ``exact_sum`` pattern) so both engines rank identical values."""
+    computed scale-safely: two-pass range bucketing + ``ntile_from_rank``
+    integer arithmetic (operators/ranks.py), so no window in the plan
+    funnels the full user population through one task (a plain NTILE()
+    OVER (ORDER BY …) would — the r1-flagged scale-killer). Score
+    convention: 1 = best quintile (most recent / most frequent / highest
+    spend); descending orders rank on the negated metric with user_id
+    tiebreak, exactly NTILE's (metric DESC, user_id) order. Monetary sums
+    decimal-exactly before the double cast (the ``exact_sum`` pattern) so
+    both engines rank identical values.
+
+    Plan shape (VERDICT r9 ask #2 — the triangles single-reference
+    discipline): the three quintiles are NOT three independent rank
+    cascades joined back on user_id (that shape referenced the per-user
+    base TEN times in the static plan — 3 cascades x stats/rank/counts
+    branches + the final join — 66 Exchange nodes, the r9 plan-audit
+    max). Instead the base is MELTED once via explode into (user_id,
+    metric, sortval) rows — sortval pre-negated for the descending
+    metrics — ranked by ONE ``grouped_row_number`` partitioned on the
+    3-value metric column (range-bucketed per metric, so no whole-metric
+    window), scored, and pivoted back with a single groupBy(user_id).
+    The base is referenced only by the melt's three audit branches
+    (stats / rank / counts); the join-back disappears because the melt
+    carries the base columns through."""
     from featurestore_for_joycastle_java_spark.operators.ranks import (
-        global_row_number,
+        grouped_row_number,
         ntile_from_rank,
     )
     from featurestore_for_joycastle_java_spark.operators.relational import exact_sum
@@ -382,10 +396,15 @@ def feature_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     )
     anchor = p.agg(F.max(F.to_date("ts")).alias("__anchor"))
-    # The per-user RFM frame feeds NINE plan branches (3 rank cascades ×
-    # stats/rank/counts each) — cache it once or the events scan +
-    # groupBy re-runs for every branch. Same lifetime note as the other
-    # operator caches: LRU-evictable, bounded by |users| rows.
+    # The melted per-user frame feeds THREE plan branches (the grouped
+    # rank's stats/rank/counts) — cache the base once or the events scan
+    # + groupBy re-runs per branch. Same lifetime note as the other
+    # operator caches: LRU-evictable, bounded by |users| rows. The
+    # recency anchor stays OUT of the base: ordering by recency asc is
+    # ordering by last-purchase-date desc (recency = anchor - last_d,
+    # anchor constant), so the rank uses the negated day number and the
+    # anchor joins once, after the pivot — keeping its agg subtree out
+    # of all three melt branches.
     u = (
         p.groupBy("user_id")
         .agg(
@@ -393,32 +412,65 @@ def feature_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             exact_sum(F.col("value")).alias("monetary"),
         )
-        .crossJoin(F.broadcast(anchor))
-        .select(
-            "user_id",
-            F.datediff(F.col("__anchor"), F.col("__last_d")).alias("recency_days"),
-            "frequency",
-            "monetary",
-        )
         .cache()
     )
 
-    # Each quintile is computed INDEPENDENTLY off the cached base and
-    # joined back on user_id — chaining the cascades instead (score of a
-    # score of a score) re-derives every upstream cascade once per plan
-    # branch of the next one (measured: ~2x slower and a 700-stage plan).
-    def score(df: DataFrame, value_col: str, out: str) -> DataFrame:
-        ranked = global_row_number(df, value_col, ["user_id"], "__rn")
-        return ranked.select(
-            "user_id",
-            ntile_from_rank(F.col("__rn"), F.col("_n_total"), 5).alias(out),
+    def metric_row(name: str, sortval) -> F.Column:
+        return F.struct(
+            F.lit(name).alias("metric"),
+            sortval.cast("double").alias("sortval"),
         )
 
-    r = score(u, "recency_days", "r_score")
-    fr = score(u.withColumn("__negf", -F.col("frequency")), "__negf", "f_score")
-    m = score(u.withColumn("__negm", -F.col("monetary")), "__negm", "m_score")
-    scored = u.join(r, "user_id").join(fr, "user_id").join(m, "user_id")
-    return scored.select(
+    epoch = F.lit("1970-01-01").cast("date")
+    melted = u.select(
+        "user_id",
+        "__last_d",
+        "frequency",
+        "monetary",
+        F.explode(
+            F.array(
+                metric_row("r", -F.datediff(F.col("__last_d"), epoch)),
+                metric_row("f", -F.col("frequency")),
+                metric_row("m", -F.col("monetary")),
+            )
+        ).alias("__ms"),
+    ).select(
+        "user_id",
+        "__last_d",
+        "frequency",
+        "monetary",
+        F.col("__ms.metric").alias("__metric"),
+        F.col("__ms.sortval").alias("__sortval"),
+    )
+
+    ranked = grouped_row_number(
+        melted, ["__metric"], "__sortval", ["user_id"], "__rn", "__n"
+    )
+    scored = ranked.withColumn(
+        "__score", ntile_from_rank(F.col("__rn"), F.col("__n"), 5)
+    )
+
+    def pick(metric: str) -> F.Column:
+        return F.max(
+            F.when(F.col("__metric") == metric, F.col("__score"))
+        )
+
+    out = (
+        scored.groupBy("user_id")
+        .agg(
+            F.max("__last_d").alias("__last_d"),
+            F.max("frequency").alias("frequency"),
+            F.max("monetary").alias("monetary"),
+            pick("r").alias("r_score"),
+            pick("f").alias("f_score"),
+            pick("m").alias("m_score"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days", F.datediff(F.col("__anchor"), F.col("__last_d"))
+        )
+    )
+    return out.select(
         "user_id",
         "recency_days",
         "frequency",

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "global_row_number",
+    "grouped_row_number",
     "grouped_prefix_sum",
     "ntile_from_rank",
     "dense_rank_low_card",
@@ -92,6 +93,80 @@ def global_row_number(
 
     return (
         ranked.join(F.broadcast(offsets), "_bucket")
+        .withColumn(out_col, F.col("_offset") + F.col("_rn_in"))
+        .drop("_bucket", "_rn_in", "_offset", "_lo", "_hi")
+    )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    out_col: str = "grp_rn",
+    total_col: str = "_n_group",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact per-group ``ROW_NUMBER() OVER (PARTITION BY grp ORDER BY
+    value_col, *tiebreak)`` plus ``total_col`` (the group's row count)
+    without any window that sees a whole group — ``global_row_number``'s
+    two-pass range bucketing applied per group, for the FEW-HUGE-GROUPS
+    case where ``Window.partitionBy(grp)`` would funnel a group through
+    one task (e.g. three melted metric columns over the full user
+    population — feature_rfm's single-reference restructuring).
+
+    The input shuffles once (the rank window's hashpartitioning on
+    group+bucket); the per-group stats and the |groups| x ``n_buckets``
+    offsets frames are broadcast, so callers must keep ``group_cols``
+    low-cardinality (same precondition as ``grouped_prefix_sum``'s
+    default ``broadcast_offsets=True``)."""
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    span = F.col("_hi") - F.col("_lo")
+    bucket = (
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((v - F.col("_lo")) / span * n_buckets),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    bucketed = df.join(F.broadcast(stats), group_cols).withColumn(
+        "_bucket", bucket
+    )
+
+    w_in = Window.partitionBy(*group_cols, "_bucket").orderBy(
+        value_col, *tiebreak_cols
+    )
+    ranked = bucketed.withColumn("_rn_in", F.row_number().over(w_in))
+
+    counts = bucketed.groupBy(*group_cols, "_bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w_pfx = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "_bucket",
+        F.coalesce(F.sum("_n").over(w_pfx), F.lit(0)).alias("_offset"),
+        F.sum("_n").over(w_all).alias(total_col),
+    )
+
+    return (
+        ranked.join(F.broadcast(offsets), [*group_cols, "_bucket"])
         .withColumn(out_col, F.col("_offset") + F.col("_rn_in"))
         .drop("_bucket", "_rn_in", "_offset", "_lo", "_hi")
     )

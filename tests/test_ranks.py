@@ -13,6 +13,7 @@ from pyspark.sql import Window, functions as F
 from featurestore_for_joycastle_java_spark.operators.ranks import (
     dense_rank_low_card,
     global_row_number,
+    grouped_row_number,
     ntile_from_rank,
 )
 
@@ -47,6 +48,43 @@ def test_global_row_number_all_equal_values(spark):
         (r["id"], r["rn"]) for r in _ranked(spark, rows).collect()
     )
     assert got == [(i, i + 1) for i in range(10)]
+
+
+def test_grouped_row_number_matches_window(spark):
+    """grouped_row_number (r10, feature_rfm's melted-rank backbone) must
+    agree with Spark's own partitioned row_number, including the group
+    row count it exposes; ties covered by the modulo value stream."""
+    rows = [
+        (i, ["a", "b", "c"][i % 3], float((i * 7919) % 31))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    out = grouped_row_number(
+        df, ["g"], "v", ["id"], out_col="rn", total_col="n", n_buckets=8
+    )
+    got = {(r["g"], r["id"]): (r["rn"], r["n"]) for r in out.collect()}
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want_df = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    want = {
+        (r["g"], r["id"]): (r["rn"], r["n"]) for r in want_df.collect()
+    }
+    assert got == want
+
+
+def test_grouped_row_number_constant_group(spark):
+    # span == 0 within a group: bucket 0, tiebreak orders the group
+    rows = [(i, "g0" if i < 5 else "g1", 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    out = grouped_row_number(df, ["g"], "v", ["id"], out_col="rn")
+    got = sorted((r["g"], r["id"], r["rn"]) for r in out.collect())
+    assert got == [
+        ("g0", 0, 1), ("g0", 1, 2), ("g0", 2, 3), ("g0", 3, 4),
+        ("g0", 4, 5),
+        ("g1", 5, 1), ("g1", 6, 2), ("g1", 7, 3), ("g1", 8, 4),
+        ("g1", 9, 5),
+    ]
 
 
 def test_ntile_uneven(spark):
