@@ -2413,23 +2413,50 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicts how skew-prone every downstream wedge join and partition
     scheme will be, next to `graph_degree_distribution`'s histogram.
 
-    Scale shape: two broadcast degree joins onto the edge list, a
-    symmetrizing union, one scalar aggregate. Degrees are small exact
-    integers in double (means/products exact until astronomically large
-    sums); the final correlation rounds on both sides."""
+    Scale shape (r10 single-reference restructuring, the triangles
+    discipline — was 49 Exchange nodes static, the post-rfm audit max):
+    degrees are attached in ONE pass over the edge list (explode each
+    edge into its endpoint rows, window-count per endpoint — a
+    high-cardinality node partition, not a whole-graph funnel — regroup
+    to the edge grain), and the endpoint symmetrization is an explode
+    instead of a self-unionAll, so the edge subtree appears once in the
+    static plan instead of six times. Degrees are small exact integers
+    in double (means/products exact until astronomically large sums);
+    the final correlation rounds on both sides."""
     from featurestore_for_joycastle_java_spark.operators.graphs import (
         cosupply_edges,
-        degrees,
     )
 
     e = cosupply_edges(spark, sf_dir)
-    deg = degrees(e)
-    du = deg.select(F.col("x").alias("u"), F.col("d").cast("double").alias("du"))
-    dv = deg.select(F.col("x").alias("v"), F.col("d").cast("double").alias("dv"))
-    j = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    w2 = Window.partitionBy("x")
+    j = (
+        e.select(
+            F.explode(F.array(F.lit(True), F.lit(False))).alias("at_u"),
+            "u",
+            "v",
+        )
+        .withColumn(
+            "x", F.when(F.col("at_u"), F.col("u")).otherwise(F.col("v"))
+        )
+        .withColumn("d", F.count(F.lit(1)).over(w2))
+        .groupBy("u", "v")
+        .agg(
+            F.max(F.when(F.col("at_u"), F.col("d")))
+            .cast("double")
+            .alias("du"),
+            F.max(F.when(~F.col("at_u"), F.col("d")))
+            .cast("double")
+            .alias("dv"),
+        )
+    )
     de = j.select(
-        F.col("du").alias("dx"), F.col("dv").alias("dy")
-    ).unionAll(j.select(F.col("dv").alias("dx"), F.col("du").alias("dy")))
+        F.explode(
+            F.array(
+                F.struct(F.col("du").alias("dx"), F.col("dv").alias("dy")),
+                F.struct(F.col("dv").alias("dx"), F.col("du").alias("dy")),
+            )
+        ).alias("__p")
+    ).select("__p.dx", "__p.dy")
     num = F.avg(F.col("dx") * F.col("dy")) - F.avg("dx") * F.avg("dy")
     den = F.sqrt(
         F.avg(F.col("dx") * F.col("dx")) - F.avg("dx") * F.avg("dx")
