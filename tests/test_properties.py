@@ -478,4 +478,9 @@ def test_cosine_pairs_matches_numpy_reference(spark, vecs):
             dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
             na = math.sqrt(sum(x * x for x in vecs[a]))
             nb = math.sqrt(sum(x * x for x in vecs[b]))
-            assert got[(a, b)] == round(dot / (na * nb), 6)
+            # abs-diff on the rounded values, not ==: Python round() is
+            # banker's while Spark's F.round is HALF_UP, so an exact 6dp
+            # tie (unreachable for these irrational cosines in practice,
+            # but Hypothesis explores) would differ by exactly 1e-6
+            # (ADVICE r9)
+            assert abs(got[(a, b)] - round(dot / (na * nb), 6)) <= 1e-6

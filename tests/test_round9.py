@@ -62,6 +62,25 @@ def test_semdedup_kmeans_beats_random_cells(spark, sf_dir):
     assert caught / n_global >= 3.0 / k
 
 
+def test_kmeans_corpus_rows_matches_counted(spark, sf_dir):
+    """``corpus_rows`` (VERDICT r9 ask #4: reuse a known row count
+    instead of a full corpus.count() per index build) must be a pure
+    optimization: same seed + same effective sample target => identical
+    centroids whether n was passed in or counted."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+    from featurestore_for_joycastle_java_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    counted = kmeans_centroids(e, n_centroids=4, fit_sample=8).collect()
+    passed = kmeans_centroids(
+        e, n_centroids=4, fit_sample=8, corpus_rows=n
+    ).collect()
+    assert sorted(map(tuple, counted)) == sorted(map(tuple, passed))
+
+
 def test_semdedup_kmeans_is_bench_skipped():
     """Quadratic ground-truth harness stays out of the sf0.1 bench, like
     sim_ivf_kmeans_recall / sim_knn_loo_accuracy."""
