@@ -78,6 +78,19 @@ _STREAMING_STATE_QUERIES = [
     "stream_late_drops",
 ]
 
+#: as-of/PIT family (VERDICT r9 ask #5 — the one headline family with
+#: no measured alpha): plain backward as-of, the bucketed skew-mitigated
+#: twin, the multi_asof_join training-set assembly, and the
+#: grouped_prefix_sum-backed token-budget mix — all union+window /
+#: two-pass-bucketed shapes whose claimed cost is ONE key shuffle plus
+#: local sorts, so alpha should sit near 1
+_ASOF_QUERIES = [
+    "asof_backward_purchase_click",
+    "asof_bucketed_backward",
+    "feature_training_set_pit",
+    "train_token_budget_mix",
+]
+
 #: registry queries timed per factor — each one's 100 TB story is a
 #: bucketed / banded / cell-pruned / single-scan shape that must NOT
 #: bend quadratic as the driving table grows
@@ -179,6 +192,8 @@ def main() -> int:
         [int(a) for a in sys.argv[2:]] if len(sys.argv) > 2 else [1, 2, 4, 8]
     )
 
+    from pyspark.sql import functions as F
+
     from featurestore_for_joycastle_java_spark import get_spark, registry
 
     registry.load_catalog()
@@ -214,12 +229,21 @@ def main() -> int:
         spark.catalog.clearCache()
         return dt
 
-    dirs = {f: _build_factor_dir(f) for f in factors}
+    dirs: dict[int, str] = {}
+
+    def _dir(f: int) -> str:
+        if f not in dirs:
+            dirs[f] = _build_factor_dir(f)
+        return dirs[f]
+
+    for f in factors:
+        _dir(f)
     results: dict[str, dict] = {}
 
-    def curve(name: str, thunk_for, rows_for=None) -> None:
+    def curve(name: str, thunk_for, rows_for=None, fs=None) -> None:
+        fs = fs or factors
         times = []
-        for f in factors:
+        for f in fs:
             run(thunk_for(f))  # warm (plan/codegen) — discarded
             # min of two measured runs: the noise-floor estimator —
             # scheduler/GC contention only ever ADDS time, so min is the
@@ -232,11 +256,11 @@ def main() -> int:
         # execution per factor just for a row count roughly doubled
         # harness time on the eager iterative queries (ADVICE r8) —
         # the timing curve is the artifact, the base count is context
-        out_rows_base = (rows_for or thunk_for)(factors[0])().count()
+        out_rows_base = (rows_for or thunk_for)(fs[0])().count()
         results[name] = {
-            "sec": dict(zip(map(str, factors), times)),
+            "sec": dict(zip(map(str, fs), times)),
             "out_rows_base": out_rows_base,
-            "alpha": _fit_alpha(factors, times),
+            "alpha": _fit_alpha(fs, times),
         }
         print(f"{name}: {times} alpha={results[name]['alpha']}", flush=True)
 
@@ -245,11 +269,81 @@ def main() -> int:
         + _TPCH_QUERIES
         + _FLAGSHIP_QUERIES
         + _STREAMING_STATE_QUERIES
+        + _ASOF_QUERIES
     ):
         curve(
             name,
-            lambda f, n=name: (lambda: QUERIES[n](spark, dirs[f])),
+            lambda f, n=name: (lambda: QUERIES[n](spark, _dir(f))),
         )
+
+    # hot-key as-of skew claim (VERDICT r9 ask #5): plain asof_join
+    # serializes a hot entity into one window task, asof_join_bucketed
+    # spreads it over (key, day-bucket). Reproduce the claim ON the
+    # inflated fixtures: remap 30% of user_ids onto ONE key (the hot
+    # key's row count then grows linearly with the factor — replica
+    # offsets preserved for the rest), time both paths. Expected: the
+    # bucketed path's advantage WIDENS with the factor — the straggler
+    # is O(hot rows log hot rows) in one task while the bucketed path
+    # spreads it across buckets x parallelism.
+    from featurestore_for_joycastle_java_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    def _hotkey_frames(sf_dir: str):
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts")).alias("t"),
+        )
+        hot = e.withColumn(
+            "user_id",
+            F.when(F.col("user_id") % 10 < 3, F.lit(0)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        p = (
+            hot.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "t")
+            .agg(F.max_by("value", "event_id").alias("purchase_value"))
+        )
+        v = hot.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id", "t"
+        )
+        return v, p
+
+    def _hot_plain(f: int):
+        def thunk():
+            v, p = _hotkey_frames(_dir(f))
+            return asof_join(
+                v, p, on=["user_id"], left_ts="t", right_ts="t",
+                right_cols=["purchase_value"],
+            )
+
+        return thunk
+
+    def _hot_bucketed(f: int):
+        def thunk():
+            v, p = _hotkey_frames(_dir(f))
+            return asof_join_bucketed(
+                v, p, on=["user_id"], left_ts="t", right_ts="t",
+                right_cols=["purchase_value"],
+                bucket_width=86_400_000_000,
+            )
+
+        return thunk
+
+    curve("asof_plain_hotkey", _hot_plain)
+    curve("asof_bucketed_hotkey", _hot_bucketed)
+    hk_note = (
+        "30% of events remapped onto one user_id; same frames, same "
+        "day-bucket width as asof_bucketed_backward; compare the two "
+        "curves at the top factor for the skew-mitigation claim"
+    )
+    results["asof_plain_hotkey"]["note"] = hk_note
+    results["asof_bucketed_hotkey"]["note"] = hk_note
 
     # SemDeDup at the fixed-hardware optimum: data-adaptive (k-means)
     # centroids with k ~ sqrt(n) and a bounded training sample. The
@@ -264,16 +358,22 @@ def main() -> int:
         semdedup_survivors,
     )
 
+    # one extra octave (16x) vs the rest of the suite (VERDICT r9 ask
+    # #7): alpha 0.95 at 8x is close enough to linear that the next
+    # point shows whether the sqrt(n) cell growth holds the slope or
+    # the Sigma m^2 pair term starts bending
+    semdedup_fs = factors + [factors[-1] * 2] if len(factors) > 1 else factors
     curve(
         "semdedup_kmeans_sqrt_cells",
         lambda f: (
             lambda: semdedup_survivors(
-                load_table(spark, dirs[f], "embeddings"),
+                load_table(spark, _dir(f), "embeddings"),
                 n_centroids=int(16 * f**0.5),
                 centroids="kmeans",
                 fit_sample=64 * int(16 * f**0.5),
             )
         ),
+        fs=semdedup_fs,
     )
 
     # incremental-ingest claim: fixed 500-doc batch, growing corpus with
@@ -296,7 +396,7 @@ def main() -> int:
     batch = spark.read.parquet(f"{batch_path}/documents.parquet")
     probe_times = []
     for f in factors:
-        corpus = load_table(spark, dirs[f], "documents")
+        corpus = load_table(spark, _dir(f), "documents")
         sig_path = os.path.join(_SCRATCH, f"sigs_x{f}")
         # num_perm must match the probe's banding (64 = the operator
         # default the registry queries use)
