@@ -123,6 +123,10 @@ _CATALOG_MODULES = [
     "advanced",
     # r9 addition — earns its driver row in the r11 window above.
     "round9",
+    # r10 additions (6) — register last so the staged r11 window is not
+    # displaced (VERDICT r9 ask #8); they join round4's tail 4 and the
+    # r6-vintage modules in the r12 pool.
+    "round10",
 ]
 
 
