@@ -1,13 +1,16 @@
-"""Round-10 additions: six LLM-pipeline / feature-engineering queries
-that extend SURVEY §2.3's north-star surface along axes the catalog did
-not yet cover — substring-level dedup signal, rule-based quality
-filtering, supervised category encoding diagnostics, dependence and
-calibration measurement, and non-parametric trend detection.
+"""Round-10 additions: twelve LLM-pipeline / feature-engineering
+queries that extend SURVEY §2.3's north-star surface along axes the
+catalog did not yet cover — substring-level dedup signal, rule-based
+quality filtering, supervised category encoding diagnostics, dependence
+/ calibration / agreement measurement, two-sample hypothesis testing
+(rank-based and parametric), robust trend estimation, and the two
+product-analytics classics (sequenced funnel, cohort retention).
 
-All six follow the house rules: integer/ppm arithmetic (or 6dp-rounded
-doubles where a transcendental is intrinsic), every computed column
-aliased identically in Spark and the DuckDB oracle, no row-at-a-time
-UDFs, 1-row stats frames joined via ``crossJoin(broadcast(...))``.
+All twelve follow the house rules: integer/ppm arithmetic (or
+micro-rounded doubles where a transcendental is intrinsic), every
+computed column aliased identically in Spark and the DuckDB oracle, no
+row-at-a-time UDFs, 1-row stats frames joined via
+``crossJoin(broadcast(...))``.
 """
 
 from __future__ import annotations
@@ -603,4 +606,621 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s_stat") < 0, F.lit("decreasing"))
         .otherwise(F.lit("flat"))
         .alias("trend"),
+    )
+
+
+@query(
+    "eval_mann_whitney",
+    # rank-sum entirely in integers: average ranks are half-integers, so
+    # everything is carried x2 (r1_x2, u1_x2); the only doubles are the
+    # final variance/z, micro-rounded per the house pattern.
+    oracle="""
+WITH e AS (
+    SELECT value AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+    FROM events WHERE event_type IN ('purchase', 'click')),
+g AS (
+    SELECT v, CAST(SUM(a) AS BIGINT) AS c1,
+           CAST(SUM(1 - a) AS BIGINT) AS c2
+    FROM e GROUP BY 1),
+c AS (
+    SELECT v, c1, c2, c1 + c2 AS t,
+           CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum_prev
+    FROM g),
+n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_a,
+             CAST(SUM(c2) AS BIGINT) AS n_b FROM g),
+r AS (SELECT CAST(SUM(c1 * (2 * cum_prev + t + 1)) AS BIGINT) AS r1_x2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubes
+      FROM c),
+d AS (
+    SELECT n_a, n_b, tie_cubes,
+           (2 * n_a * n_b + n_a * (n_a + 1) - r1_x2) AS u1_x2,
+           (2 * n_a * n_b + n_a * (n_a + 1) - r1_x2) - n_a * n_b AS numer_x2,
+           (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+           * (CAST(n_a + n_b + 1 AS DOUBLE)
+              - CAST(tie_cubes AS DOUBLE)
+                / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))
+               AS var_u
+    FROM n CROSS JOIN r)
+SELECT n_a, n_b, u1_x2, tie_cubes,
+       CAST(ROUND(CASE WHEN numer_x2 > 0
+                       THEN (CAST(numer_x2 - 1 AS DOUBLE) / 2.0) / SQRT(var_u)
+                       WHEN numer_x2 < 0
+                       THEN (CAST(numer_x2 + 1 AS DOUBLE) / 2.0) / SQRT(var_u)
+                       ELSE 0.0 END * 1000000, 0) AS BIGINT) AS z_micro
+FROM d
+""",
+)
+def eval_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) comparing the
+    value distribution of 'purchase' vs 'click' events — the
+    non-parametric two-sample location test (the KS drift monitor's
+    sup-distance sibling, sensitive to median shift rather than any
+    shape difference). Average ranks over ties are computed EXACTLY in
+    integers by carrying everything doubled (``u1_x2 = 2*U1``); the
+    tie-corrected variance and continuity-corrected z are the only
+    doubles, micro-rounded.
+
+    Scale shape (same as ``quality_ks_drift``): collapse to the
+    distinct-value frame FIRST (one combine-friendly aggregate), then
+    rank-cumulate there — the global-order window runs over distinct
+    values, not rows, and U falls out of one pass. Verified against an
+    independent Python reference in tests."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
+    )
+    g = e.groupBy("v").agg(
+        F.sum("a").cast("bigint").alias("c1"),
+        F.sum(F.lit(1) - F.col("a")).cast("bigint").alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("t"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum_prev"),
+    )
+    r = c.agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("cum_prev") + F.col("t") + 1)
+        )
+        .cast("bigint")
+        .alias("r1_x2"),
+        F.sum(F.expr("t * t * t - t")).cast("bigint").alias("tie_cubes"),
+    )
+    n = g.agg(
+        F.sum("c1").cast("bigint").alias("n_a"),
+        F.sum("c2").cast("bigint").alias("n_b"),
+    )
+    d = n.crossJoin(F.broadcast(r)).select(
+        "n_a",
+        "n_b",
+        "tie_cubes",
+        F.expr("2 * n_a * n_b + n_a * (n_a + 1) - r1_x2").alias("u1_x2"),
+        F.expr(
+            "(2 * n_a * n_b + n_a * (n_a + 1) - r1_x2) - n_a * n_b"
+        ).alias("numer_x2"),
+        F.expr(
+            "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)"
+            " * (CAST(n_a + n_b + 1 AS DOUBLE)"
+            "    - CAST(tie_cubes AS DOUBLE)"
+            "      / (CAST(n_a + n_b AS DOUBLE)"
+            "         * CAST(n_a + n_b - 1 AS DOUBLE)))"
+        ).alias("var_u"),
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        "u1_x2",
+        "tie_cubes",
+        F.round(
+            F.expr(
+                "CASE WHEN numer_x2 > 0"
+                " THEN (CAST(numer_x2 - 1 AS DOUBLE) / 2.0) / SQRT(var_u)"
+                " WHEN numer_x2 < 0"
+                " THEN (CAST(numer_x2 + 1 AS DOUBLE) / 2.0) / SQRT(var_u)"
+                " ELSE 0.0 END"
+            )
+            * F.lit(1000000),
+            0,
+        )
+        .cast("bigint")
+        .alias("z_micro"),
+    )
+
+
+@query(
+    "eval_welch_ttest",
+    # sums of v6 and v6^2 are exact integers (HUGEINT / DECIMAL(38,0));
+    # doubles appear only when forming means/variances from them, with
+    # textually identical expressions on both engines.
+    oracle="""
+WITH e AS (
+    SELECT CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v6,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+    FROM events WHERE event_type IN ('purchase', 'click')),
+s AS (
+    SELECT a, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(v6) AS s1, SUM(v6 * v6) AS s2
+    FROM e GROUP BY 1),
+p AS (
+    SELECT MAX(CASE WHEN a = 1 THEN n END) AS n_a,
+           MAX(CASE WHEN a = 0 THEN n END) AS n_b,
+           MAX(CASE WHEN a = 1 THEN CAST(s1 AS DOUBLE) END) AS sa1,
+           MAX(CASE WHEN a = 0 THEN CAST(s1 AS DOUBLE) END) AS sb1,
+           MAX(CASE WHEN a = 1 THEN CAST(s2 AS DOUBLE) END) AS sa2,
+           MAX(CASE WHEN a = 0 THEN CAST(s2 AS DOUBLE) END) AS sb2,
+           MAX(CASE WHEN a = 1 THEN CAST(s1 AS HUGEINT) END) AS ia1,
+           MAX(CASE WHEN a = 0 THEN CAST(s1 AS HUGEINT) END) AS ib1
+    FROM s),
+d AS (
+    SELECT n_a, n_b,
+           CAST(ia1 // n_a AS BIGINT) AS mean_a_micro,
+           CAST(ib1 // n_b AS BIGINT) AS mean_b_micro,
+           (sa2 - sa1 * sa1 / CAST(n_a AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+           (sb2 - sb1 * sb1 / CAST(n_b AS DOUBLE))
+               / (CAST(n_b AS DOUBLE) - 1.0) AS vb,
+           sa1 / CAST(n_a AS DOUBLE) - sb1 / CAST(n_b AS DOUBLE) AS mdiff
+    FROM p)
+SELECT n_a, n_b, mean_a_micro, mean_b_micro,
+       CAST(ROUND(mdiff / SQRT(va / CAST(n_a AS DOUBLE)
+                               + vb / CAST(n_b AS DOUBLE))
+                  * 1000000, 0) AS BIGINT) AS t_micro,
+       CAST(ROUND((va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+                  * (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+                  / ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE) - 1.0)
+                     + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE))
+                         / (CAST(n_b AS DOUBLE) - 1.0))
+                  * 1000, 0) AS BIGINT) AS df_milli
+FROM d
+""",
+)
+def eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947) on the micro-
+    integerized value of 'purchase' vs 'click' events, with the
+    Welch-Satterthwaite effective degrees of freedom in milli units —
+    the parametric companion to ``eval_mann_whitney`` (same contrast,
+    mean-shift instead of rank-shift). Order-independence: the naive
+    float sum-of-squares would differ across partitionings, so values
+    are floored to micro integers and Sum(v6)/Sum(v6^2) are EXACT
+    (DECIMAL(38,0) on Spark, HUGEINT on DuckDB); means/variances then
+    form from those exact integers with textually identical double
+    expressions. One aggregate over the filtered scan, a 2-row pivot,
+    zero joins — embarrassingly scalable."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.floor(F.col("value") * F.lit(1000000.0)).alias("v6"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
+    )
+    s = e.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v6").alias("s1"),
+        F.sum((F.col("v6") * F.col("v6")).cast("decimal(38,0)")).alias("s2"),
+    )
+    p = s.agg(
+        F.max(F.when(F.col("a") == 1, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("a") == 0, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("a") == 1, F.col("s1").cast("double"))).alias(
+            "sa1"
+        ),
+        F.max(F.when(F.col("a") == 0, F.col("s1").cast("double"))).alias(
+            "sb1"
+        ),
+        F.max(F.when(F.col("a") == 1, F.col("s2").cast("double"))).alias(
+            "sa2"
+        ),
+        F.max(F.when(F.col("a") == 0, F.col("s2").cast("double"))).alias(
+            "sb2"
+        ),
+        F.max(F.when(F.col("a") == 1, F.col("s1"))).alias("ia1"),
+        F.max(F.when(F.col("a") == 0, F.col("s1"))).alias("ib1"),
+    )
+    d = p.select(
+        "n_a",
+        "n_b",
+        F.expr("CAST(ia1 DIV n_a AS BIGINT)").alias("mean_a_micro"),
+        F.expr("CAST(ib1 DIV n_b AS BIGINT)").alias("mean_b_micro"),
+        F.expr(
+            "(sa2 - sa1 * sa1 / CAST(n_a AS DOUBLE))"
+            " / (CAST(n_a AS DOUBLE) - 1.0)"
+        ).alias("va"),
+        F.expr(
+            "(sb2 - sb1 * sb1 / CAST(n_b AS DOUBLE))"
+            " / (CAST(n_b AS DOUBLE) - 1.0)"
+        ).alias("vb"),
+        F.expr(
+            "sa1 / CAST(n_a AS DOUBLE) - sb1 / CAST(n_b AS DOUBLE)"
+        ).alias("mdiff"),
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        "mean_a_micro",
+        "mean_b_micro",
+        F.round(
+            F.expr(
+                "mdiff / SQRT(va / CAST(n_a AS DOUBLE)"
+                " + vb / CAST(n_b AS DOUBLE))"
+            )
+            * F.lit(1000000),
+            0,
+        )
+        .cast("bigint")
+        .alias("t_micro"),
+        F.round(
+            F.expr(
+                "(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))"
+                " * (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))"
+                " / ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))"
+                "        / (CAST(n_a AS DOUBLE) - 1.0)"
+                "    + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE))"
+                "        / (CAST(n_b AS DOUBLE) - 1.0))"
+            )
+            * F.lit(1000),
+            0,
+        )
+        .cast("bigint")
+        .alias("df_milli"),
+    )
+
+
+@query(
+    "eval_cohens_kappa",
+    oracle="""
+WITH e AS (
+    SELECT CASE WHEN value >= 50 THEN 1 ELSE 0 END AS ra,
+           CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END
+               AS rb
+    FROM events),
+c AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ra * rb) AS BIGINT) AS n11,
+           CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+           CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+           CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+    FROM e)
+SELECT n AS n_rows, n11 + n00 AS n_agree,
+       ((n11 + n00) * 1000000) // n AS po_ppm,
+       (((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1000000)
+           // (n * n) AS pe_ppm,
+       CAST(ROUND((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST((n11 + n10) * (n11 + n01)
+                          + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  / (1.0 - CAST((n11 + n10) * (n11 + n01)
+                                + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  * 1000000, 0) AS BIGINT) AS kappa_micro
+FROM c
+""",
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) — chance-corrected agreement between
+    two binary raters, here the value-threshold labeler (value >= 50)
+    vs the type-based labeler (purchase/signup) — the standard
+    inter-annotator agreement statistic for LLM labeling and
+    preference-data pipelines (a judge panel that only reports raw
+    agreement ``po`` overstates itself when the base rates are skewed;
+    kappa subtracts the chance floor ``pe``). The agreement table is
+    exact integers from one aggregate; po/pe are emitted in ppm and
+    kappa in micro units from exactly-representable integer ratios
+    (n^2 <= 1e24 is beyond int64 only past ~3e9 rows per side — and the
+    double formation is exact below 2^53). One scan, one aggregate,
+    no joins."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("ra"),
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .alias("rb"),
+    )
+    c = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("ra * rb")).cast("bigint").alias("n11"),
+        F.sum(F.expr("ra * (1 - rb)")).cast("bigint").alias("n10"),
+        F.sum(F.expr("(1 - ra) * rb")).cast("bigint").alias("n01"),
+        F.sum(F.expr("(1 - ra) * (1 - rb)")).cast("bigint").alias("n00"),
+    )
+    return c.select(
+        F.col("n").alias("n_rows"),
+        F.expr("n11 + n00").alias("n_agree"),
+        F.expr("((n11 + n00) * 1000000) DIV n").alias("po_ppm"),
+        F.expr(
+            "(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+            " * 1000000) DIV (n * n)"
+        ).alias("pe_ppm"),
+        F.round(
+            F.expr(
+                "(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)"
+                " - CAST((n11 + n10) * (n11 + n01)"
+                "        + (n01 + n00) * (n10 + n00) AS DOUBLE)"
+                "   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+                " / (1.0 - CAST((n11 + n10) * (n11 + n01)"
+                "              + (n01 + n00) * (n10 + n00) AS DOUBLE)"
+                "   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+            )
+            * F.lit(1000000),
+            0,
+        )
+        .cast("bigint")
+        .alias("kappa_micro"),
+    )
+
+
+@query(
+    "feature_funnel_stages",
+    oracle="""
+WITH mv AS (
+    SELECT user_id, MIN(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY 1),
+mc AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM events e JOIN mv USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > mv.t_view
+          AND e.ts <= mv.t_view + INTERVAL 24 HOUR
+    GROUP BY 1),
+mp AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM events e JOIN mc USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > mc.t_click
+          AND e.ts <= mc.t_click + INTERVAL 24 HOUR
+    GROUP BY 1),
+u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+cv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_view FROM mv),
+cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_click FROM mc),
+cp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchase FROM mp)
+SELECT n_users, n_view, n_click, n_purchase,
+       (n_view * 1000000) // n_users AS view_ppm,
+       CASE WHEN n_view > 0 THEN (n_click * 1000000) // n_view
+            ELSE CAST(0 AS BIGINT) END AS click_given_view_ppm,
+       CASE WHEN n_click > 0 THEN (n_purchase * 1000000) // n_click
+            ELSE CAST(0 AS BIGINT) END AS purchase_given_click_ppm
+FROM u CROSS JOIN cv CROSS JOIN cc CROSS JOIN cp
+""",
+)
+def feature_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase with a 24 h
+    step window: a user reaches a stage only via an event STRICTLY after
+    their previous-stage timestamp and within 24 h of it — the sequenced
+    definition product analytics means by "funnel" (an unordered
+    exists-per-type count would overcount users who purchased before
+    ever viewing). Emits absolute stage counts plus per-step conversion
+    in ppm (measured 150 -> 60 -> 25 of 150 users at sf0.01 — the window
+    is what makes the fixture discriminate).
+
+    Plan shape: three per-user min-timestamp aggregates chained by
+    equi-joins on user_id (each join keyed and combine-friendly; at
+    100 TB these co-partition under a user_id bucketing), then three
+    1-row counts broadcast onto the user total. The event scan is read
+    once per stage with only (user_id, ts, event_type) columns pruned."""
+    ev = load_table(spark, sf_dir, "events")
+    mv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    mc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(mv, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    mp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(mc, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    u = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    cv = mv.agg(F.count(F.lit(1)).alias("n_view"))
+    cc = mc.agg(F.count(F.lit(1)).alias("n_click"))
+    cp = mp.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        u.crossJoin(F.broadcast(cv))
+        .crossJoin(F.broadcast(cc))
+        .crossJoin(F.broadcast(cp))
+        .select(
+            "n_users",
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.expr("(n_view * 1000000) DIV n_users").alias("view_ppm"),
+            F.expr(
+                "CASE WHEN n_view > 0 THEN (n_click * 1000000) DIV n_view"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("click_given_view_ppm"),
+            F.expr(
+                "CASE WHEN n_click > 0 THEN (n_purchase * 1000000) DIV n_click"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("purchase_given_click_ppm"),
+        )
+    )
+
+
+@query(
+    "feature_cohort_retention",
+    oracle="""
+WITH f AS (
+    SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort
+    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+a AS (
+    SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk
+    FROM events WHERE event_type = 'purchase'),
+sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1),
+r AS (
+    SELECT f.cohort,
+           CAST(DATE_DIFF('day', f.cohort, a.wk) // 7 AS BIGINT)
+               AS offset_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_week, offset_weeks, n_active,
+       cohort_size, (n_active * 1000000) // cohort_size AS retention_ppm
+FROM r JOIN sz USING (cohort)
+""",
+)
+def feature_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle on purchase activity: users are
+    cohorted by the ISO week of their FIRST purchase, and each (cohort,
+    offset-in-weeks) cell counts users with any purchase in that week,
+    as a ppm of the cohort size — the standard retention curve behind
+    every product dashboard (purchase-based rather than any-event-based
+    because the fixture's users emit events continuously; first PURCHASE
+    varies, so cohorts and decay actually discriminate: two cohorts with
+    143->90 and 7->2 decay at sf0.01).
+
+    Plan shape: both the cohort assignment and the activity set are
+    per-user combine-friendly aggregates over the same filtered scan;
+    the join back is keyed on user_id (bucketing co-partitions it at
+    scale) and the output is |cohorts| x |offsets| rows — tiny whatever
+    the input. Week truncation is engine-portable (both Spark and
+    DuckDB date_trunc('week') start Monday); offsets divide exactly
+    because both endpoints are week-truncated."""
+    ev = load_table(spark, sf_dir, "events")
+    pe = ev.filter(F.col("event_type") == "purchase")
+    f = pe.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    a = pe.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    sz = f.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    r = (
+        a.join(f, "user_id")
+        .groupBy(
+            "cohort",
+            F.expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)").alias(
+                "offset_weeks"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return r.join(sz, "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "offset_weeks",
+        "n_active",
+        "cohort_size",
+        F.expr("(n_active * 1000000) DIV cohort_size").alias(
+            "retention_ppm"
+        ),
+    )
+
+
+@query(
+    "ts_theil_sen",
+    # exact integer median: the two middle order statistics are summed
+    # (x2 for odd counts), so no interpolation semantics can diverge
+    # between engines; ties in slope_micro are safe because the k-th
+    # order statistic is tie-order-independent.
+    oracle="""
+WITH d AS (
+    SELECT event_type, DATE_TRUNC('day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2),
+p AS (
+    SELECT a.event_type,
+           CAST(ROUND(CAST(b.cnt - a.cnt AS DOUBLE)
+                / CAST(DATE_DIFF('day', a.day, b.day) AS DOUBLE)
+                * 1000000, 0) AS BIGINT) AS slope_micro
+    FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day),
+rk AS (
+    SELECT event_type, slope_micro,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY slope_micro) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+    FROM p)
+SELECT event_type, n_pairs,
+       CAST(SUM(CASE WHEN n_pairs % 2 = 1 AND rn = (n_pairs + 1) // 2
+                     THEN 2 * slope_micro
+                     WHEN n_pairs % 2 = 0
+                          AND rn IN (n_pairs // 2, n_pairs // 2 + 1)
+                     THEN slope_micro
+                     ELSE 0 END) AS BIGINT) AS sen_slope_x2_micro
+FROM rk GROUP BY 1, 2
+""",
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope estimator (Theil 1950; Sen 1968) on the daily
+    event count per event_type: the median of all pairwise slopes
+    (cnt_j - cnt_i) / (day_j - day_i), doubled to stay integer-exact
+    (``sen_slope_x2_micro`` = twice the median, in micro events/day).
+    The robust companion to ``ts_mann_kendall``: MK answers IS there a
+    monotone trend, Theil-Sen answers HOW STEEP, with a 29.3% breakdown
+    point against the outlier days a least-squares slope would chase.
+
+    Plan shape: the same collapsed (type x day) frame as MK feeds the
+    O(days^2)-per-type pair stage (days bounded by the calendar, types
+    parallel), then the exact median comes from a per-type rank window
+    over the PAIRS frame — the order statistic trick used by
+    ``agg_exact_median``, no interpolation, no floats except the
+    pre-rounded micro slope."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = d.select(
+        "event_type", F.col("day").alias("__da"), F.col("cnt").alias("__ca")
+    )
+    b = d.select(
+        F.col("event_type").alias("__et"),
+        F.col("day").alias("__db"),
+        F.col("cnt").alias("__cb"),
+    )
+    p = a.join(
+        b,
+        (F.col("event_type") == F.col("__et"))
+        & (F.col("__da") < F.col("__db")),
+    ).select(
+        "event_type",
+        F.round(
+            (F.col("__cb") - F.col("__ca")).cast("double")
+            / F.datediff(F.col("__db"), F.col("__da")).cast("double")
+            * F.lit(1000000),
+            0,
+        )
+        .cast("bigint")
+        .alias("slope_micro"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro")
+    rk = p.select(
+        "event_type",
+        "slope_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("n_pairs"),
+    )
+    return rk.groupBy("event_type", "n_pairs").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN n_pairs % 2 = 1 AND rn = (n_pairs + 1) DIV 2"
+                " THEN 2 * slope_micro"
+                " WHEN n_pairs % 2 = 0"
+                "      AND rn IN (n_pairs DIV 2, n_pairs DIV 2 + 1)"
+                " THEN slope_micro"
+                " ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("sen_slope_x2_micro")
     )

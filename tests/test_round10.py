@@ -142,3 +142,146 @@ def test_mann_kendall_detects_planted_trend(spark, sf_dir):
     assert r["var18"] == 12 * 11 * 29  # no ties
     assert r["trend"] == "increasing"
     assert r["z_micro"] > 3_000_000  # z >> 3: unambiguous trend
+
+
+def test_mann_whitney_matches_python_reference(spark, sf_dir):
+    """Independent recompute of U and z from the raw rows (average
+    ranks, tie-corrected variance, continuity correction)."""
+    import collections
+
+    from featurestore_for_joycastle_java_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("value", "event_type")
+        .collect()
+    )
+    n1 = sum(1 for r in rows if r["event_type"] == "purchase")
+    n2 = len(rows) - n1
+    by_v = collections.Counter(r["value"] for r in rows)
+    cum, avg_rank = 0, {}
+    for v in sorted(by_v):
+        t = by_v[v]
+        avg_rank[v] = cum + (t + 1) / 2
+        cum += t
+    r1 = sum(avg_rank[r["value"]] for r in rows if r["event_type"] == "purchase")
+    u1 = n1 * n2 + n1 * (n1 + 1) / 2 - r1
+    tie_cubes = sum(t**3 - t for t in by_v.values())
+    var = (n1 * n2 / 12) * (
+        (n1 + n2 + 1) - tie_cubes / ((n1 + n2) * (n1 + n2 - 1))
+    )
+    mu = n1 * n2 / 2
+    z = (
+        (u1 - mu - 0.5) / math.sqrt(var)
+        if u1 > mu
+        else ((u1 - mu + 0.5) / math.sqrt(var) if u1 < mu else 0.0)
+    )
+    got = QUERIES["eval_mann_whitney"](spark, sf_dir).collect()[0]
+    assert got["n_a"] == n1 and got["n_b"] == n2
+    assert got["u1_x2"] == round(2 * u1)
+    assert got["tie_cubes"] == tie_cubes
+    assert abs(got["z_micro"] - z * 1e6) <= 1.0
+
+
+def test_welch_matches_python_reference(spark, sf_dir):
+    from featurestore_for_joycastle_java_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("value", "event_type")
+        .collect()
+    )
+    a = [math.floor(r["value"] * 1e6) for r in rows if r["event_type"] == "purchase"]
+    b = [math.floor(r["value"] * 1e6) for r in rows if r["event_type"] == "click"]
+
+    def stats(x):
+        n = len(x)
+        m = sum(x) / n
+        return n, m, sum((xi - m) ** 2 for xi in x) / (n - 1)
+
+    na, ma, va = stats(a)
+    nb, mb, vb = stats(b)
+    t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    df = (va / na + vb / nb) ** 2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    got = QUERIES["eval_welch_ttest"](spark, sf_dir).collect()[0]
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert got["mean_a_micro"] == sum(a) // na
+    assert got["mean_b_micro"] == sum(b) // nb
+    # the engine's variance uses the (sum_sq - sum^2/n) form; allow the
+    # float-rearrangement slack on the final micro-rounded stats
+    assert abs(got["t_micro"] - t * 1e6) <= 2.0
+    assert abs(got["df_milli"] - df * 1e3) <= 2.0
+
+
+def test_kappa_bounds_and_identity(spark, sf_dir):
+    got = QUERIES["eval_cohens_kappa"](spark, sf_dir).collect()[0]
+    assert got["n_agree"] <= got["n_rows"]
+    assert got["po_ppm"] == got["n_agree"] * 1_000_000 // got["n_rows"]
+    assert -1_000_000 <= got["kappa_micro"] <= 1_000_000
+    # kappa sign must agree with po vs pe
+    if got["po_ppm"] > got["pe_ppm"]:
+        assert got["kappa_micro"] > 0
+    elif got["po_ppm"] < got["pe_ppm"]:
+        assert got["kappa_micro"] < 0
+
+
+def test_funnel_monotone_and_windowed(spark, sf_dir):
+    """Stage counts are monotone non-increasing, and the 24 h window
+    genuinely discriminates (conversion strictly below 100% past the
+    first stage on the fixture)."""
+    got = QUERIES["feature_funnel_stages"](spark, sf_dir).collect()[0]
+    assert got["n_users"] >= got["n_view"] >= got["n_click"] >= got["n_purchase"]
+    assert got["n_click"] < got["n_view"]  # window bites
+    assert got["view_ppm"] == got["n_view"] * 1_000_000 // got["n_users"]
+
+
+def test_cohort_week0_is_full_retention(spark, sf_dir):
+    """By construction every user's first-purchase week is active, so
+    offset 0 retention is exactly 100%; later offsets never exceed the
+    cohort size."""
+    rows = QUERIES["feature_cohort_retention"](spark, sf_dir).collect()
+    assert rows
+    week0 = [r for r in rows if r["offset_weeks"] == 0]
+    assert week0 and all(
+        r["n_active"] == r["cohort_size"] and r["retention_ppm"] == 1_000_000
+        for r in week0
+    )
+    assert all(0 < r["n_active"] <= r["cohort_size"] for r in rows)
+    assert all(r["offset_weeks"] >= 0 for r in rows)
+
+
+def test_theil_sen_matches_python_reference(spark, sf_dir):
+    import collections
+
+    from featurestore_for_joycastle_java_spark.sources import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .count()
+        .collect()
+    )
+    by = collections.defaultdict(list)
+    for r in daily:
+        by[r["event_type"]].append((r["d"], r["count"]))
+    expect = {}
+    for t, pts in by.items():
+        pts.sort()
+        slopes = sorted(
+            round((cb - ca) / (db - da).days * 1e6)
+            for i, (da, ca) in enumerate(pts)
+            for db, cb in pts[i + 1 :]
+        )
+        n = len(slopes)
+        med2 = (
+            2 * slopes[(n - 1) // 2]
+            if n % 2
+            else slopes[n // 2 - 1] + slopes[n // 2]
+        )
+        expect[t] = (n, med2)
+    got = QUERIES["ts_theil_sen"](spark, sf_dir).collect()
+    assert {r["event_type"]: (r["n_pairs"], r["sen_slope_x2_micro"]) for r in got} == expect
