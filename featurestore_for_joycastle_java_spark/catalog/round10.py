@@ -1224,3 +1224,146 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sen_slope_x2_micro")
     )
+
+
+def _hits_oracle(iterations: int) -> str:
+    """Declarative replay of the integer HITS loop — one authority and
+    one hub half-step (each with its exact-integer max renormalization)
+    per iteration, identical arithmetic to ``operators/graph.py::
+    hits_int`` (`//` = Spark's DIV on non-negative scores)."""
+    cte = [
+        """
+WITH e AS (
+    SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM e)"""
+    ]
+    for i in range(1, iterations + 1):
+        prev_h = "h0" if i == 1 else f"h{i - 1}"
+        cte.append(
+            f"""
+ar{i} AS (SELECT e.dst AS node, CAST(SUM(p.h) AS BIGINT) AS raw
+          FROM e JOIN {prev_h} p ON p.node = e.src GROUP BY 1),
+am{i} AS (SELECT MAX(raw) AS m FROM ar{i}),
+a{i} AS (SELECT node, (raw * 1000000) // m AS a FROM ar{i}, am{i}),
+hr{i} AS (SELECT e.src AS node, CAST(SUM(p.a) AS BIGINT) AS raw
+          FROM e JOIN a{i} p ON p.node = e.dst GROUP BY 1),
+hm{i} AS (SELECT MAX(raw) AS m FROM hr{i}),
+h{i} AS (SELECT node, (raw * 1000000) // m AS h FROM hr{i}, hm{i})"""
+        )
+    return (
+        ",".join(cte)
+        + f"""
+SELECT 'customer' AS kind, node // 2 AS key, 'hub' AS side,
+       h AS score_micro
+FROM h{iterations}
+UNION ALL
+SELECT 'supplier' AS kind, node // 2 AS key, 'authority' AS side,
+       a AS score_micro
+FROM a{iterations}
+"""
+    )
+
+
+@query("graph_hits_int", oracle=_hits_oracle(3))
+def graph_hits_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the directed
+    customer→supplier trade graph — 'which customers are the broadest
+    buyers (hubs) and which suppliers the most sought-after
+    (authorities)'. The third integer-deterministic iterative graph
+    algorithm (after connected components and PageRank): float HITS
+    L2-normalizes each half-step, which no SQL replay can reproduce
+    bit-exactly, so ``operators/graph.py::hits_int`` renormalizes by the
+    exact integer MAX instead (the power iteration's fixed point is
+    scale-free, so the eigenvector direction is unchanged) and the
+    oracle replays all three iterations declaratively — every score
+    matches exactly, no tolerance. Same scale schedule as
+    ``graph_pagerank_int``: O(k·|E|) with co-partitioned edge joins,
+    map-side combined sums, 1-row broadcast max frames, per-round
+    checkpointing."""
+    from featurestore_for_joycastle_java_spark.operators.graph import hits_int
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    r = hits_int(e, iterations=3)
+    return r.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node DIV 2").alias("key"),
+        "side",
+        "score_micro",
+    )
+
+
+@query(
+    "sim_gram_matrix",
+    oracle="""
+WITH x AS (
+    SELECT vec_id, i,
+           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+               AS v6
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings)
+SELECT a.i AS i, b.i AS j, n.n_vectors,
+       CAST(SUM(a.v6 * b.v6) AS BIGINT) AS gram_micro2
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+CROSS JOIN n
+GROUP BY 1, 2, 3
+""",
+)
+def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix Σ x xᵀ of the embedding corpus in
+    exact micro² integers — the one-pass precursor to PCA / whitening /
+    covariance-based drift monitors (subtract the mean outer product to
+    get covariance; power-iterate for the top component). Elements are
+    floored to micro integers so the d(d+1)/2 cell sums are EXACT
+    (DECIMAL(38,0) on Spark, HUGEINT on DuckDB) — the float version
+    would be partitioning-dependent in the last ulps.
+
+    Scale shape: posexplode to (row, dim) pairs, one self-equi-join on
+    vec_id (co-partitioned, fans each row out to its own d(d+1)/2
+    products — never a cross-row pair), then ONE map-side-combinable
+    aggregate whose output is d(d+1)/2 = 2080 cells for d = 64,
+    independent of corpus size: per-partition partial Grams combine
+    exactly, which is precisely how a 1000-executor run wants it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("val").cast("double") * F.lit(1000000.0)).alias("v6"),
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n_vectors"))
+    a = x.select(
+        "vec_id", F.col("i").alias("i"), F.col("v6").alias("__va")
+    )
+    b = x.select(
+        F.col("vec_id").alias("__vid"),
+        F.col("i").alias("j"),
+        F.col("v6").alias("__vb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("vec_id") == F.col("__vid")) & (F.col("i") <= F.col("j")),
+        )
+        .crossJoin(F.broadcast(n))
+        .groupBy("i", "j", "n_vectors")
+        .agg(
+            F.sum((F.col("__va") * F.col("__vb")).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("gram_micro2")
+        )
+    )

@@ -123,17 +123,19 @@ _CATALOG_MODULES = [
     "advanced",
     # r9 addition — earns its driver row in the r11 window above.
     "round9",
-    # r10 additions (12) — register last so the staged r11 window is not
+    # r10 additions (14) — register last so the staged r11 window is not
     # displaced (VERDICT r9 ask #8); they join round4's tail 4 and the
     # r6-vintage modules in the r12 pool.
     #
     # r12 window (staged — pinned by test_r12_window_arithmetic_holds):
-    # round10 (12) + round4 (21: the r4-vintage tail 4 plus a refresh of
+    # round10 (14) + round4 (21: the r4-vintage tail 4 plus a refresh of
     # the 17 r10-window rows) + r6-vintage round5 (7) + round2 (6) +
-    # multimodal (4) = exactly 50. The r12 move is a pure reorder:
-    # [round10, round4, round5, round2, multimodal] to the head. The
-    # remaining r6-vintage modules (streaming 7 + training 6 + extras 10
-    # + advanced 10) lead the r13 pool.
+    # multimodal's first 2 = exactly 50 (partial-module head, the
+    # round4[:17] precedent). The r12 move is a pure reorder:
+    # [round10, round4, round5, round2, multimodal] to the head.
+    # Multimodal's tail 2 and the remaining r6-vintage modules
+    # (streaming 7 + training 6 + extras 10 + advanced 10) lead the r13
+    # pool.
     "round10",
 ]
 

@@ -285,3 +285,79 @@ def test_theil_sen_matches_python_reference(spark, sf_dir):
         expect[t] = (n, med2)
     got = QUERIES["ts_theil_sen"](spark, sf_dir).collect()
     assert {r["event_type"]: (r["n_pairs"], r["sen_slope_x2_micro"]) for r in got} == expect
+
+
+def test_hits_int_planted_star(spark):
+    """Independent integer replay on a planted star-ish graph: supplier
+    node 2 receives from every customer, so it must pin at the max
+    authority score of exactly SCALE; the replay recomputes every score
+    bit-for-bit."""
+    from featurestore_for_joycastle_java_spark.operators.graph import (
+        SCALE,
+        hits_int,
+    )
+
+    edges = [(1, 2), (3, 2), (5, 2), (1, 4), (3, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node"], r["side"]): r["score_micro"]
+        for r in hits_int(df, iterations=3).collect()
+    }
+
+    h = {u: SCALE for u, _ in edges}
+    a = {}
+    for _ in range(3):
+        raw_a = {}
+        for u, v in edges:
+            raw_a[v] = raw_a.get(v, 0) + h[u]
+        m = max(raw_a.values())
+        a = {v: (r * SCALE) // m for v, r in raw_a.items()}
+        raw_h = {}
+        for u, v in edges:
+            raw_h[u] = raw_h.get(u, 0) + a[v]
+        m = max(raw_h.values())
+        h = {u: (r * SCALE) // m for u, r in raw_h.items()}
+    expect = {(u, "hub"): s for u, s in h.items()} | {
+        (v, "authority"): s for v, s in a.items()
+    }
+    assert got == expect
+    assert got[(2, "authority")] == SCALE
+
+
+def test_hits_int_fixture_invariants(spark, sf_dir):
+    rows = QUERIES["graph_hits_int"](spark, sf_dir).collect()
+    hubs = [r for r in rows if r["side"] == "hub"]
+    auths = [r for r in rows if r["side"] == "authority"]
+    # bipartite: customers are exactly the hubs, suppliers the authorities
+    assert all(r["kind"] == "customer" for r in hubs)
+    assert all(r["kind"] == "supplier" for r in auths)
+    assert max(r["score_micro"] for r in hubs) == 1_000_000
+    assert max(r["score_micro"] for r in auths) == 1_000_000
+    assert all(0 <= r["score_micro"] <= 1_000_000 for r in rows)
+
+
+def test_gram_matrix_vs_numpy(spark, sf_dir):
+    import numpy as np
+
+    from featurestore_for_joycastle_java_spark.sources import load_table
+
+    vecs = [
+        np.floor(np.array(r["embedding"], dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .collect()
+    ]
+    x = np.stack(vecs)
+    full = x.T @ x  # exact: int64 products/sums within range at fixture scale
+    rows = QUERIES["sim_gram_matrix"](spark, sf_dir).collect()
+    d = x.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+    assert all(r["n_vectors"] == len(vecs) for r in rows)
+    for r in rows[:200]:
+        assert r["gram_micro2"] == full[r["i"] - 1, r["j"] - 1]
+    # Cauchy-Schwarz on the exact integer Gram
+    g = {(r["i"], r["j"]): r["gram_micro2"] for r in rows}
+    for (i, j), v in list(g.items())[:200]:
+        assert v * v <= g[(i, i)] * g[(j, j)]

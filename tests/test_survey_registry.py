@@ -204,21 +204,22 @@ def test_no_stale_rotation_notes():
 def test_r12_window_arithmetic_holds():
     """Pin the r12 plan (registry.py rotation comment): r12 moves
     [round10, round4, round5, round2, multimodal] to the head, making
-    the window round10 (12) + round4 (21 — the r4-vintage tail 4 plus a
+    the window round10 (14) + round4 (21 — the r4-vintage tail 4 plus a
     refresh of the 17 r10-window rows) + r6-vintage round5 (7) +
-    round2 (6) + multimodal (4) = exactly 50 distinct registered
-    names. The remaining r6-vintage streaming/training/extras/advanced
-    (7+6+10+10) lead the r13 pool."""
+    round2 (6) + multimodal's first 2 = exactly 50 distinct registered
+    names (partial-module head, the round4[:17] precedent). Multimodal's
+    tail 2 and the remaining r6-vintage streaming/training/extras/
+    advanced (7+6+10+10) lead the r13 pool."""
     mods = ["round10", "round4", "round5", "round2", "multimodal"]
     counts = {m: len(_module_names_ordered(m)) for m in mods}
     assert counts == {
-        "round10": 12,
+        "round10": 14,
         "round4": 21,
         "round5": 7,
         "round2": 6,
         "multimodal": 4,
     }
-    planned = [n for m in mods for n in _module_names_ordered(m)]
+    planned = [n for m in mods for n in _module_names_ordered(m)][:50]
     assert len(planned) == 50
     assert len(set(planned)) == 50
     assert set(planned) <= set(registry.QUERIES)
