@@ -272,7 +272,11 @@ def semdedup_survivors(
     actual bottleneck) stays linear, while the n·k assignment is
     per-row broadcast compute — embarrassingly parallel, no data
     movement, GEMM-shaped (this is the SemDeDup paper's own trade; on
-    FIXED hardware the visible optimum is k ~ √n → Θ(n^1.5) total).
+    FIXED hardware the visible optimum is k ~ √n → Θ(n^1.5) total —
+    measured: SCALETEST_r10's 16× octave runs 2^1.57 per doubling once
+    fixed costs stop dominating, matching Θ(n^1.5) for k ∝ √n; hold the
+    target cell SIZE m̄ constant, k = n/m̄, when you need the pair stage
+    linear).
     Use ``fit_sample`` so k-means training is O(sample·k) instead of
     20 Lloyd passes over the corpus. The survivor rule is
     one groupBy over the near-dup pairs, no iteration — unlike CC-based
