@@ -137,6 +137,11 @@ _CATALOG_MODULES = [
     # (streaming 7 + training 6 + extras 10 + advanced 10) lead the r13
     # pool.
     "round10",
+    # r10 continuation batch (10) — registers last; joins the r13 pool
+    # behind multimodal's tail 2 and the r6-vintage modules (the staged
+    # r11/r12 windows above are unaffected: both are pure reorders of
+    # modules that register BEFORE this one).
+    "round10b",
 ]
 
 

@@ -88,8 +88,16 @@ def test_semdedup_kmeans_is_bench_skipped():
 
 
 def test_registry_order_unchanged_by_round9():
-    """round9 registers LAST: the r9 driver window (round7b's first 50)
-    and the staged r10 window must not shift."""
+    """round9 registers behind every staged driver window (it earns its
+    row in r11): never inside the r10 window (or the tail-6 buffer),
+    and only the round-10/10b tail pool — which joins r12/r13 — may
+    register after it."""
     names = list(QUERIES)
-    assert names[-1] == "dedup_semdedup_kmeans"
-    assert "dedup_semdedup_kmeans" not in names[:56]
+    i = names.index("dedup_semdedup_kmeans")
+    assert i >= 56
+    # everything after round9 is the r10-addition pool, which registers
+    # last by design (round10 then round10b)
+    assert names[i + 1] == "dedup_substring_ngrams"  # round10 head
+    tail = set(names[i + 1 :])
+    assert "sim_gram_matrix" in tail and "sim_centroid_drift" in tail
+    assert names[-1] == "sim_centroid_drift"  # round10b tail
