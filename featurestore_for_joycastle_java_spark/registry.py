@@ -142,6 +142,17 @@ _CATALOG_MODULES = [
     # r11/r12 windows above are unaffected: both are pure reorders of
     # modules that register BEFORE this one).
     "round10b",
+    # r10 continuation batch 2 (7) — same staging rules as round10b.
+    #
+    # r13 window (staged — pinned by test_r13_window_arithmetic_holds):
+    # streaming (7) + training (6) + extras (10) + advanced (10) +
+    # round10b (10) + round10c (7) = exactly 50, no partial-module head.
+    # The r13 move is a pure reorder: [streaming, training, extras,
+    # advanced, round10b, round10c] to the head. Multimodal's tail 2
+    # (r12 takes its first 2) then lead the r14 pool with the
+    # then-oldest rows (supersedes the r12 comment above, which slotted
+    # them for r13 before the round-10b/10c additions existed).
+    "round10c",
 ]
 
 

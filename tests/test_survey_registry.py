@@ -223,3 +223,34 @@ def test_r12_window_arithmetic_holds():
     assert len(planned) == 50
     assert len(set(planned)) == 50
     assert set(planned) <= set(registry.QUERIES)
+
+
+def test_r13_window_arithmetic_holds():
+    """Pin the r13 plan (registry.py rotation comment): r13 moves
+    [streaming, training, extras, advanced, round10b, round10c] to the
+    head, making the window streaming (7) + training (6) + extras (10)
+    + advanced (10) + round10b (10) + round10c (7) = exactly 50
+    distinct registered names — no partial-module head needed.
+    Multimodal's tail 2 (the r12 window takes its first 2) then lead
+    the r14 pool with the then-oldest rows."""
+    mods = [
+        "streaming",
+        "training",
+        "extras",
+        "advanced",
+        "round10b",
+        "round10c",
+    ]
+    counts = {m: len(_module_names_ordered(m)) for m in mods}
+    assert counts == {
+        "streaming": 7,
+        "training": 6,
+        "extras": 10,
+        "advanced": 10,
+        "round10b": 10,
+        "round10c": 7,
+    }
+    planned = [n for m in mods for n in _module_names_ordered(m)]
+    assert len(planned) == 50
+    assert len(set(planned)) == 50
+    assert set(planned) <= set(registry.QUERIES)
