@@ -153,6 +153,9 @@ _CATALOG_MODULES = [
     # then-oldest rows (supersedes the r12 comment above, which slotted
     # them for r13 before the round-10b/10c additions existed).
     "round10c",
+    # r10 continuation batch 3 (3) — registers last; r14 pool (the r13
+    # window above is already exactly 50 without it).
+    "round10d",
 ]
 
 
