@@ -191,6 +191,11 @@ def ts_autoperiod(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cnt") * F.col("n") - F.col("s")).alias("c"),
         "n",
     )
+    # st feeds three branches (denominator, both sides of the lag
+    # join); materialize the tiny (types x days) frame once so the
+    # day-rollup subtree isn't re-planned per branch — the
+    # single-reference discipline from the triangles/rfm restructures
+    st = st.localCheckpoint(eager=True)
     den = st.groupBy("event_type").agg(
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("acf_den")
     )
