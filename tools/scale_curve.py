@@ -106,6 +106,21 @@ _QUERIES = [
     "text_stats",  # single-scan HOF text analysis
 ]
 
+#: round-10b/10c additions (r10 continuation): iterative-graph,
+#: pairwise-statistic, and matrix-build shapes whose 100 TB story is
+#: vocabulary-/cell-/dimension-bounded work after one corpus-sized
+#: collapse — alpha should sit near 1 for all of them
+_R10_ADDITIONS_QUERIES = [
+    "graph_label_propagation",  # O(k*E) sync LPA on the trade graph
+    "text_textrank_keywords",  # vocab-bounded pagerank after one explode
+    "text_keyword_rake",  # phrase windows + word aggregate
+    "eval_kendall_tau",  # cell-banded pair stage (cells, not users)
+    "eval_auc_delong_se",  # distinct-score collapse + two windows
+    "sim_covariance_matrix",  # d^2 cells, corpus-size-independent output
+    "sim_power_iteration_pc1",  # Gram build + d-sized iteration
+    "feature_quantile_normalize",  # two-pass global rank + source windows
+]
+
 
 def _rot(i: int) -> str:
     return _ALPHA[i % 26 :] + _ALPHA[: i % 26]
@@ -270,6 +285,7 @@ def main() -> int:
         + _FLAGSHIP_QUERIES
         + _STREAMING_STATE_QUERIES
         + _ASOF_QUERIES
+        + _R10_ADDITIONS_QUERIES
     ):
         curve(
             name,
