@@ -156,6 +156,8 @@ _CATALOG_MODULES = [
     # r10 continuation batch 3 (3) — registers last; r14 pool (the r13
     # window above is already exactly 50 without it).
     "round10d",
+    # r10 continuation batch 4 (4) — registers last; r14 pool.
+    "round10e",
 ]
 
 
