@@ -96,8 +96,15 @@ def test_registry_order_unchanged_by_round9():
     i = names.index("dedup_semdedup_kmeans")
     assert i >= 56
     # everything after round9 is the r10-addition pool, which registers
-    # last by design (round10 then round10b)
+    # last by design (round10, then the round10* continuation modules in
+    # _CATALOG_MODULES order) — asserted structurally so adding another
+    # tail module does not invalidate the pin
     assert names[i + 1] == "dedup_substring_ngrams"  # round10 head
-    tail = set(names[i + 1 :])
-    assert "sim_gram_matrix" in tail and "sim_centroid_drift" in tail
-    assert names[-1] == "sim_centroid_drift"  # round10b tail
+    from featurestore_for_joycastle_java_spark.registry import (
+        _CATALOG_MODULES,
+    )
+
+    tail_mods = [m for m in _CATALOG_MODULES if m.startswith("round10")]
+    assert tail_mods == sorted(tail_mods)  # round10, round10b, c, d, e…
+    assert _CATALOG_MODULES[-len(tail_mods) :] == tail_mods
+    assert "sim_gram_matrix" in names[i + 1 :]  # round10 tail present
