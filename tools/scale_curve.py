@@ -119,6 +119,12 @@ _R10_ADDITIONS_QUERIES = [
     "sim_covariance_matrix",  # d^2 cells, corpus-size-independent output
     "sim_power_iteration_pc1",  # Gram build + d-sized iteration
     "feature_quantile_normalize",  # two-pass global rank + source windows
+    # joined after SCALETEST_r10add.json was cut (round-10d/e); covered
+    # by the next full-suite run
+    "graph_closeness_multi_bfs",  # simultaneous 8-root BFS
+    "ts_binary_segmentation",  # collapse-first CUSUM argmax
+    "er_blocking_metrics",  # bounded block join + 1-row meets
+    "agg_log2_histogram",  # one combine-friendly hash aggregate
 ]
 
 
