@@ -67,7 +67,7 @@ v0 AS (SELECT DISTINCT i AS node, CAST(1000000 AS HUGEINT) AS v FROM g)"""
             f"""
 r{k} AS (SELECT g.i AS node, SUM(g.g * p.v) AS raw
          FROM g JOIN {prev} p ON p.node = g.j GROUP BY 1),
-m{k} AS (SELECT MAX(ABS(raw)) AS m FROM r{k}),
+m{k} AS (SELECT GREATEST(MAX(ABS(raw)), 1) AS m FROM r{k}),
 v{k} AS (SELECT node,
                 CASE WHEN raw >= 0 THEN (raw * 1000000) // m
                      ELSE -(((-raw) * 1000000) // m) END AS v
@@ -153,7 +153,17 @@ def sim_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("raw")
             )
         )
-        m = raw.agg(F.max(F.abs(F.col("raw"))).alias("m"))
+        # GREATEST(·, 1): an all-zero Gram (degenerate input — empty or
+        # all-zero embeddings) has every raw = 0; without the floor the
+        # renormalizer divides by zero (found by the hypothesis property
+        # test on random integer matrices), with it the iterate settles
+        # at the correct all-zero vector
+        m = raw.agg(
+            F.greatest(
+                F.max(F.abs(F.col("raw"))),
+                F.lit(1).cast("decimal(38,0)"),
+            ).alias("m")
+        )
         v = (
             raw.crossJoin(F.broadcast(m))
             .select(

@@ -177,3 +177,145 @@ def test_pagerank_int_matches_python_replay(spark, edges, iters):
         for row in pagerank_int(df, iterations=iters).collect()
     }
     assert got == r, f"edges={directed} iters={iters}: {got} != {r}"
+
+
+# --------------------------------------------- label propagation (r10b)
+
+
+@settings(**_SETTINGS)
+@given(_edges)
+def test_label_propagation_matches_dict_replay(spark, edges):
+    """Synchronous min-tiebreak LPA vs an independent dict replay on
+    random graphs — exercises tie patterns (equal neighbor-label
+    counts) and no-in-edge fallbacks that the fixture's dense trade
+    graph never produces."""
+    from featurestore_for_joycastle_java_spark.operators.graph import (
+        label_propagation,
+    )
+
+    sym = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            _edge_df(spark, sym, cols=("src", "dst")), iterations=3
+        ).collect()
+    }
+    nodes = {u for u, _ in sym} | {v for _, v in sym}
+    lbl = {n: n for n in nodes}
+    for _ in range(3):
+        freq: dict[int, dict[int, int]] = {}
+        for s, d in sym:
+            freq.setdefault(d, {}).setdefault(lbl[s], 0)
+            freq[d][lbl[s]] += 1
+        nxt = {}
+        for n in nodes:
+            if n in freq:
+                best = max(freq[n].items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[n] = best[0]
+            else:
+                nxt[n] = lbl[n]
+        lbl = nxt
+    assert got == lbl
+
+
+# ------------------------------------- integer power iteration (r10b)
+
+
+_matdim = st.integers(min_value=1, max_value=5)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=5).flatmap(
+        lambda d: st.lists(
+            st.lists(
+                st.integers(min_value=-1000, max_value=1000),
+                min_size=d,
+                max_size=d,
+            ),
+            min_size=2,
+            max_size=8,
+        )
+    )
+)
+def test_power_iteration_matches_bigint_replay(spark, rows):
+    """The sign-factored MAX-ABS renormalized power step (the
+    sim_power_iteration_pc1 kernel) vs pure-Python bigints on random
+    integer data matrices — exercises negative raw sums and sign
+    tie patterns the near-isotropic embedding fixture rarely hits.
+    Rebuilds the kernel from a (vec_id, dim, value) frame exactly as
+    the catalog query does."""
+    from pyspark.sql import functions as F
+
+    d = len(rows[0])
+    x = spark.createDataFrame(
+        [
+            (i, j + 1, int(val))
+            for i, r in enumerate(rows)
+            for j, val in enumerate(r)
+        ],
+        "vec_id long, i long, v6 long",
+    )
+    a = x.select("vec_id", "i", F.col("v6").alias("__va"))
+    b = x.select(
+        F.col("vec_id").alias("__vid"),
+        F.col("i").alias("j"),
+        F.col("v6").alias("__vb"),
+    )
+    cells = (
+        a.join(b, F.col("vec_id") == F.col("__vid"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("__va") * F.col("__vb")).cast("decimal(38,0)"))
+            .alias("g")
+        )
+    )
+    v = cells.select(F.col("i").alias("node")).distinct().select(
+        "node", F.lit(1000000).cast("decimal(38,0)").alias("v")
+    )
+    for _ in range(2):
+        raw = (
+            cells.join(v, cells.j == v.node)
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("g") * F.col("v")).cast("decimal(38,0)"))
+                .alias("raw")
+            )
+        )
+        m = raw.agg(
+            F.greatest(
+                F.max(F.abs(F.col("raw"))),
+                F.lit(1).cast("decimal(38,0)"),
+            ).alias("m")
+        )
+        v = raw.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("node"),
+            F.when(F.col("raw") >= 0, F.expr("(raw * 1000000) DIV m"))
+            .otherwise(-F.expr("((-raw) * 1000000) DIV m"))
+            .cast("decimal(38,0)")
+            .alias("v"),
+        )
+    got = {int(r["node"]): int(r["v"]) for r in v.collect()}
+
+    def tdiv(p, q):
+        r = abs(p) // q
+        return r if p >= 0 else -r
+
+    gram = [
+        [
+            sum(row[i] * row[j] for row in rows)
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    vec = [10**6] * d
+    for _ in range(2):
+        raw = [
+            sum(gram[i][j] * vec[j] for j in range(d)) for i in range(d)
+        ]
+        mx = max(abs(r) for r in raw)
+        if mx == 0:
+            vec = [0] * d
+            break
+        vec = [tdiv(r * 10**6, mx) for r in raw]
+    assert got == {i + 1: vec[i] for i in range(d)}
