@@ -158,6 +158,8 @@ _CATALOG_MODULES = [
     "round10d",
     # r10 continuation batch 4 (4) — registers last; r14 pool.
     "round10e",
+    # r10 continuation batch 5 (3) — registers last; r14 pool.
+    "round10f",
 ]
 
 
