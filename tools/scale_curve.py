@@ -125,6 +125,9 @@ _R10_ADDITIONS_QUERIES = [
     "ts_binary_segmentation",  # collapse-first CUSUM argmax
     "er_blocking_metrics",  # bounded block join + 1-row meets
     "agg_log2_histogram",  # one combine-friendly hash aggregate
+    "layout_overlap_depth",  # file-count-bounded boundary sweep
+    "sim_triplet_margin_accuracy",  # LEAD + as-of triplets, d-equi dots
+    "quality_functional_dependency",  # groups re-aggregated, never rows
 ]
 
 
