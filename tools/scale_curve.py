@@ -123,7 +123,12 @@ _R10_ADDITIONS_QUERIES = [
     # by the next full-suite run
     "graph_closeness_multi_bfs",  # simultaneous 8-root BFS
     "ts_binary_segmentation",  # collapse-first CUSUM argmax
-    "er_blocking_metrics",  # bounded block join + 1-row meets
+    # er_blocking_metrics was measured once (SCALETEST_r10) and READ
+    # alpha 2.03 — an inflation artifact, not an operator property: the
+    # fact replication keeps c_name/c_nationkey identical across
+    # replicas, so all replicas of a record share one block and the
+    # block join grows quadratically with the factor. Excluded until
+    # the inflation rotates names the way it rotates document text.
     "agg_log2_histogram",  # one combine-friendly hash aggregate
     "layout_overlap_depth",  # file-count-bounded boundary sweep
     "sim_triplet_margin_accuracy",  # LEAD + as-of triplets, d-equi dots
