@@ -1,0 +1,102 @@
+"""Round-10g addition: streaming per-user quota enforcement — the
+rate-limiter stateful operator (`streaming/__init__.py::
+quota_rate_limiter`) exercised over a genuine 3-micro-batch drain, with
+a declarative oracle replaying the admission decision as a window rank.
+Registers last (r14 pool); the staged r11–r13 windows are untouched.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from featurestore_for_joycastle_java_spark import streaming as ST
+from featurestore_for_joycastle_java_spark.registry import query
+from featurestore_for_joycastle_java_spark.sources import load_table
+
+
+@query(
+    "stream_quota_enforcement",
+    oracle="""
+WITH r AS (
+    SELECT user_id, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events)
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE rn <= 67) AS BIGINT) AS n_allowed,
+       CAST(COUNT(*) FILTER (WHERE rn > 67) AS BIGINT) AS n_denied,
+       MAX(CASE WHEN rn = 67 THEN ts END) AS quota_reached_ts
+FROM r GROUP BY 1
+""",
+)
+def stream_quota_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user quota: each user's first 67 events (event-time
+    order) are admitted, later ones denied, and the instant the quota
+    was reached is recorded — the rate-limiter/entitlement gate every
+    ingestion edge runs, and a shape watermarked windows cannot express
+    ('first N EVER per key' has no window). Runs as a REAL 3-micro-batch
+    drain: events split into three event-id-range files with staged
+    mtimes (ts is monotone in event_id on this fixture — verified on all
+    three SFs, zero disorder rows — so file order is event-time order) and
+    maxFilesPerTrigger = 1, so the quota state genuinely carries across
+    batch commits, users straddle batch boundaries, and the
+    quota_reached_ts lands mid-stream for heavy users. The oracle
+    replays the admission declaratively as a per-user (ts, event_id)
+    rank. The quota sits at 67 — just above the fixture's ~66.5
+    median events/user — so roughly half the users exhaust it and the
+    rest never do (NULL reached-ts), at every SF (measured: 7/15 under
+    at sf0.001, 75/150 at sf0.01, 770/1500 at sf0.1).
+
+    State is three scalars per user (see the operator docstring for the
+    100 TB envelope and the ordering contract); the final emission per
+    user wins by total-events-seen, a deterministic monotone tiebreak."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]  # 1 scalar: batch
+    # boundaries for the 3-file source (the graph_bfs_hops precedent for
+    # single-scalar driver values)
+    cut1, cut2 = max_id // 3, 2 * max_id // 3
+    root = tempfile.mkdtemp(prefix="fs_quota_src_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    base_t = 1_700_000_000
+    parts = [
+        ev.filter(F.col("event_id") <= cut1),
+        ev.filter(
+            (F.col("event_id") > cut1) & (F.col("event_id") <= cut2)
+        ),
+        ev.filter(F.col("event_id") > cut2),
+    ]
+    for i, b in enumerate(parts):
+        d = os.path.join(root, f"f{i}")
+        b.coalesce(1).write.parquet(d)
+        for fn in os.listdir(d):
+            os.utime(
+                os.path.join(d, fn), (base_t + i * 100, base_t + i * 100)
+            )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "*"))
+    )
+    from featurestore_for_joycastle_java_spark.catalog.streaming import _run
+
+    out = _run(
+        spark,
+        ST.quota_rate_limiter(stream, key_col="user_id", quota=67),
+        "append",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        (F.col("n_allowed") + F.col("n_denied")).desc()
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_allowed", "n_denied", "quota_reached_ts")
+    )

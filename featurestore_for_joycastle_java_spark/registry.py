@@ -160,6 +160,8 @@ _CATALOG_MODULES = [
     "round10e",
     # r10 continuation batch 5 (3) — registers last; r14 pool.
     "round10f",
+    # r10 continuation batch 6 (1, streaming) — registers last; r14 pool.
+    "round10g",
 ]
 
 

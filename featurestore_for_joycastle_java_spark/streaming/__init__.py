@@ -419,3 +419,67 @@ def read_dim_latest(spark: SparkSession, dim_dir: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no committed dimension snapshots under {dim_dir}")
     return spark.read.parquet(os.path.join(dim_dir, f"v={max(versions)}"))
+
+
+def quota_rate_limiter(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    quota: int = 50,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming per-key quota enforcement via ``applyInPandasWithState``
+    — the rate-limiter every ingestion edge runs: each key's first
+    ``quota`` events (in event-time order) are admitted, the rest
+    counted as denied, and the moment the quota was reached is recorded.
+    Watermarked windows cannot express 'first N ever per key'; this is
+    the arbitrary-stateful escape hatch used the way the API intends.
+
+    Correctness under micro-batching: rows of one batch-group arrive in
+    SHUFFLE order, so each batch's rows are sorted by (ts, id) before
+    the quota is applied; across batches the admission decision is
+    correct as long as the source delivers batches in event-time order
+    (file sources with staged mtimes + maxFilesPerTrigger do; a Kafka
+    topic partitioned by key with in-partition ordering does too).
+
+    State per key is three scalars (admitted, denied, reached-at micros)
+    — the 100 TB envelope is #keys × ~40 bytes; add a state timeout to
+    age out idle keys on unbounded streams. Emits the running totals per
+    touched key each batch (append mode); the final emission per key is
+    the settled answer."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        a, d, r = state.get if state.exists else (0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, id_col], kind="mergesort")
+        for ts_val in batch[ts_col]:
+            if a < quota:
+                a += 1
+                if a == quota:
+                    r = int(pd.Timestamp(ts_val).value // 1000)  # micros
+            else:
+                d += 1
+        state.update((a, d, r))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_allowed": [a],
+                "n_denied": [d],
+                "quota_reached_ts": [
+                    pd.Timestamp(r * 1000) if r else pd.NaT
+                ],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} long, n_allowed long, n_denied long, "
+            "quota_reached_ts timestamp"
+        ),
+        stateStructType="a long, d long, r long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
