@@ -123,14 +123,14 @@ tot AS (
     FROM ser GROUP BY 1),
 den AS (
     SELECT ser.event_type,
-           CAST(SUM((ser.cnt * tot.n - tot.s) * (ser.cnt * tot.n - tot.s))
-                AS BIGINT) AS acf_den
+           SUM(CAST(ser.cnt * tot.n - tot.s AS HUGEINT)
+               * (ser.cnt * tot.n - tot.s)) AS acf_den
     FROM ser JOIN tot USING (event_type) GROUP BY 1),
 lags AS (SELECT UNNEST(generate_series(2, 14)) AS l),
 num AS (
     SELECT a.event_type, lags.l,
-           CAST(SUM((a.cnt * tot.n - tot.s) * (b.cnt * tot.n - tot.s))
-                AS BIGINT) AS acf_num
+           SUM(CAST(a.cnt * tot.n - tot.s AS HUGEINT)
+               * (b.cnt * tot.n - tot.s)) AS acf_num
     FROM ser a
     JOIN tot USING (event_type)
     CROSS JOIN lags
@@ -159,7 +159,11 @@ def ts_autoperiod(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACF kept EXACT by n-scaling — numerator Σ(n·x_t − S)(n·x_{t+l} − S)
     and denominator Σ(n·x_t − S)² are exact integers (n·x − S avoids
     the float mean entirely), the ratio sign-factored to ppm, argmax
-    tie-broken to the smallest lag. (This synthetic fixture's daily
+    tie-broken to the smallest lag. The squared/product sums escalate
+    past BIGINT (ADVICE r10): Spark accumulates them in decimal(38,0)
+    and the oracle in HUGEINT, because Σc² ≤ n³C² wraps int64 already
+    at C ≈ 4×10⁵ events/day/type over a year (n=365); the decimal
+    envelope (n³C²·10⁶ < 10³⁸) holds to C ≈ 10¹²/day — unreachable. (This synthetic fixture's daily
     counts are near-exchangeable — best lags land on noise peaks with
     ACF ≈ 0.16–0.36, measured — so the test pins the exact pure-Python
     replay, not a particular lag.) The self-tuning companion
@@ -196,8 +200,14 @@ def ts_autoperiod(spark: SparkSession, sf_dir: str) -> DataFrame:
     # day-rollup subtree isn't re-planned per branch — the
     # single-reference discipline from the triangles/rfm restructures
     st = st.localCheckpoint(eager=True)
+    # c ≤ n·C fits bigint comfortably; the SQUARED sums do not (n³C²),
+    # so the products run in decimal(18,0)² → decimal(37,0), summed to
+    # decimal(38,0) — the eval_auc_delong_se escalation pattern.
     den = st.groupBy("event_type").agg(
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("acf_den")
+        F.sum(
+            F.col("c").cast("decimal(18,0)")
+            * F.col("c").cast("decimal(18,0)")
+        ).alias("acf_den")
     )
     lags = spark.range(2, 15).select(F.col("id").alias("l"))
     a = st.select(
@@ -217,7 +227,12 @@ def ts_autoperiod(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("t2") == F.col("__tb")),
         )
         .groupBy("event_type", "l")
-        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("acf_num"))
+        .agg(
+            F.sum(
+                F.col("ca").cast("decimal(18,0)")
+                * F.col("cb").cast("decimal(18,0)")
+            ).alias("acf_num")
+        )
     )
     ppm = num.join(F.broadcast(den), "event_type").select(
         "event_type",
@@ -246,6 +261,13 @@ def ts_autoperiod(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_lag",
         "best_acf_ppm",
     )
+
+
+#: BFS depth bound shared by the engine loop and the oracle's recursive
+#: CTE (ADVICE r10: the oracle capped at 30 while the engine ran to
+#: fixpoint, so an eccentricity > 30 under a future fixture would make
+#: the two sides silently diverge — now both stop at the same depth).
+_CLOSENESS_MAX_HOPS = 30
 
 
 def _closeness_oracle(max_hops: int) -> str:
@@ -290,7 +312,10 @@ FROM agg, nn
 """
 
 
-@query("graph_closeness_multi_bfs", oracle=_closeness_oracle(30))
+@query(
+    "graph_closeness_multi_bfs",
+    oracle=_closeness_oracle(_CLOSENESS_MAX_HOPS),
+)
 def graph_closeness_multi_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closeness centrality (Bavelas 1950; Wasserman & Faust 1994's
     disconnected-graph correction) for the 8 smallest-keyed suppliers
@@ -306,9 +331,11 @@ def graph_closeness_multi_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-source member of the family): per round one frontier→
     neighbor join + one left-anti prune against visited, both
     localCheckpointed; rounds = max eccentricity over the 8 roots
-    (single-digit on dense projection graphs). The oracle replays the
-    whole fixpoint as one depth-capped recursive CTE over (root, node,
-    hops)."""
+    (single-digit on dense projection graphs), bounded by the same
+    ``_CLOSENESS_MAX_HOPS`` the oracle's recursive CTE uses so the two
+    sides can never silently diverge on a deeper fixture (ADVICE r10).
+    The oracle replays the same bounded walk as one recursive CTE over
+    (root, node, hops)."""
     from featurestore_for_joycastle_java_spark.operators.graphs import (
         cosupply_edges,
     )
@@ -331,7 +358,7 @@ def graph_closeness_multi_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     frontier = visited
     hop = 0
-    while True:
+    while hop < _CLOSENESS_MAX_HOPS:
         hop += 1
         nxt = (
             frontier.join(direct, frontier.node == direct.src)

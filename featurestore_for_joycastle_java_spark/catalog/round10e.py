@@ -328,7 +328,16 @@ def ts_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is exact integers: the n-scaling (n·x − S) avoids the
     float mean, the argmax is a window over calendar-bounded rows, and
     the segment means are truncated integer division (counts are
-    non-negative). Collapse-first, type-partitioned windows only."""
+    non-negative). Collapse-first, type-partitioned windows only.
+
+    Overflow envelope (ADVICE r10, the ``eval_kendall_tau``
+    discipline): unlike ``ts_autoperiod`` there is NO squared term —
+    the largest intermediate is the prefix CUSUM |Σ(n·x − S)| ≤ n²·C,
+    so int64 holds up to C ≈ 7×10¹³ events/day/type over a year
+    (n=365). Daily counts anywhere near that are physically
+    implausible (10⁸ events/sec sustained), so BIGINT is kept; if the
+    envelope is ever approached, escalate the cusum/psum window sums
+    to decimal(38,0)/HUGEINT exactly as ts_autoperiod does."""
     ev = load_table(spark, sf_dir, "events")
     d = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")

@@ -70,98 +70,75 @@ BENCH_SKIP: set[str] = set()
 #: immediately after and keeps the global order byte-identical.
 #: r10 rotation (EXECUTED at round-10 open): the round7b tail (6) +
 #: the then-oldest driver rows — tpch3 (12) + tpch (5) + asof (6) +
-#: ingest (4) + round4 head (17) = 50, exactly the staged plan. Next:
-#: the r11 window leads with round9 + the r3-vintage
-#: round3/text/dedup/similarity/windows/scalars + r4-vintage
-#: relational (1+6+6+7+2+5+5+18 = 50), pinned below and in
-#: tests/test_survey_registry.py::test_r11_window_arithmetic_holds.
+#: ingest (4) + round4 head (17) = 50, exactly the staged plan.
+#: r11 rotation (EXECUTED at round-11 open — VERDICT r10 ask #1
+#: SUPERSEDES the previously-staged r11 plan): the window leads with
+#: ALL 44 queries lacking a driver row — round9 (1) + round10 (14) +
+#: round10b (10) + round10c (7) + round10d (3) + round10e (4) +
+#: round10f (3) + round10g (1) + round11 (1, the freeze-exception
+#: SemDeDup variant, ask #3) — then fills with the oldest (r3-vintage)
+#: rows: round3 (6) = exactly 50. This clears the ENTIRE never-checked
+#: backlog in one window; pinned by tests/test_survey_registry.py::
+#: test_r11_window_is_debt_plus_r3_vintage_fill.
+#: REGISTRY FREEZE (VERDICT r10 ask #2): no new query registrations
+#: until every registered query has a driver row (r12 at the latest);
+#: sole exception is round11's constant-cell-size SemDeDup (ask #3).
 _CATALOG_MODULES = [
-    # r10 rotation EXECUTED (the pure reorder staged at r9 close): the
-    # round7b tail 6 + the then-oldest driver rows — the r3-vintage
-    # TPC-H refresh (tpch3 12 + tpch 5) + r4-vintage asof (6) +
-    # ingest (4) + round4's first 17 = exactly the driver's 50-row
-    # window, pinned by tests/test_survey_registry.py::
-    # test_r10_window_is_tail_plus_stale_modules.
-    "round7b_tail",
-    "tpch3",
-    "tpch",
-    "asof",
-    "ingest",
-    "round4",
-    # r9-window queries (round7b's 50 production registrations) drop
-    # below the window, freshly driver-verified last round.
-    "round7b",
-    "round5e",
-    "round5f",
-    "round5g",
-    "round5h",
-    "round7",
-    "round5b",
-    "round5c",
-    "round5d",
-    # r11 window (staged — pinned by test_r11_window_arithmetic_holds):
-    # round9 (1) + the r3-vintage round3 (6) + text (6) + dedup (7) +
-    # similarity (2) + windows (5) + scalars (5) + r4-vintage
-    # relational (18) = exactly 50. The r11 move is again a pure
-    # reorder: [round9, round3, text, dedup, similarity, windows,
-    # scalars, relational] to the head. round4's tail 4 (registrations
-    # 18-21) then join the r6-vintage round5/round2/streaming/
-    # multimodal/training/extras/advanced modules as the r12 pool.
-    "relational",
+    # r11 window head (EXECUTED): every query without a driver row.
+    "round9",
+    "round10",
+    "round10b",
+    "round10c",
+    "round10d",
+    "round10e",
+    "round10f",
+    "round10g",
+    "round11",
+    # Window fill to 50: the r3-vintage round3 refresh (6).
     "round3",
     "text",
+    # r12 window (staged — pinned by test_r12_window_arithmetic_holds):
+    # a pure reorder moving [text, dedup, similarity, windows, scalars,
+    # relational, round5] to the head = text (6) + dedup (7) +
+    # similarity (2) + windows (5) + scalars (5) + r4-vintage
+    # relational (18) + r6-vintage round5 (7) = exactly 50. That
+    # clears every r3/r4-vintage row.
     "dedup",
     "similarity",
     "windows",
     "scalars",
+    "relational",
     "round5",
+    # r13 window (staged — pinned by test_r13_window_arithmetic_holds):
+    # pure reorder of [round2, streaming, multimodal, training, extras,
+    # advanced] to the head = 6+7+4+6+10+10 = 43 r6-vintage rows, plus
+    # a refresh fill of the then-oldest r10 rows (round7b_tail 6 +
+    # tpch3's first 1) = exactly 50.
     "round2",
     "streaming",
     "multimodal",
     "training",
     "extras",
     "advanced",
-    # r9 addition — earns its driver row in the r11 window above.
-    "round9",
-    # r10 additions (14) — register last so the staged r11 window is not
-    # displaced (VERDICT r9 ask #8); they join round4's tail 4 and the
-    # r6-vintage modules in the r12 pool.
-    #
-    # r12 window (staged — pinned by test_r12_window_arithmetic_holds):
-    # round10 (14) + round4 (21: the r4-vintage tail 4 plus a refresh of
-    # the 17 r10-window rows) + r6-vintage round5 (7) + round2 (6) +
-    # multimodal's first 2 = exactly 50 (partial-module head, the
-    # round4[:17] precedent). The r12 move is a pure reorder:
-    # [round10, round4, round5, round2, multimodal] to the head.
-    # Multimodal's tail 2 and the remaining r6-vintage modules
-    # (streaming 7 + training 6 + extras 10 + advanced 10) lead the r13
-    # pool.
-    "round10",
-    # r10 continuation batch (10) — registers last; joins the r13 pool
-    # behind multimodal's tail 2 and the r6-vintage modules (the staged
-    # r11/r12 windows above are unaffected: both are pure reorders of
-    # modules that register BEFORE this one).
-    "round10b",
-    # r10 continuation batch 2 (7) — same staging rules as round10b.
-    #
-    # r13 window (staged — pinned by test_r13_window_arithmetic_holds):
-    # streaming (7) + training (6) + extras (10) + advanced (10) +
-    # round10b (10) + round10c (7) = exactly 50, no partial-module head.
-    # The r13 move is a pure reorder: [streaming, training, extras,
-    # advanced, round10b, round10c] to the head. Multimodal's tail 2
-    # (r12 takes its first 2) then lead the r14 pool with the
-    # then-oldest rows (supersedes the r12 comment above, which slotted
-    # them for r13 before the round-10b/10c additions existed).
-    "round10c",
-    # r10 continuation batch 3 (3) — registers last; r14 pool (the r13
-    # window above is already exactly 50 without it).
-    "round10d",
-    # r10 continuation batch 4 (4) — registers last; r14 pool.
-    "round10e",
-    # r10 continuation batch 5 (3) — registers last; r14 pool.
-    "round10f",
-    # r10 continuation batch 6 (1, streaming) — registers last; r14 pool.
-    "round10g",
+    # r10-window modules (rows refreshed r10) — r13/r14 refresh pool.
+    "round7b_tail",
+    "tpch3",
+    "tpch",
+    "asof",
+    "ingest",
+    "round4",
+    # round7b's 50 production queries — rows refreshed r9.
+    "round7b",
+    # r8-window modules — rows refreshed r8.
+    "round5e",
+    "round5f",
+    "round5g",
+    "round5h",
+    "round7",
+    # r7-window modules — rows refreshed r7.
+    "round5b",
+    "round5c",
+    "round5d",
 ]
 
 

@@ -451,7 +451,10 @@ def quota_rate_limiter(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key: tuple, pdfs, state: GroupState):
-        a, d, r = state.get if state.exists else (0, 0, 0)
+        # r = -1 means "quota never reached" — a nullable-style sentinel
+        # that cannot collide with a quota legitimately reached at epoch
+        # micros == 0 (ADVICE r10).
+        a, d, r = state.get if state.exists else (0, 0, -1)
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values([ts_col, id_col], kind="mergesort")
         for ts_val in batch[ts_col]:
@@ -468,15 +471,18 @@ def quota_rate_limiter(
                 "n_allowed": [a],
                 "n_denied": [d],
                 "quota_reached_ts": [
-                    pd.Timestamp(r * 1000) if r else pd.NaT
+                    pd.Timestamp(r * 1000) if r >= 0 else pd.NaT
                 ],
             }
         )
 
+    # The output key column inherits the input's type (string user ids
+    # are as valid as longs — ADVICE r10: the type was hardcoded long).
+    key_type = stream_df.schema[key_col].dataType.simpleString()
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} long, n_allowed long, n_denied long, "
+            f"{key_col} {key_type}, n_allowed long, n_denied long, "
             "quota_reached_ts timestamp"
         ),
         stateStructType="a long, d long, r long",

@@ -41,3 +41,45 @@ def test_quota_matches_pure_python_replay(spark, sf_dir):
             not_exhausted += 1
     # the fixture discriminates: both outcomes occur
     assert exhausted > 0 and not_exhausted > 0
+
+
+def test_quota_limiter_string_key_and_epoch_zero_sentinel(spark, tmp_path):
+    """ADVICE r10 regressions: (1) the output key column inherits the
+    input type (was hardcoded long — a string user id silently broke the
+    operator); (2) a quota reached exactly at epoch micros == 0 is
+    reported as 1970-01-01, not conflated with 'never reached' (the old
+    r=0 sentinel)."""
+    import datetime as dt
+
+    from featurestore_for_joycastle_java_spark import streaming as ST
+    from featurestore_for_joycastle_java_spark.catalog.streaming import _run
+
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [
+        ("alice", epoch, 1),
+        ("alice", epoch, 2),
+        ("alice", dt.datetime(1970, 1, 1, 0, 0, 5), 3),
+        ("bob", dt.datetime(2024, 1, 1), 4),
+    ]
+    src = str(tmp_path / "quota_str")
+    spark.createDataFrame(
+        rows, "user string, ts timestamp, event_id long"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user string, ts timestamp, event_id long"
+    ).parquet(src)
+    out = _run(
+        spark,
+        ST.quota_rate_limiter(stream, key_col="user", quota=2),
+        "append",
+    )
+    got = {r["user"]: r for r in out.collect()}
+    assert set(got) == {"alice", "bob"}
+    assert dict(got["alice"].asDict()) == {
+        "user": "alice",
+        "n_allowed": 2,
+        "n_denied": 1,
+        "quota_reached_ts": epoch,
+    }
+    assert got["bob"]["n_allowed"] == 1
+    assert got["bob"]["quota_reached_ts"] is None

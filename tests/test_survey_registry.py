@@ -133,15 +133,14 @@ def _module_names_ordered(module: str) -> list[str]:
     return names
 
 
-def test_r10_window_is_tail_plus_stale_modules():
-    """r10 rotation (EXECUTED): [round7b_tail, tpch3, tpch, asof,
-    ingest, round4] lead _CATALOG_MODULES, so the driver's 50-row
-    window is the round7b tail (6) + tpch3 (12) + tpch (5) + asof (6)
-    + ingest (4) + round4's first 17 — refreshing the r3/r4-vintage
-    driver rows and landing first rows on the tail harnesses."""
+def test_r10_window_was_tail_plus_stale_modules():
+    """r10 rotation (EXECUTED then; superseded by r11): the r10 window
+    was the round7b tail (6) + tpch3 (12) + tpch (5) + asof (6) +
+    ingest (4) + round4's first 17. After the r11 reorder those modules
+    sit in the refresh pool; keep the name list stable so the history
+    in CORRECTNESS_r10.json stays interpretable."""
     _load_all()
-    window = list(registry.QUERIES)[:50]
-    expected = (
+    r10_window = (
         _ROUND7B_TAIL
         + _module_names_ordered("tpch3")
         + _module_names_ordered("tpch")
@@ -149,47 +148,42 @@ def test_r10_window_is_tail_plus_stale_modules():
         + _module_names_ordered("ingest")
         + _module_names_ordered("round4")[:17]
     )
-    assert window == expected
+    assert len(r10_window) == 50
+    assert set(r10_window) <= set(registry.QUERIES)
     assert _module_names_ordered("round7b_tail") == _ROUND7B_TAIL
-    # round4's tail 4 (r12 pool), then round7b's 50 r9-verified
-    # production queries, sit just below the window.
-    assert list(registry.QUERIES)[50:54] == _module_names_ordered("round4")[17:]
-    assert set(list(registry.QUERIES)[54:104]) == _module_names("round7b")
 
 
-def test_r11_window_arithmetic_holds():
-    """Pin the r11 plan (registry.py rotation comment) so it can't
-    silently mis-slot like the r6 stall: r11 moves [round9, round3,
-    text, dedup, similarity, windows, scalars, relational] to the
-    head, making the window round9 (1) + round3 (6) + text (6) +
-    dedup (7) + similarity (2) + windows (5) + scalars (5) +
-    relational (18) = exactly 50 distinct registered names."""
-    mods = [
-        "round9",
-        "round3",
-        "text",
-        "dedup",
-        "similarity",
-        "windows",
-        "scalars",
-        "relational",
-    ]
-    counts = {m: len(_module_names_ordered(m)) for m in mods}
-    assert counts == {
-        "round9": 1,
-        "round3": 6,
-        "text": 6,
-        "dedup": 7,
-        "similarity": 2,
-        "windows": 5,
-        "scalars": 5,
-        "relational": 18,
-    }
-    planned = [n for m in mods for n in _module_names_ordered(m)]
-    assert len(planned) == 50
-    assert len(set(planned)) == 50
-    # every planned name is actually registered
-    assert set(planned) <= set(registry.QUERIES)
+#: The 9 modules holding the 44 queries without a driver CORRECTNESS
+#: row at round-11 open: the 43 never-checked round9/round10..round10g
+#: additions (VERDICT r10 ask #1) plus round11's freeze-exception
+#: constant-cell-size SemDeDup (ask #3).
+_R11_DEBT_MODULES = [
+    "round9",
+    "round10",
+    "round10b",
+    "round10c",
+    "round10d",
+    "round10e",
+    "round10f",
+    "round10g",
+    "round11",
+]
+
+
+def test_r11_window_is_debt_plus_r3_vintage_fill():
+    """r11 rotation (EXECUTED): the driver's 50-row window leads with
+    ALL 44 queries lacking a driver row (round9 + round10..round10g +
+    the round11 freeze exception), then fills with the oldest rows —
+    round3 (6). This clears the entire never-checked backlog in one
+    window (VERDICT r10 ask #1, superseding the staged r11 plan)."""
+    _load_all()
+    window = list(registry.QUERIES)[:50]
+    debt = [n for m in _R11_DEBT_MODULES for n in _module_names_ordered(m)]
+    assert len(debt) == 44
+    expected = debt + _module_names_ordered("round3")
+    assert window == expected
+    # text's 6 then lead the r12 pool.
+    assert list(registry.QUERIES)[50:56] == _module_names_ordered("text")
 
 
 def test_no_stale_rotation_notes():
@@ -203,23 +197,31 @@ def test_no_stale_rotation_notes():
 
 def test_r12_window_arithmetic_holds():
     """Pin the r12 plan (registry.py rotation comment): r12 moves
-    [round10, round4, round5, round2, multimodal] to the head, making
-    the window round10 (14) + round4 (21 — the r4-vintage tail 4 plus a
-    refresh of the 17 r10-window rows) + r6-vintage round5 (7) +
-    round2 (6) + multimodal's first 2 = exactly 50 distinct registered
-    names (partial-module head, the round4[:17] precedent). Multimodal's
-    tail 2 and the remaining r6-vintage streaming/training/extras/
-    advanced (7+6+10+10) lead the r13 pool."""
-    mods = ["round10", "round4", "round5", "round2", "multimodal"]
+    [text, dedup, similarity, windows, scalars, relational, round5] to
+    the head, making the window text (6) + dedup (7) + similarity (2)
+    + windows (5) + scalars (5) + r4-vintage relational (18) +
+    r6-vintage round5 (7) = exactly 50 distinct registered names —
+    clearing every remaining r3/r4-vintage row."""
+    mods = [
+        "text",
+        "dedup",
+        "similarity",
+        "windows",
+        "scalars",
+        "relational",
+        "round5",
+    ]
     counts = {m: len(_module_names_ordered(m)) for m in mods}
     assert counts == {
-        "round10": 14,
-        "round4": 21,
+        "text": 6,
+        "dedup": 7,
+        "similarity": 2,
+        "windows": 5,
+        "scalars": 5,
+        "relational": 18,
         "round5": 7,
-        "round2": 6,
-        "multimodal": 4,
     }
-    planned = [n for m in mods for n in _module_names_ordered(m)][:50]
+    planned = [n for m in mods for n in _module_names_ordered(m)]
     assert len(planned) == 50
     assert len(set(planned)) == 50
     assert set(planned) <= set(registry.QUERIES)
@@ -227,30 +229,32 @@ def test_r12_window_arithmetic_holds():
 
 def test_r13_window_arithmetic_holds():
     """Pin the r13 plan (registry.py rotation comment): r13 moves
-    [streaming, training, extras, advanced, round10b, round10c] to the
-    head, making the window streaming (7) + training (6) + extras (10)
-    + advanced (10) + round10b (10) + round10c (7) = exactly 50
-    distinct registered names — no partial-module head needed.
-    Multimodal's tail 2 (the r12 window takes its first 2) then lead
-    the r14 pool with the then-oldest rows."""
+    [round2, streaming, multimodal, training, extras, advanced] to the
+    head — 6+7+4+6+10+10 = 43 r6-vintage rows — plus a refresh fill of
+    the then-oldest r10-vintage rows (round7b_tail 6 + tpch3's first 1)
+    = exactly 50 distinct registered names."""
     mods = [
+        "round2",
         "streaming",
+        "multimodal",
         "training",
         "extras",
         "advanced",
-        "round10b",
-        "round10c",
     ]
     counts = {m: len(_module_names_ordered(m)) for m in mods}
     assert counts == {
+        "round2": 6,
         "streaming": 7,
+        "multimodal": 4,
         "training": 6,
         "extras": 10,
         "advanced": 10,
-        "round10b": 10,
-        "round10c": 7,
     }
-    planned = [n for m in mods for n in _module_names_ordered(m)]
+    planned = (
+        [n for m in mods for n in _module_names_ordered(m)]
+        + _ROUND7B_TAIL
+        + _module_names_ordered("tpch3")[:1]
+    )
     assert len(planned) == 50
     assert len(set(planned)) == 50
     assert set(planned) <= set(registry.QUERIES)

@@ -123,12 +123,12 @@ _R10_ADDITIONS_QUERIES = [
     # by the next full-suite run
     "graph_closeness_multi_bfs",  # simultaneous 8-root BFS
     "ts_binary_segmentation",  # collapse-first CUSUM argmax
-    # er_blocking_metrics was measured once (SCALETEST_r10) and READ
-    # alpha 2.03 — an inflation artifact, not an operator property: the
-    # fact replication keeps c_name/c_nationkey identical across
-    # replicas, so all replicas of a record share one block and the
-    # block join grows quadratically with the factor. Excluded until
-    # the inflation rotates names the way it rotates document text.
+    # er_blocking_metrics read alpha 2.03 in SCALETEST_r10 — an
+    # inflation artifact (replicas shared c_name, one giant block).
+    # Re-included now that the customer replication regenerates c_name
+    # from the offset key (VERDICT r10 ask #6); expected ~Σblock²
+    # within replicas, alpha ≈ 1.
+    "er_blocking_metrics",
     "agg_log2_histogram",  # one combine-friendly hash aggregate
     "layout_overlap_depth",  # file-count-bounded boundary sweep
     "sim_triplet_margin_accuracy",  # LEAD + as-of triplets, d-equi dots
@@ -176,10 +176,19 @@ def _build_factor_dir(factor: int) -> str:
     )
     # fact tables: replicate with CONSISTENT key offsets so every join
     # key resolves within its replica (customer->orders->lineitem);
-    # part/supplier/nation/region stay symlinked — dims don't grow
+    # part/supplier/nation/region stay symlinked — dims don't grow.
+    # c_name is REGENERATED from the offset key ('Customer#' + 9-digit
+    # key, the TPC-H name=f(key) contract) so name-blocked queries see
+    # replicas land in DIFFERENT blocks — identical names across
+    # replicas made er_blocking_metrics read a spurious alpha 2.03
+    # (one giant block), a measurement artifact (VERDICT r10 ask #6)
     _K = 100_000_000
     fact_replace = {
-        "customer": "c_custkey + {o} AS c_custkey",
+        "customer": (
+            "c_custkey + {o} AS c_custkey, "
+            "'Customer#' || lpad(CAST(c_custkey + {o} AS VARCHAR), 9, '0')"
+            " AS c_name"
+        ),
         "orders": "o_orderkey + {o} AS o_orderkey, o_custkey + {o} AS o_custkey",
         "lineitem": "l_orderkey + {o} AS l_orderkey",
         "events": "event_id + {o} AS event_id, user_id + {o} AS user_id",
@@ -401,6 +410,28 @@ def main() -> int:
                 n_centroids=int(16 * f**0.5),
                 centroids="kmeans",
                 fit_sample=64 * int(16 * f**0.5),
+            )
+        ),
+        fs=semdedup_fs,
+    )
+
+    # ... and at CONSTANT CELL SIZE (k = n/m-bar, VERDICT r10 ask #3):
+    # the remedy for the sqrt curve's measured 16x bend (2^1.57/octave
+    # once Sigma m^2 dominates). Holding m-bar fixed keeps the pair
+    # stage linear (Sigma m^2 ~ n*m-bar); the n*k assignment fold grows
+    # instead but shuffles nothing. Expected: the 16x octave stays near
+    # the earlier slope instead of bending. m-bar = 125 (the base
+    # factor's 2000 vectors / 16 cells) so the x1 point matches the
+    # sqrt curve's start and the two curves differ ONLY in how k grows.
+    curve(
+        "semdedup_kmeans_cellsize",
+        lambda f: (
+            lambda: semdedup_survivors(
+                load_table(spark, _dir(f), "embeddings"),
+                centroids="kmeans",
+                fit_sample=64 * 16 * f,
+                corpus_rows=2000 * f,
+                target_cell_size=125,
             )
         ),
         fs=semdedup_fs,
