@@ -378,14 +378,28 @@ def asof_join_bucketed(
 
     Cost: 3 small shuffles (within-bucket union window + carry window +
     stitch join, the last two on bucket-granular/bucket-keyed frames) vs
-    asof_join's 1 — buy it when a key's row count within the time range
-    is large enough to serialize a task. Measured (warm, local[8],
-    2 M left + 1 M right rows with 95% on ONE key spread over 64 daily
-    buckets): plain 2.56 s — one straggler task sorts ~2.8 M rows — vs
-    1.51 s bucketed; the gap widens with the hot key's row count since
-    the straggler is O(hot rows log hot rows) while the bucketed path
-    stays O(rows / (buckets x parallelism)). Even-key frames should
-    prefer plain asof_join (one shuffle, no stitch).
+    asof_join's 1 — buy it when the hot key's single-task sort costs
+    more than two extra full-frame shuffles. The crossover is
+    PARALLELISM-DEPENDENT (the straggler runs on one core while the
+    extra shuffles use all of them). Measured:
+
+    - local[8], 2 M left + 1 M right rows, 95% on ONE key over 64 daily
+      buckets: plain 2.56 s (one task sorts ~2.8 M rows) vs 1.51 s
+      bucketed — bucketed WINS.
+    - local[32] (SCALETEST_r11, inflated sf0.1 events): plain still
+      wins at 0.96 M hot rows (1.13 vs 3.24 s, 30% skew) and at 2.9 M
+      hot rows (1.33 vs 1.63 s, 90% skew), the gap closing
+      monotonically — extrapolated crossover ~10⁷ rows/key at 32-way
+      parallelism.
+
+    Guidance threshold (from the two measurements): reach for the
+    bucketed variant when rows-on-the-hottest-key ≳ 3 M × (cores / 8)
+    at single-node parallelism; on a large cluster the comparison is
+    one-core sort of the hot key vs two extra all-to-all shuffle
+    ROUNDS of the frame — with thousands of cores the shuffle rounds
+    amortize and the crossover drops back toward ~10⁶–10⁷ rows/key.
+    Even-key frames should always prefer plain asof_join (one shuffle,
+    no stitch).
 
     ``left_ts``/``right_ts`` must be NUMERIC (epoch seconds/µs) so
     ``floor(ts / bucket_width)`` is exact integer math. Tie semantics

@@ -338,7 +338,19 @@ def semdedup_survivors(
             )
         )
     assigned = assign_nearest_cell(c, cents, id_col)
+    return semdedup_survivors_from_assigned(assigned, id_col, threshold)
 
+
+def semdedup_survivors_from_assigned(
+    assigned: DataFrame, id_col: str = "vec_id", threshold: float = 0.4
+) -> DataFrame:
+    """The PAIR stage of SemDeDup, split out so callers holding a
+    precomputed assignment — incremental pipelines re-pruning after an
+    append, or stage-isolated measurement (SCALETEST_r11's pair-stage
+    curves) — can run it without re-fitting/re-assigning. ``assigned``
+    is (id_col, __cv double-array, cent_id), i.e. exactly what
+    ``assign_nearest_cell`` returns; semantics identical to the tail of
+    ``semdedup_survivors``."""
     # norms bound ONCE per row (O(n) folds); the pair verify then costs
     # one zip_with dot per pair instead of three array folds. The
     # expression stays dot/(na*nb) — the identical IEEE tree to

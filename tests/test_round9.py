@@ -87,24 +87,25 @@ def test_semdedup_kmeans_is_bench_skipped():
     assert "dedup_semdedup_kmeans" in BENCH_SKIP
 
 
-def test_registry_order_unchanged_by_round9():
-    """round9 registers behind every staged driver window (it earns its
-    row in r11): never inside the r10 window (or the tail-6 buffer),
-    and only the round-10/10b tail pool — which joins r12/r13 — may
-    register after it."""
+def test_registry_order_round9_leads_r11_window():
+    """round9 earned its driver row in the r11 rotation: it now LEADS
+    the window (the whole point of registering last through r9/r10 was
+    to avoid displacing staged windows until its own turn came), with
+    the round10..round10g + round11 debt modules right behind it in
+    module order — the full never-driver-checked set of round-11 open."""
     names = list(QUERIES)
-    i = names.index("dedup_semdedup_kmeans")
-    assert i >= 56
-    # everything after round9 is the r10-addition pool, which registers
-    # last by design (round10, then the round10* continuation modules in
-    # _CATALOG_MODULES order) — asserted structurally so adding another
-    # tail module does not invalidate the pin
-    assert names[i + 1] == "dedup_substring_ngrams"  # round10 head
+    assert names[0] == "dedup_semdedup_kmeans"  # round9 = window head
+    assert names[1] == "dedup_substring_ngrams"  # round10 head follows
     from featurestore_for_joycastle_java_spark.registry import (
         _CATALOG_MODULES,
     )
 
-    tail_mods = [m for m in _CATALOG_MODULES if m.startswith("round10")]
-    assert tail_mods == sorted(tail_mods)  # round10, round10b, c, d, e…
-    assert _CATALOG_MODULES[-len(tail_mods) :] == tail_mods
-    assert "sim_gram_matrix" in names[i + 1 :]  # round10 tail present
+    debt_mods = [
+        m
+        for m in _CATALOG_MODULES
+        if m.startswith("round10") or m in ("round9", "round11")
+    ]
+    # round9 first, then round10..round10g in order, then round11
+    assert debt_mods == _CATALOG_MODULES[: len(debt_mods)]
+    assert debt_mods[0] == "round9" and debt_mods[-1] == "round11"
+    assert "sim_gram_matrix" in names[:44]  # round10b tail in the window
