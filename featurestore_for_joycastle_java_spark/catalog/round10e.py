@@ -113,9 +113,12 @@ def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.record_id").alias("id_a"),
         F.col("b.record_id").alias("id_b"),
+        # acctbal equality FIRST: codegen And short-circuits left-to-
+        # right, so the (rare) balance match gates the bounded
+        # levenshtein instead of every candidate pair paying it
         (
-            (F.levenshtein(F.col("a.nm"), F.col("b.nm"), 1) >= 0)
-            & (F.col("a.ab") == F.col("b.ab"))
+            (F.col("a.ab") == F.col("b.ab"))
+            & (F.levenshtein(F.col("a.nm"), F.col("b.nm"), 1) >= 0)
         ).alias("matched"),
     )
     agg = cand.agg(

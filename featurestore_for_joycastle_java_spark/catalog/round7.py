@@ -2440,11 +2440,13 @@ def _er_records_and_clusters(spark, sf_dir):
             & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.record_id") < F.col("b.record_id")),
         )
-        # 3-arg levenshtein short-circuits above the threshold (returns
-        # -1), so the verify never pays full edit-distance on far pairs
+        # acctbal equality FIRST (codegen And short-circuits left-to-
+        # right, the rare balance match gates the string verify); the
+        # 3-arg levenshtein itself short-circuits above the threshold
+        # (returns -1), so far pairs never pay full edit-distance
         .filter(
-            (F.levenshtein(F.col("a.nm"), F.col("b.nm"), 1) >= 0)
-            & (F.col("a.ab") == F.col("b.ab"))
+            (F.col("a.ab") == F.col("b.ab"))
+            & (F.levenshtein(F.col("a.nm"), F.col("b.nm"), 1) >= 0)
         )
         .select(
             F.col("a.record_id").alias("id_a"),

@@ -2778,8 +2778,11 @@ def er_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.name_tail") == F.col("b.name_tail"))
         & (F.col("a.c_custkey") < F.col("b.c_custkey")),
     ).select(
+        # 3-arg bounded levenshtein (returns -1 above the threshold):
+        # O(len*2) banded DP per pair instead of the full O(len^2)
+        # matrix — equivalent to `levenshtein(...) <= 2`
         (
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2) >= 0
         ).alias("name_agree"),
         (F.col("a.bal_bucket") == F.col("b.bal_bucket")).alias(
             "bal_agree"
