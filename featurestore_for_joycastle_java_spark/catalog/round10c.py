@@ -228,7 +228,13 @@ def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: 1-row broadcast max, one hash aggregate to the bounded
     cell frame, one final aggregate. Two passes over events, zero
-    joins beyond the broadcast."""
+    joins beyond the broadcast.
+
+    Overflow envelope (r11 audit, the ``eval_kendall_tau`` discipline):
+    the largest intermediate is Σ(cnt·term_micro) ≤ n·|ln ε|·10⁶ ≈
+    n·1.4×10⁷, so int64 holds to n ≈ 6×10¹¹ rows — beyond any single
+    evaluation slice; escalate the product sum to decimal(38,0)/HUGEINT
+    if ever scoring a full multi-trillion-row corpus in one pass."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         F.floor(F.col("value") * 1000000.0).cast("bigint").alias("v6"),

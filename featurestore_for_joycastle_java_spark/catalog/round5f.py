@@ -139,8 +139,8 @@ SELECT co.tok_a, co.tok_b, co.co,
        CAST(co.co * 1000000 // n.n_docs AS BIGINT) AS support_ppm,
        CAST(co.co * 1000000 // ca.cnt AS BIGINT) AS conf_ab_ppm,
        CAST(co.co * 1000000 // cb.cnt AS BIGINT) AS conf_ba_ppm,
-       CAST(co.co * n.n_docs * 1000000 // (ca.cnt * cb.cnt) AS BIGINT)
-           AS lift_ppm
+       CAST(CAST(co.co AS HUGEINT) * n.n_docs * 1000000
+            // (CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT) AS lift_ppm
 FROM co
 JOIN c ca ON ca.tok = co.tok_a
 JOIN c cb ON cb.tok = co.tok_b
@@ -200,7 +200,13 @@ def assoc_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.expr("co * 1000000 DIV ca").cast("bigint").alias("conf_ab_ppm"),
             F.expr("co * 1000000 DIV cb").cast("bigint").alias("conf_ba_ppm"),
-            F.expr("co * n_docs * 1000000 DIV (ca * cb)")
+            # co·n·10⁶ wraps int64 once n_docs ≳ 3×10⁶ (co ≤ n), so the
+            # lift product runs in decimal(38,0)/HUGEINT — the
+            # ts_autoperiod escalation pattern (r11 overflow audit)
+            F.expr(
+                "CAST(co AS DECIMAL(19,0)) * n_docs * 1000000"
+                " DIV (CAST(ca AS DECIMAL(19,0)) * cb)"
+            )
             .cast("bigint")
             .alias("lift_ppm"),
         )

@@ -297,7 +297,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: each core member's degree within the core. Empty result
     (graph fully peeled, e.g. the sparsest fixture) is a valid
     converged state."""
-    e = kcore_edges(cosupply_edges(spark, sf_dir), _KCORE_K)
+    # max_rounds = the oracle's unrolled stage count: a fixture deep
+    # enough to out-peel the 16 stages raises loudly in the engine
+    # instead of silently diverging from the non-converged oracle
+    # (the graph_closeness_multi_bfs shared-bound discipline, r11)
+    e = kcore_edges(
+        cosupply_edges(spark, sf_dir), _KCORE_K, max_rounds=_KCORE_STAGES
+    )
     return degrees(e).select(
         F.col("x").alias("s_suppkey"),
         F.col("d").cast("bigint").alias("core_degree"),

@@ -2770,13 +2770,20 @@ def diag_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BFS depth bound shared by the engine loop and the oracle's recursive
+#: CTE (the graph_closeness_multi_bfs discipline, r11): 30 ≫ the
+#: measured single-digit co-supply diameter, and a deeper future
+#: fixture truncates BOTH sides at the same depth instead of diverging.
+_BFS_MAX_HOPS = 30
+
+
 @query(
     "graph_bfs_hops",
     # Recursive-CTE BFS with a generous depth cap (30 ≫ the co-supply
-    # diameter — the engine's fixpoint loop measures it single-digit;
+    # diameter — the engine loop shares the bound via _BFS_MAX_HOPS;
     # UNION-dedup alone cannot terminate on cyclic graphs because
     # revisits arrive with ever-larger hop counts).
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE
 bip AS (
     SELECT DISTINCT l_partkey AS p, l_suppkey AS s
@@ -2795,7 +2802,7 @@ walk AS (
     UNION
     SELECT d.dst AS node, w.hops + 1 AS hops
     FROM walk w JOIN dir d ON d.src = w.node
-    WHERE w.hops < 30)
+    WHERE w.hops < {_BFS_MAX_HOPS})
 SELECT node, CAST(MIN(hops) AS INT) AS hops
 FROM walk GROUP BY 1 ORDER BY node
 """,
@@ -2832,7 +2839,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = visited.localCheckpoint(eager=True)
     frontier = visited
     hop = 0
-    while True:
+    while hop < _BFS_MAX_HOPS:
         hop += 1
         nxt = (
             frontier.join(direct, frontier.node == direct.src)

@@ -143,7 +143,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
+def kcore_edges(
+    edges: DataFrame, k: int, max_rounds: int | None = None
+) -> DataFrame:
     """Surviving edge list of the k-core peel: the maximal subgraph in
     which every node retains degree ≥ k (Seidman 1983). Input/output
     columns: ``u``, ``v`` (undirected, u < v, deduped). An empty result
@@ -158,14 +160,26 @@ def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
     that ever reaches the driver. O(peel-depth) rounds, each one
     degree-aggregate + edge filter over O(|E|) — at 100 TB the same
     shape as the CC loop, with reliable checkpoints available through
-    the same knob documented there."""
+    the same knob documented there.
+
+    ``max_rounds``: optional loud-failure bound (the CC-loop
+    discipline): callers whose ORACLE unrolls the peel to a fixed
+    stage count pass that count, so a fixture deep enough to out-peel
+    the oracle raises here instead of silently diverging from it."""
     e = edges.localCheckpoint(eager=True)
+    rounds = 0
     while True:
         deg = degrees(e)
         alive = deg.filter(F.col("d") >= k).select("x")
         n_kill = deg.filter(F.col("d") < k).count()
         if n_kill == 0:
             break
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            raise RuntimeError(
+                f"k-core peel still shrinking after {max_rounds} rounds; "
+                "raise the bound (and the oracle's unrolled stage count)"
+            )
         e = (
             e.join(
                 F.broadcast(alive.withColumnRenamed("x", "u")), "u", "semi"

@@ -265,9 +265,15 @@ def stateful_user_totals(
             }
         )
 
+    # the output key column inherits the input's type (string user ids
+    # are as valid as longs — the quota_rate_limiter fix, applied to
+    # the whole stateful family)
+    key_type = stream_df.schema[key_col].dataType.simpleString()
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} long, n_events long, sum_value double",
+        outputStructType=(
+            f"{key_col} {key_type}, n_events long, sum_value double"
+        ),
         stateStructType="n long, s double",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
