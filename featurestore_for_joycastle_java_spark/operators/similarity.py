@@ -140,10 +140,11 @@ def kmeans_centroids(
     (SCALETEST_r10 finding: k ∝ √n bends the Σm² pair stage to
     ~Θ(n^1.5); holding m̄ constant keeps it linear). The k-means fit
     with a per-centroid-bounded sample then costs O(64·k²·d) per Lloyd
-    pass — broadcast-free GEMM-shaped compute, but super-linear in k,
-    so at extreme k (≳10⁵ cells) the production escalation is a
-    two-level hierarchy (cluster √k coarse cells, then k-means within
-    each) — documented, not needed at any measured scale here."""
+    pass — broadcast-free GEMM-shaped compute, but super-linear in k;
+    at large k the escalation is ``kmeans_centroids_two_level`` (√k
+    coarse cells, then per-cell sub-fits + two-stage assignment) —
+    measured in SCALETEST_r11: fit+assign α 1.66 flat vs 0.93
+    two-level at k = n/125 through 16×."""
     import warnings
 
     from pyspark.ml.clustering import KMeans
@@ -252,6 +253,167 @@ def assign_nearest_cell(
     )
 
 
+def kmeans_centroids_two_level(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 256,
+    seed: int = 42,
+    max_iter: int = 20,
+    points_per_centroid: int = 64,
+    corpus_rows: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Hierarchical (two-level) IVF centroids — the extreme-k escalation
+    the flat fit's docstring prescribes. With k = n/m̄ (constant cell
+    size) the FLAT path's costs grow super-linearly: the fit is
+    O(sample·k) per Lloyd pass with sample ∝ k (→ k²), and the
+    broadcast assignment fold is O(n·k) — SCALETEST_r11 measured the
+    full-query cellsize curve bending 2^1.95/octave at 16× from exactly
+    these two terms while the pair stage stayed linear. The hierarchy
+    splits k into k1 = ⌈√k⌉ coarse cells × k2 = ⌈k/k1⌉ sub-cells:
+
+    - coarse fit: seeded k-means|| on a per-centroid-bounded sample —
+      O(sample₁·√k) per pass;
+    - sub-fits: ONE distributed pass — a seeded sample of
+      ~``points_per_centroid``·k rows is coarse-assigned (broadcast
+      fold over √k) and each coarse group fits its k2 sub-centroids
+      with a seeded NumPy spherical Lloyd inside ``applyInPandas``
+      (groups are sample-bounded, never corpus-sized); coarse cells
+      the sample missed fall back to the coarse centroid itself, so
+      every cell is coverable;
+    - assignment (``assign_nearest_cell_two_level``): nearest coarse
+      centroid, then nearest sub-centroid within it — O(n·2√k) fold
+      work instead of O(n·k).
+
+    Determinism: seeded throughout, but both samples are
+    partitioning-dependent (the flat ``fit_sample`` caveat); within
+    each pandas group rows are sorted by a content hash before the
+    fit, so the result depends only on the drawn sample set.
+
+    Returns ``(coarse, fine)``: coarse = (coarse_id, __mv); fine =
+    (cent_id, coarse_id, __mv) with cent_id = coarse_id·k2 + sub_id,
+    unit-normalized (assignment by dot == cosine)."""
+    import math
+
+    n = corpus_rows if corpus_rows is not None else corpus.count()
+    k1 = max(2, math.isqrt(max(1, n_centroids - 1)) + 1)
+    k2 = max(1, -(-n_centroids // k1))
+    coarse = kmeans_centroids(
+        corpus,
+        vec_col=vec_col,
+        n_centroids=k1,
+        seed=seed,
+        max_iter=max_iter,
+        fit_sample=points_per_centroid * k1,
+        corpus_rows=n,
+    ).select(F.col("cent_id").alias("coarse_id"), "__mv")
+
+    # seeded sample for the sub-fits, normalized once; content-hash row
+    # key makes the per-group fit order-independent
+    target = points_per_centroid * k1 * k2
+    src = corpus
+    if n > target:
+        src = corpus.sample(fraction=min(1.0, 1.1 * target / n), seed=seed)
+    v = as_double(F.col(vec_col))
+    nv = F.element_at(
+        F.transform(
+            F.array(F.struct(v.alias("v"), l2_norm(v).alias("n"))),
+            lambda s: F.transform(s["v"], lambda x: x / s["n"]),
+        ),
+        1,
+    )
+    samp = src.select(
+        F.xxhash64(v.cast("array<double>")).alias("__rid"), nv.alias("__nv")
+    )
+    assigned = assign_nearest_cell(
+        samp.select(F.col("__rid"), F.col("__nv").alias("__cv")),
+        coarse.select(F.col("coarse_id").alias("cent_id"), "__mv"),
+        "__rid",
+    ).select("__rid", F.col("__cv").alias("__nv"), F.col("cent_id").alias("coarse_id"))
+
+    def _sub_fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cid = int(pdf["coarse_id"].iloc[0])
+        x = np.stack(pdf.sort_values("__rid")["__nv"].to_numpy())
+        k2_eff = min(k2, len(x))
+        rng = np.random.RandomState((seed * 1_000_003 + cid) % (2**31))
+        cents = x[rng.choice(len(x), size=k2_eff, replace=False)].copy()
+        for _ in range(max_iter):
+            lab = (x @ cents.T).argmax(1)
+            new = cents.copy()
+            for j in range(k2_eff):
+                pts = x[lab == j]
+                if len(pts):
+                    m = pts.mean(0)
+                    nrm = float(np.linalg.norm(m))
+                    if nrm > 0:
+                        new[j] = m / nrm
+            if np.allclose(new, cents):
+                cents = new
+                break
+            cents = new
+        return pd.DataFrame(
+            {
+                "coarse_id": cid,
+                "sub_id": np.arange(k2_eff, dtype="int64"),
+                "__mv": [c.tolist() for c in cents],
+            }
+        )
+
+    fitted = assigned.groupBy("coarse_id").applyInPandas(
+        _sub_fit, "coarse_id long, sub_id long, __mv array<double>"
+    )
+    # coarse cells the sample never reached: the coarse centroid itself
+    # is their lone sub-centroid, so assignment always has a target
+    missed = (
+        coarse.join(fitted.select("coarse_id").distinct(), "coarse_id", "left_anti")
+        .select("coarse_id", F.lit(0).cast("long").alias("sub_id"), "__mv")
+    )
+    fine = fitted.unionByName(missed).select(
+        (F.col("coarse_id") * k2 + F.col("sub_id")).alias("cent_id"),
+        "coarse_id",
+        "__mv",
+    )
+    return coarse, fine
+
+
+def assign_nearest_cell_two_level(
+    c: DataFrame, coarse: DataFrame, fine: DataFrame, id_col: str
+) -> DataFrame:
+    """Two-stage nearest-cell assignment: fold over the √k coarse
+    centroids, then over the matched coarse cell's sub-centroids —
+    O(2√k) per-row work instead of O(k), still ZERO shuffle (the fine
+    set broadcasts grouped by coarse_id; the per-row join on coarse_id
+    is against a broadcast k1-row frame). Same frames and tie rule as
+    ``assign_nearest_cell``. Returns (id_col, __cv, cent_id)."""
+    step1 = assign_nearest_cell(
+        c, coarse.select(F.col("coarse_id").alias("cent_id"), "__mv"), id_col
+    ).select(id_col, "__cv", F.col("cent_id").alias("coarse_id"))
+    groups = fine.select(
+        "coarse_id",
+        F.struct(
+            F.col("cent_id"), F.col("__mv"), l2_norm(F.col("__mv")).alias("__mn")
+        ).alias("s"),
+    ).groupBy("coarse_id").agg(F.sort_array(F.collect_list("s")).alias("__subs"))
+    with_norm = step1.withColumn("__cn", l2_norm(F.col("__cv")))
+    init = F.struct(
+        F.lit(-2.0).alias("cs"), F.lit(None).cast("long").alias("cent_id")
+    )
+
+    def fold(acc, cent):
+        cs = dot(F.col("__cv"), cent["__mv"]) / (F.col("__cn") * cent["__mn"])
+        return F.when(
+            cs > acc["cs"], F.struct(cs.alias("cs"), cent["cent_id"].alias("cent_id"))
+        ).otherwise(acc)
+
+    return with_norm.join(F.broadcast(groups), "coarse_id").select(
+        id_col,
+        "__cv",
+        F.aggregate("__subs", init, fold)["cent_id"].alias("cent_id"),
+    )
+
+
 def semdedup_survivors(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -263,6 +425,7 @@ def semdedup_survivors(
     fit_sample: int | None = None,
     corpus_rows: int | None = None,
     target_cell_size: int | None = None,
+    two_level: bool = False,
 ) -> DataFrame:
     """SemDeDup-style embedding-cluster dedup (Abbas et al., 2023,
     arXiv:2303.09540): cluster the corpus, compare vectors ONLY within
@@ -308,7 +471,14 @@ def semdedup_survivors(
     fold grows instead, but it is zero-shuffle per-row broadcast
     compute; see ``kmeans_centroids`` for the fit-cost trade and the
     extreme-k escalation. Requires ``centroids="kmeans"`` (constant
-    cell size is meaningless without data-adaptive, balanced cells)."""
+    cell size is meaningless without data-adaptive, balanced cells).
+
+    ``two_level``: with ``centroids="kmeans"``, fit and assign through
+    the √k-coarse hierarchy (``kmeans_centroids_two_level``) — the
+    escalation for constant-cell-size at large k, where the flat fit
+    (O(sample·k)) and the O(n·k) assignment fold are what bend the
+    total super-linear (SCALETEST_r11). Fold work drops to O(n·2√k);
+    the pair stage is identical."""
     if target_cell_size is not None:
         if centroids != "kmeans":
             raise ValueError(
@@ -319,6 +489,18 @@ def semdedup_survivors(
         corpus_rows = n
         n_centroids = max(4, -(-n // target_cell_size))
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    if two_level:
+        if centroids != "kmeans":
+            raise ValueError("two_level requires centroids='kmeans'")
+        coarse, fine = kmeans_centroids_two_level(
+            corpus,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            seed=seed,
+            corpus_rows=corpus_rows,
+        )
+        assigned = assign_nearest_cell_two_level(c, coarse, fine, id_col)
+        return semdedup_survivors_from_assigned(assigned, id_col, threshold)
     if centroids == "kmeans":
         cents = kmeans_centroids(
             corpus,

@@ -66,3 +66,88 @@ def test_registered_query_shape(spark, sf_dir):
     assert r["drops_contained"] is True
     assert r["recall_ok"] is True
     assert r["n_cells"] == max(4, -(-r["n_vectors"] // 32))
+
+
+def test_two_level_hierarchy_assignment(spark, sf_dir):
+    """Two-level (sqrt-k coarse) SemDeDup: every vector assigned, the
+    survivor semantics identical in shape, containment exact (a
+    same-cell pair IS a global pair regardless of the clustering), and
+    cent_ids consistent with the coarse/fine decomposition."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        cosine_pairs,
+        kmeans_centroids_two_level,
+        semdedup_survivors,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    coarse, fine = kmeans_centroids_two_level(e, n_centroids=16, corpus_rows=n)
+    k1 = coarse.count()
+    f = fine.collect()
+    assert k1 >= 2 and len(f) >= 16
+    # cent_id = coarse_id * k2 + sub_id is globally unique, and every
+    # fine centroid belongs to a real coarse cell
+    assert len({r["cent_id"] for r in f}) == len(f)
+    coarse_ids = {c["coarse_id"] for c in coarse.collect()}
+    assert {r["coarse_id"] for r in f} <= coarse_ids
+    # unit-normalized fine centroids (assignment by dot == cosine)
+    import math
+
+    for r in f:
+        nrm = math.sqrt(sum(x * x for x in r["__mv"]))
+        assert abs(nrm - 1.0) < 1e-6
+
+    sd = semdedup_survivors(
+        e,
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        centroids="kmeans",
+        seed=42,
+        corpus_rows=n,
+        target_cell_size=32,
+        two_level=True,
+    )
+    g = (
+        cosine_pairs(e, "vec_id", "embedding", 0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__g", F.lit(True))
+    )
+    r = (
+        sd.join(g, "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(~F.col("survivor") & F.col("__g").isNull(), 1)
+                .otherwise(0)
+            ).alias("escaped"),
+            F.sum(
+                F.when(~F.col("survivor") & F.col("__g").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("caught"),
+            F.sum(
+                F.when(F.col("__g").isNotNull(), 1).otherwise(0)
+            ).alias("gdrops"),
+        )
+        .collect()[0]
+    )
+    assert r["n"] == n  # every vector assigned and judged
+    assert r["escaped"] == 0  # containment: exact by semantics
+    # recall sanity: far above the ~m-bar/n random-cell floor
+    # (measured 0.396 at sf0.01; floor 0.15 so a routing regression
+    # can't hide under it, two-level misroutes boundary points vs flat)
+    if r["gdrops"]:
+        assert r["caught"] / r["gdrops"] >= 0.15
+
+
+def test_two_level_requires_kmeans(spark, sf_dir):
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        semdedup_survivors,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="kmeans"):
+        semdedup_survivors(
+            e, "vec_id", "embedding", centroids="lowid", two_level=True
+        )
