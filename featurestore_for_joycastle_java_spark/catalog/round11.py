@@ -37,7 +37,9 @@ _CELL_SIZE = 32
     # cell-local drop is a genuine global near-dup — exact by
     # semantics, any clustering) and a recall floor on how much of the
     # global drop set the constant-cell-size clustering catches.
-    oracle="""
+    # _CELL_SIZE is interpolated so the Python k-derivation and the
+    # oracle's can never drift apart if the knob moves
+    oracle=f"""
 WITH e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings),
@@ -48,8 +50,8 @@ g AS (
           / (SQRT(list_inner_product(a.v, a.v))
              * SQRT(list_inner_product(b.v, b.v))), 6) >= 0.4)
 SELECT (SELECT COUNT(*) FROM e) AS n_vectors,
-       CAST(GREATEST(4, ((SELECT COUNT(*) FROM e) + 31) // 32) AS INT)
-           AS n_cells,
+       CAST(GREATEST(4, ((SELECT COUNT(*) FROM e) + {_CELL_SIZE - 1})
+            // {_CELL_SIZE}) AS INT) AS n_cells,
        (SELECT COUNT(*) FROM g) AS n_global_drops,
        TRUE AS drops_contained,
        TRUE AS recall_ok

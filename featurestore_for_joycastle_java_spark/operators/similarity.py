@@ -478,7 +478,9 @@ def semdedup_survivors(
     escalation for constant-cell-size at large k, where the flat fit
     (O(sample·k)) and the O(n·k) assignment fold are what bend the
     total super-linear (SCALETEST_r11). Fold work drops to O(n·2√k);
-    the pair stage is identical."""
+    the pair stage is identical. ``fit_sample`` is ignored on this
+    path — the hierarchy sizes its own per-centroid-bounded samples
+    (``points_per_centroid`` on ``kmeans_centroids_two_level``)."""
     if target_cell_size is not None:
         if centroids != "kmeans":
             raise ValueError(

@@ -17,6 +17,7 @@ registry.load_catalog()
 from featurestore_for_joycastle_java_spark.operators.similarity import (
     semdedup_survivors,
 )
+from featurestore_for_joycastle_java_spark.catalog.round11 import _CELL_SIZE
 from featurestore_for_joycastle_java_spark.registry import QUERIES
 from featurestore_for_joycastle_java_spark.sources import load_table
 
@@ -32,7 +33,7 @@ def test_target_cell_size_requires_kmeans(spark, sf_dir):
 def test_cell_count_is_ceil_n_over_cell_size(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
-    k = max(4, -(-n // 32))
+    k = max(4, -(-n // _CELL_SIZE))
     sd = semdedup_survivors(
         e,
         "vec_id",
@@ -65,7 +66,7 @@ def test_registered_query_shape(spark, sf_dir):
     r = row[0]
     assert r["drops_contained"] is True
     assert r["recall_ok"] is True
-    assert r["n_cells"] == max(4, -(-r["n_vectors"] // 32))
+    assert r["n_cells"] == max(4, -(-r["n_vectors"] // _CELL_SIZE))
 
 
 def test_two_level_hierarchy_assignment(spark, sf_dir):
