@@ -387,19 +387,22 @@ def asof_join_bucketed(
       buckets: plain 2.56 s (one task sorts ~2.8 M rows) vs 1.51 s
       bucketed — bucketed WINS.
     - local[32] (SCALETEST_r11, inflated sf0.1 events): plain still
-      wins at 0.96 M hot rows (1.13 vs 3.24 s, 30% skew) and at 2.9 M
-      hot rows (1.33 vs 1.63 s, 90% skew), the gap closing
-      monotonically — extrapolated crossover ~10⁷ rows/key at 32-way
+      wins at 0.96 M hot rows (1.13 vs 3.24 s, 30% skew), at 2.9 M
+      (1.33 vs 1.63 s, 90% skew) and at 5.8 M (1.96 vs 2.28 s), the
+      ratio shrinking monotonically per octave (1.5 → 1.23 → 1.16) —
+      measured-extrapolated crossover ~1–2×10⁷ rows/key at 32-way
       parallelism.
 
-    Guidance threshold (from the two measurements): reach for the
+    Guidance threshold (from the three measurements): reach for the
     bucketed variant when rows-on-the-hottest-key ≳ 3 M × (cores / 8)
-    at single-node parallelism; on a large cluster the comparison is
-    one-core sort of the hot key vs two extra all-to-all shuffle
-    ROUNDS of the frame — with thousands of cores the shuffle rounds
-    amortize and the crossover drops back toward ~10⁶–10⁷ rows/key.
-    Even-key frames should always prefer plain asof_join (one shuffle,
-    no stitch).
+    at single-node parallelism (Spark's single-task sort clears ~3 M
+    rows/s warm, so the straggler must carry tens of millions before
+    it beats two extra shuffle rounds); on a large cluster the
+    comparison is one-core sort of the hot key vs two extra
+    all-to-all shuffle ROUNDS of the frame — with thousands of cores
+    the shuffle rounds amortize and the crossover drops back toward
+    ~10⁶–10⁷ rows/key. Even-key frames should always prefer plain
+    asof_join (one shuffle, no stitch).
 
     ``left_ts``/``right_ts`` must be NUMERIC (epoch seconds/µs) so
     ``floor(ts / bucket_width)`` is exact integer math. Tie semantics
