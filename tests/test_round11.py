@@ -152,3 +152,25 @@ def test_two_level_requires_kmeans(spark, sf_dir):
         semdedup_survivors(
             e, "vec_id", "embedding", centroids="lowid", two_level=True
         )
+
+
+def test_two_level_fit_is_reproducible_in_session(spark, sf_dir):
+    """The hierarchy's samples are seeded (partitioning-dependent, the
+    documented flat-fit caveat) — two builds in the same session over
+    the same input must produce identical fine centroids, or the
+    operator's determinism story is silently broken."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        kmeans_centroids_two_level,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+
+    def snap():
+        _, fine = kmeans_centroids_two_level(e, n_centroids=16, corpus_rows=n)
+        return sorted(
+            (r["cent_id"], tuple(round(x, 12) for x in r["__mv"]))
+            for r in fine.collect()
+        )
+
+    assert snap() == snap()
