@@ -365,10 +365,27 @@ def kmeans_centroids_two_level(
         _sub_fit, "coarse_id long, sub_id long, __mv array<double>"
     )
     # coarse cells the sample never reached: the coarse centroid itself
-    # is their lone sub-centroid, so assignment always has a target
+    # is their lone sub-centroid, so assignment always has a target —
+    # unit-normalized here because k-means centers are MEANS of unit
+    # vectors (|mean| < 1), and the fitted path emits unit centroids
     missed = (
         coarse.join(fitted.select("coarse_id").distinct(), "coarse_id", "left_anti")
-        .select("coarse_id", F.lit(0).cast("long").alias("sub_id"), "__mv")
+        .select(
+            "coarse_id",
+            F.lit(0).cast("long").alias("sub_id"),
+            F.element_at(
+                F.transform(
+                    F.array(
+                        F.struct(
+                            F.col("__mv").alias("v"),
+                            l2_norm(F.col("__mv")).alias("n"),
+                        )
+                    ),
+                    lambda s: F.transform(s["v"], lambda x: x / s["n"]),
+                ),
+                1,
+            ).alias("__mv"),
+        )
     )
     fine = fitted.unionByName(missed).select(
         (F.col("coarse_id") * k2 + F.col("sub_id")).alias("cent_id"),

@@ -90,7 +90,10 @@ def test_two_level_hierarchy_assignment(spark, sf_dir):
     # fine centroid belongs to a real coarse cell
     assert len({r["cent_id"] for r in f}) == len(f)
     coarse_ids = {c["coarse_id"] for c in coarse.collect()}
-    assert {r["coarse_id"] for r in f} <= coarse_ids
+    # full coverage both ways: every fine centroid belongs to a real
+    # coarse cell AND every coarse cell has at least one sub-centroid
+    # (the missed-cell fallback's guarantee — no unroutable region)
+    assert {r["coarse_id"] for r in f} == coarse_ids
     # unit-normalized fine centroids (assignment by dot == cosine)
     import math
 
