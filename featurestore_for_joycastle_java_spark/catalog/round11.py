@@ -95,7 +95,12 @@ def dedup_semdedup_cellsize(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4,
         centroids="kmeans",
         seed=42,
-        fit_sample=64 * k,
+        # NO fit_sample: oracle-checked queries keep the full-corpus fit
+        # (the module's exact-replayability rule — ADVICE r11: a sampled
+        # fit is partitioning-dependent, so a file-split change could
+        # move the clustering and flip recall_ok non-deterministically;
+        # at fixture scale the 40·k sample floor exceeded n anyway, so
+        # this drops a latent hazard, not a measured behavior).
         # n already counted above — target_cell_size re-derives k from
         # corpus_rows without a second scan (VERDICT r9 ask #4)
         corpus_rows=n,

@@ -226,7 +226,11 @@ def assign_nearest_cell(
     highest cosine, lowest cent_id.
 
     ``c``: (id_col, __cv double-array); ``cents``: (cent_id, __mv).
-    Returns (id_col, __cv, cent_id)."""
+    Returns (id_col, __cv, cent_id). A zero-norm vector's cosine is
+    NULL (``try_divide`` — ANSI-mode-independent), so the fold never
+    beats the init and the row comes back with cent_id NULL — retained,
+    not dropped (the pair stage's null-rejecting equi-join then never
+    drops it either: it is always a survivor)."""
     cents_row = (
         cents.select(
             F.struct(
@@ -241,7 +245,14 @@ def assign_nearest_cell(
     )
 
     def fold(acc, cent):
-        cs = dot(F.col("__cv"), cent["__mv"]) / (F.col("__cn") * cent["__mn"])
+        # try_divide: a zero-norm vector yields NULL cosine under BOTH
+        # ANSI modes (plain `/` throws DIVIDE_BY_ZERO under ANSI), so
+        # the fold never beats the init and the row keeps cent_id NULL
+        # instead of killing the job — identical results for every
+        # nonzero norm (ADVICE r11)
+        cs = F.try_divide(
+            dot(F.col("__cv"), cent["__mv"]), F.col("__cn") * cent["__mn"]
+        )
         return F.when(
             cs > acc["cs"], F.struct(cs.alias("cs"), cent["cent_id"].alias("cent_id"))
         ).otherwise(acc)
@@ -403,7 +414,15 @@ def assign_nearest_cell_two_level(
     O(2√k) per-row work instead of O(k), still ZERO shuffle (the fine
     set broadcasts grouped by coarse_id; the per-row join on coarse_id
     is against a broadcast k1-row frame). Same frames and tie rule as
-    ``assign_nearest_cell``. Returns (id_col, __cv, cent_id)."""
+    ``assign_nearest_cell``. Returns (id_col, __cv, cent_id).
+
+    Null-coarse rows (a zero-norm vector makes every coarse cosine
+    NULL, so step 1 leaves coarse_id NULL) are KEPT: the groups join is
+    a LEFT join, the missing ``__subs`` array makes the fold NULL, and
+    the row emerges with cent_id NULL — exactly the flat
+    ``assign_nearest_cell`` behavior (ADVICE r11: an inner join here
+    silently dropped such rows and broke the every-vector-assigned
+    invariant)."""
     step1 = assign_nearest_cell(
         c, coarse.select(F.col("coarse_id").alias("cent_id"), "__mv"), id_col
     ).select(id_col, "__cv", F.col("cent_id").alias("coarse_id"))
@@ -419,12 +438,15 @@ def assign_nearest_cell_two_level(
     )
 
     def fold(acc, cent):
-        cs = dot(F.col("__cv"), cent["__mv"]) / (F.col("__cn") * cent["__mn"])
+        # try_divide — same zero-norm guard as assign_nearest_cell
+        cs = F.try_divide(
+            dot(F.col("__cv"), cent["__mv"]), F.col("__cn") * cent["__mn"]
+        )
         return F.when(
             cs > acc["cs"], F.struct(cs.alias("cs"), cent["cent_id"].alias("cent_id"))
         ).otherwise(acc)
 
-    return with_norm.join(F.broadcast(groups), "coarse_id").select(
+    return with_norm.join(F.broadcast(groups), "coarse_id", "left").select(
         id_col,
         "__cv",
         F.aggregate("__subs", init, fold)["cent_id"].alias("cent_id"),

@@ -82,27 +82,20 @@ BENCH_SKIP: set[str] = set()
 #: test_r11_window_is_debt_plus_r3_vintage_fill.
 #: REGISTRY FREEZE (VERDICT r10 ask #2): no new query registrations
 #: until every registered query has a driver row (r12 at the latest);
-#: sole exception is round11's constant-cell-size SemDeDup (ask #3).
+#: exceptions are round11's constant-cell-size SemDeDup (r10 ask #3)
+#: and round12's two-level SemDeDup (r11 ask #2 — the second and FINAL
+#: freeze exception; further registrations wait for r14 per r11 ask #7).
 _CATALOG_MODULES = [
-    # r11 window head (EXECUTED): every query without a driver row.
-    "round9",
-    "round10",
-    "round10b",
-    "round10c",
-    "round10d",
-    "round10e",
-    "round10f",
-    "round10g",
-    "round11",
-    # Window fill to 50: the r3-vintage round3 refresh (6).
-    "round3",
+    # r12 window (EXECUTED at round-12 open — the staged plan plus the
+    # r11-ask-#2 freeze exception folded in at the head): round12 (1,
+    # the two-level SemDeDup driver query) + the r3/r4-vintage reorder —
+    # text (6) + dedup (7) + similarity (2) + windows (5) + scalars (5)
+    # + r4-vintage relational (18) + r6-vintage round5's first 6 =
+    # exactly 50. round5's 7th (last-registered) query slips to the r13
+    # fill. Pinned by tests/test_survey_registry.py::
+    # test_r12_window_is_twolevel_plus_stale_modules.
+    "round12",
     "text",
-    # r12 window (staged — pinned by test_r12_window_arithmetic_holds):
-    # a pure reorder moving [text, dedup, similarity, windows, scalars,
-    # relational, round5] to the head = text (6) + dedup (7) +
-    # similarity (2) + windows (5) + scalars (5) + r4-vintage
-    # relational (18) + r6-vintage round5 (7) = exactly 50. That
-    # clears every r3/r4-vintage row.
     "dedup",
     "similarity",
     "windows",
@@ -112,14 +105,25 @@ _CATALOG_MODULES = [
     # r13 window (staged — pinned by test_r13_window_arithmetic_holds):
     # pure reorder of [round2, streaming, multimodal, training, extras,
     # advanced] to the head = 6+7+4+6+10+10 = 43 r6-vintage rows, plus
-    # a refresh fill of the then-oldest r10 rows (round7b_tail 6 +
-    # tpch3's first 1) = exactly 50.
+    # a refresh fill of round5's 7th query (outside the r12 window) and
+    # the then-oldest r10 rows (round7b_tail 6) = exactly 50.
     "round2",
     "streaming",
     "multimodal",
     "training",
     "extras",
     "advanced",
+    # r11 window head (EXECUTED r11) — rows refreshed r11.
+    "round9",
+    "round10",
+    "round10b",
+    "round10c",
+    "round10d",
+    "round10e",
+    "round10f",
+    "round10g",
+    "round11",
+    "round3",
     # r10-window modules (rows refreshed r10) — r13/r14 refresh pool.
     "round7b_tail",
     "tpch3",

@@ -448,7 +448,9 @@ def quota_rate_limiter(
     (file sources with staged mtimes + maxFilesPerTrigger do; a Kafka
     topic partitioned by key with in-partition ordering does too).
 
-    State per key is three scalars (admitted, denied, reached-at micros)
+    State per key is four scalars (admitted, denied, reached-at micros,
+    reached flag — the flag is its own field because every long value
+    is a legal timestamp, so no in-domain sentinel is collision-free)
     — the 100 TB envelope is #keys × ~40 bytes; add a state timeout to
     age out idle keys on unbounded streams. Emits the running totals per
     touched key each batch (append mode); the final emission per key is
@@ -457,10 +459,14 @@ def quota_rate_limiter(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key: tuple, pdfs, state: GroupState):
-        # r = -1 means "quota never reached" — a nullable-style sentinel
-        # that cannot collide with a quota legitimately reached at epoch
-        # micros == 0 (ADVICE r10).
-        a, d, r = state.get if state.exists else (0, 0, -1)
+        # Reached-ness lives in its OWN boolean field: any sentinel
+        # inside the long domain collides with some legitimate
+        # timestamp (r = -1 fixed the epoch-0 case but a quota reached
+        # at epoch minus 1 microsecond stores exactly -1 — ADVICE r11),
+        # and pre-epoch event times store negative micros legally.
+        a, d, r, reached = (
+            state.get if state.exists else (0, 0, 0, False)
+        )
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values([ts_col, id_col], kind="mergesort")
         for ts_val in batch[ts_col]:
@@ -468,16 +474,17 @@ def quota_rate_limiter(
                 a += 1
                 if a == quota:
                     r = int(pd.Timestamp(ts_val).value // 1000)  # micros
+                    reached = True
             else:
                 d += 1
-        state.update((a, d, r))
+        state.update((a, d, r, reached))
         yield pd.DataFrame(
             {
                 key_col: [key[0]],
                 "n_allowed": [a],
                 "n_denied": [d],
                 "quota_reached_ts": [
-                    pd.Timestamp(r * 1000) if r >= 0 else pd.NaT
+                    pd.Timestamp(r * 1000) if reached else pd.NaT
                 ],
             }
         )
@@ -491,7 +498,7 @@ def quota_rate_limiter(
             f"{key_col} {key_type}, n_allowed long, n_denied long, "
             "quota_reached_ts timestamp"
         ),
-        stateStructType="a long, d long, r long",
+        stateStructType="a long, d long, r long, reached boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

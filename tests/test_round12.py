@@ -1,0 +1,104 @@
+"""Round-12 additions: the two-level SemDeDup driver query (VERDICT r11
+ask #2) and the two ADVICE r11 regression pins — null-coarse retention
+in the two-stage assignment, and the quota limiter's reached-flag under
+pre-epoch (negative-micros) event times."""
+
+from __future__ import annotations
+
+from featurestore_for_joycastle_java_spark import registry
+
+registry.load_catalog()
+
+from featurestore_for_joycastle_java_spark.catalog.round12 import _CELL_SIZE
+from featurestore_for_joycastle_java_spark.registry import QUERIES
+
+
+def test_registered_twolevel_query_shape(spark, sf_dir):
+    row = QUERIES["dedup_semdedup_twolevel"](spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["all_assigned"] is True
+    assert r["drops_contained"] is True
+    assert r["recall_ok"] is True
+    assert r["n_cells"] == max(4, -(-r["n_vectors"] // _CELL_SIZE))
+
+
+def test_two_level_assign_keeps_zero_norm_vectors(spark):
+    """ADVICE r11: the two-stage assignment inner-joined on coarse_id,
+    so a zero-norm vector (NULL cosine against every coarse centroid ->
+    coarse_id NULL) was silently DROPPED, while the flat path keeps it
+    with cent_id NULL. Both paths must now agree: row retained, cent_id
+    NULL, and the pair stage marks it a survivor."""
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        assign_nearest_cell,
+        assign_nearest_cell_two_level,
+        semdedup_survivors_from_assigned,
+    )
+
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, __cv array<double>",
+    )
+    coarse = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "coarse_id long, __mv array<double>"
+    )
+    fine = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (2, 1, [0.0, 1.0])],
+        "cent_id long, coarse_id long, __mv array<double>",
+    )
+    two = assign_nearest_cell_two_level(c, coarse, fine, "vec_id")
+    flat = assign_nearest_cell(
+        c, fine.select("cent_id", "__mv"), "vec_id"
+    )
+    got_two = {r["vec_id"]: r["cent_id"] for r in two.collect()}
+    got_flat = {r["vec_id"]: r["cent_id"] for r in flat.collect()}
+    assert got_two == {1: 0, 2: 2, 3: None}
+    assert got_flat == got_two  # parity with the flat path, zero row kept
+    # the pair stage never drops a null-cell row: equi-join on cent_id
+    # is null-rejecting, so the zero vector is always a survivor
+    surv = {
+        r["vec_id"]: r["survivor"]
+        for r in semdedup_survivors_from_assigned(two, "vec_id").collect()
+    }
+    assert surv[3] is True and len(surv) == 3
+
+
+def test_quota_pre_epoch_timestamps(spark, tmp_path):
+    """ADVICE r11: the r = -1 'never reached' sentinel collided with a
+    quota legitimately reached at epoch minus 1 microsecond (stores
+    exactly -1). Reached-ness now lives in its own boolean state field:
+    a pre-epoch reached-at must round-trip exactly, and a pre-epoch
+    user under quota must still report NULL."""
+    import datetime as dt
+
+    from featurestore_for_joycastle_java_spark import streaming as ST
+    from featurestore_for_joycastle_java_spark.catalog.streaming import _run
+
+    just_before_epoch = dt.datetime(1969, 12, 31, 23, 59, 59, 999999)
+    earlier = dt.datetime(1969, 12, 31, 23, 59, 59, 999998)
+    rows = [
+        # alice reaches quota=2 exactly at epoch - 1 microsecond
+        ("alice", earlier, 1),
+        ("alice", just_before_epoch, 2),
+        ("alice", dt.datetime(2024, 1, 1), 3),
+        # bob stays under quota, entirely pre-epoch
+        ("bob", earlier, 4),
+    ]
+    src = str(tmp_path / "quota_preepoch")
+    spark.createDataFrame(
+        rows, "user string, ts timestamp, event_id long"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user string, ts timestamp, event_id long"
+    ).parquet(src)
+    out = _run(
+        spark,
+        ST.quota_rate_limiter(stream, key_col="user", quota=2),
+        "append",
+    )
+    got = {r["user"]: r for r in out.collect()}
+    assert got["alice"]["n_allowed"] == 2
+    assert got["alice"]["n_denied"] == 1
+    assert got["alice"]["quota_reached_ts"] == just_before_epoch
+    assert got["bob"]["n_allowed"] == 1
+    assert got["bob"]["quota_reached_ts"] is None

@@ -171,19 +171,17 @@ _R11_DEBT_MODULES = [
 
 
 def test_r11_window_is_debt_plus_r3_vintage_fill():
-    """r11 rotation (EXECUTED): the driver's 50-row window leads with
-    ALL 44 queries lacking a driver row (round9 + round10..round10g +
-    the round11 freeze exception), then fills with the oldest rows —
-    round3 (6). This clears the entire never-checked backlog in one
-    window (VERDICT r10 ask #1, superseding the staged r11 plan)."""
+    """r11 rotation (EXECUTED then; superseded by the r12 reorder): the
+    r11 window was the 44 queries lacking a driver row (round9 +
+    round10..round10g + the round11 freeze exception) + round3 (6).
+    After the r12 reorder those modules sit in the refresh pool; keep
+    the name list stable so CORRECTNESS_r11.json stays interpretable."""
     _load_all()
-    window = list(registry.QUERIES)[:50]
     debt = [n for m in _R11_DEBT_MODULES for n in _module_names_ordered(m)]
     assert len(debt) == 44
-    expected = debt + _module_names_ordered("round3")
-    assert window == expected
-    # text's 6 then lead the r12 pool.
-    assert list(registry.QUERIES)[50:56] == _module_names_ordered("text")
+    r11_window = debt + _module_names_ordered("round3")
+    assert len(r11_window) == 50
+    assert set(r11_window) <= set(registry.QUERIES)
 
 
 def test_no_stale_rotation_notes():
@@ -195,44 +193,51 @@ def test_no_stale_rotation_notes():
     assert "round7b (28" not in reg
 
 
-def test_r12_window_arithmetic_holds():
-    """Pin the r12 plan (registry.py rotation comment): r12 moves
-    [text, dedup, similarity, windows, scalars, relational, round5] to
-    the head, making the window text (6) + dedup (7) + similarity (2)
-    + windows (5) + scalars (5) + r4-vintage relational (18) +
-    r6-vintage round5 (7) = exactly 50 distinct registered names —
-    clearing every remaining r3/r4-vintage row."""
+def test_r12_window_is_twolevel_plus_stale_modules():
+    """r12 rotation (EXECUTED): the driver's 50-row window leads with
+    round12's two-level SemDeDup (VERDICT r11 ask #2 — the second and
+    final freeze exception, the only registered query without a driver
+    row), then the staged r3/r4-vintage reorder — text (6) + dedup (7)
+    + similarity (2) + windows (5) + scalars (5) + r4-vintage
+    relational (18) + r6-vintage round5's first 6 = exactly 50.
+    round5's 7th query slips to the r13 fill."""
+    _load_all()
     mods = [
+        "round12",
         "text",
         "dedup",
         "similarity",
         "windows",
         "scalars",
         "relational",
-        "round5",
     ]
     counts = {m: len(_module_names_ordered(m)) for m in mods}
     assert counts == {
+        "round12": 1,
         "text": 6,
         "dedup": 7,
         "similarity": 2,
         "windows": 5,
         "scalars": 5,
         "relational": 18,
-        "round5": 7,
     }
-    planned = [n for m in mods for n in _module_names_ordered(m)]
-    assert len(planned) == 50
-    assert len(set(planned)) == 50
-    assert set(planned) <= set(registry.QUERIES)
+    expected = [n for m in mods for n in _module_names_ordered(m)]
+    expected += _module_names_ordered("round5")[:6]
+    window = list(registry.QUERIES)[:50]
+    assert window == expected
+    assert len(set(window)) == 50
+    # round5's 7th query then leads the r13 fill pool.
+    assert list(registry.QUERIES)[50] == _module_names_ordered("round5")[6]
 
 
 def test_r13_window_arithmetic_holds():
     """Pin the r13 plan (registry.py rotation comment): r13 moves
     [round2, streaming, multimodal, training, extras, advanced] to the
     head — 6+7+4+6+10+10 = 43 r6-vintage rows — plus a refresh fill of
-    the then-oldest r10-vintage rows (round7b_tail 6 + tpch3's first 1)
-    = exactly 50 distinct registered names."""
+    round5's 7th query (the one row the r12 window could not hold once
+    the round12 freeze exception took its head slot) and the
+    then-oldest r10-vintage rows (round7b_tail 6) = exactly 50 distinct
+    registered names."""
     mods = [
         "round2",
         "streaming",
@@ -252,8 +257,8 @@ def test_r13_window_arithmetic_holds():
     }
     planned = (
         [n for m in mods for n in _module_names_ordered(m)]
+        + _module_names_ordered("round5")[6:]
         + _ROUND7B_TAIL
-        + _module_names_ordered("tpch3")[:1]
     )
     assert len(planned) == 50
     assert len(set(planned)) == 50
