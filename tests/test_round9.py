@@ -109,4 +109,3 @@ def test_registry_order_round9_sits_in_refresh_pool():
     i = _CATALOG_MODULES.index("round9")
     assert _CATALOG_MODULES[i : i + len(debt_mods)] == debt_mods
     assert debt_mods[0] == "round9" and debt_mods[-1] == "round11"
-    assert "sim_gram_matrix" in names[:44]  # round10b tail in the window
