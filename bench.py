@@ -408,6 +408,26 @@ def main() -> None:
     with open(hist_path, "w") as fh:
         json.dump({"rounds": history}, fh, indent=1, sort_keys=True)
 
+    # VERDICT r11 ask #4: the bench-skipped queries (recall/verification
+    # harnesses — quadratic ground truth or fit-heavy by design, which
+    # is WHY they are skipped at sf0.1) get ONE committed timing each at
+    # sf0.01 per round, so no registered query is a timing blind spot.
+    # Single-shot, separate artifact key, no regression gate — these are
+    # correctness harnesses, not performance surfaces; the gate lives on
+    # the benched suite.
+    skip_sf_dir = os.environ.get(
+        "SPARK_GRAFT_SKIP_SF_DIR", "/root/testdata/sf0.01"
+    )
+    skipped_probes: dict[str, float] = {}
+    if os.path.isdir(skip_sf_dir):
+        for name in sorted(BENCH_SKIP):
+            t0 = time.monotonic()
+            QUERIES[name](spark, skip_sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            skipped_probes[name] = round(time.monotonic() - t0, 3)
+            spark.catalog.clearCache()
+
     # Full per-query map goes to a file; the one printed line stays compact
     # (the driver captures a bounded amount of stdout — r1's 108-entry line
     # got tail-truncated to "parsed": null).
@@ -419,6 +439,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(names),
         "skipped": sorted(BENCH_SKIP),
+        "skipped_probes": {"sf_dir": skip_sf_dir, "sec": skipped_probes},
         "regressions_vs_prior": regressions,
         "drift_vs_oldest": drift_vs_oldest,
         # 0 means the gate had NO committed same-sf baseline (inert run) —
@@ -445,6 +466,7 @@ def main() -> None:
                 "queries": slowest,
                 "sf": full["sf"],
                 "n_queries": len(names),
+                "n_skipped_probed": len(skipped_probes),
                 "n_regressions": len(regressions),
                 # UNEXPLAINED drift only: an entry whose DRIFT_NOTES
                 # attribution records a run-to-ground probe verdict
