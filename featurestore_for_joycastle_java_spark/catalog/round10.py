@@ -74,10 +74,18 @@ def dedup_substring_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     with HOFs (no explode until the inverted index is actually needed),
     then ONE explode feeds both the span-frequency aggregate and the
     join-back — two hash shuffles on the gram key, pairs never
-    materialized. At 100 TB the gram string would be ``xxhash64``-ed
-    before the shuffle to bound key width (same trick as
-    ``operators/dedup.py``'s fingerprint path); kept as the raw string
-    here because the oracle must replay it exactly."""
+    materialized.
+
+    Shuffle-key default, MEASURED (SCALETEST_r12, ask #5): raw gram
+    string vs ``xxhash64(gram)`` at 2x/4x/8x/16x of sf0.1 — the hash
+    saves only 2–4% on local[32] (34.2 vs 35.6 s at 16x, alpha 0.97 vs
+    0.98), because a single-host shuffle is CPU/hash-bound, not
+    byte-bound. The raw string therefore STAYS the default (exact
+    oracle replay, zero collision surface); ``xxhash64``-before-shuffle
+    is the opt-in for real clusters, where the ~50-byte→8-byte key
+    shrink cuts NETWORK shuffle bytes ~2.5x on this pipeline's two
+    gram-keyed exchanges — a win the local measurement structurally
+    cannot show."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", shingles(F.col("text"), k=8).alias("grams"))
     ex = base.select("doc_id", F.explode("grams").alias("gram"))

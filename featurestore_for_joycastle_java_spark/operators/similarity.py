@@ -300,6 +300,21 @@ def kmeans_centroids_two_level(
     each pandas group rows are sorted by a content hash before the
     fit, so the result depends only on the drawn sample set.
 
+    Measured range (SCALETEST_r11 + SCALETEST_r12, k = n/125,
+    local[32]): fit+assign holds near-linear through 16x (alpha 0.93,
+    k <= 256), then bends — per-octave growth 2^1.11 at 32x (k = 512)
+    and 2^1.29 at 64x (k = 1024, 68.8 s), converging on the O(n*sqrt(k))
+    = n^1.5 asymptote (2^1.5/octave) exactly as the shape predicts. So
+    the two-level hierarchy buys roughly two octaves of k past the flat
+    path's bend (flat alpha 1.66 already at 16x); past k ~ 10^3 the
+    sqrt(k)-wide coarse fold itself is the cost, and the next
+    escalation is either a THIRD level (O(n*3*k^(1/3)) fold work — the
+    same split applied to the coarse stage) or SRP-routed assignment
+    (hash each vector to a handful of candidate coarse cells via the
+    signed-random-projection index, fold only over those — drops the
+    per-row cost to O(bands + candidates), the ``srp_topk`` machinery
+    this module already ships).
+
     Returns ``(coarse, fine)``: coarse = (coarse_id, __mv); fine =
     (cent_id, coarse_id, __mv) with cent_id = coarse_id·k2 + sub_id,
     unit-normalized (assignment by dot == cosine)."""
