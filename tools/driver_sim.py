@@ -82,13 +82,20 @@ def main() -> int:
     from oracle import compare
 
     # vanilla session on purpose: the driver builds its own (no engine
-    # configs), so config-dependence bugs must surface here
-    spark = (
+    # configs), so config-dependence bugs must surface here.
+    # SPARK_GRAFT_SIM_EXTRA_CONF="k=v,k=v" deliberately perturbs the
+    # session for the robustness axes (e.g. spark.sql.ansi.enabled=false
+    # — the legacy wrap/null-semantics matrix run each round since r11).
+    builder = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    for kv in os.environ.get("SPARK_GRAFT_SIM_EXTRA_CONF", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = E.queries(), E.oracle_sql()
     names = list(qs)[:first_n] if first_n else list(qs)
