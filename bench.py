@@ -94,6 +94,10 @@ DRIFT_NOTES = {
     "agg_ratio_to_parent": "steal-era noise; isolated warm"
     " 0.858-1.363s median 1.07s = 1.21x oldest 0.887s, under the gate"
     " (r11 probe, see comment)",
+    "stream_quota_enforcement": "suite contention; isolated warm median"
+    " 6.58s (r12 probe, AFTER the 4-field state schema) sits under the"
+    " r11 suite row 7.78s — the added reached-boolean costs nothing"
+    " (see WARM_PROBES)",
 }
 
 #: Isolated-warm attributions for the suite's top cost movers (VERDICT
@@ -157,6 +161,22 @@ WARM_PROBES = {
         " 1.5x gate in isolation; rerun medians swinging 0.85-2.03s on"
         " an unchanged plan are steal-era noise — DRIFT_NOTES now"
         " carries the attribution so drift_vs_oldest stops re-flagging",
+    },
+    # r12 probe: the quota limiter's state schema gained a dedicated
+    # `reached` boolean this round (ADVICE r11 — every long is a legal
+    # timestamp, no in-domain sentinel is collision-free), so the
+    # schema change was probed the same day it shipped rather than
+    # waiting for a drift flag.
+    "stream_quota_enforcement": {
+        "isolated_warm_s": [7.021, 6.58, 8.069, 6.397, 6.075],
+        "oldest_in_suite_s": 7.78,
+        "verdict": "r12 probe, taken AFTER the 4-field state schema"
+        " landed: isolated warm median 6.58s sits UNDER the r11 suite"
+        " row 7.78s — the extra boolean state field costs nothing"
+        " measurable (3 real micro-batch commits x state instances"
+        " remain the honest fixed floor); the 9.73s r12 suite row is"
+        " in-suite contention (suite total moved 327->349s uniformly"
+        " at 2.75% steal)",
     },
 }
 
