@@ -468,6 +468,206 @@ def assign_nearest_cell_two_level(
     )
 
 
+def assign_nearest_cell_srp(
+    c: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    n_tables: int = 8,
+    n_bits: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """SRP-routed nearest-cell assignment — the documented escalation
+    PAST the two-level hierarchy (SCALETEST_r12: the O(n·2√k) two-stage
+    fold itself bends toward n^1.5 once k ≥ 512; this path's per-row
+    cost is CONSTANT in k). Each vector is encoded with the same
+    deterministic md5-parity SRP hyperplanes as ``srp_codes``
+    (``n_tables`` tables × ``n_bits`` sign bits), and the argmax-cosine
+    fold runs ONLY over the centroids sharing at least one
+    (table, code) bucket with the vector; a vector whose buckets are
+    all empty falls back to the full-k fold (rare — per-row branch,
+    paid only by those rows).
+
+    Still ZERO shuffle: the centroid side is tiny, so its codes,
+    per-table bucket arrays (length 2^n_bits, ``element_at`` is O(1) —
+    a MapType lookup would scan linearly), the encode hyperplanes, and
+    the full-fold fallback list all ride in ONE broadcast row; the
+    corpus pays one stateless per-row expression. Per-row work:
+    n_tables·n_bits dim-dots to encode (CONSTANT in k) + one dot per
+    candidate (expected n_tables·k/2^n_bits, duplicates across tables
+    re-scored rather than deduped — cheaper than a per-row distinct)
+    vs the flat fold's k dots / two-level's 2√k. Break-even against
+    two-level at default 8×8 is k ≈ 2·10³ (encode 64 dim-dots + ~32
+    candidates vs 2√k); at k = 10⁵ (the 100 TB constant-cell-size
+    regime) SRP folds ~100 dots where two-level folds 632.
+
+    Deterministic end to end (md5 hyperplanes, no seed, no sampling) —
+    stronger than the hierarchy, whose coarse fit samples. Approximate:
+    the routed cell can differ from the true argmax when no table
+    co-buckets the vector with its nearest centroid (P ≈
+    1-(1-(1-θ/π)^n_bits)^n_tables per the SRP collision law) —
+    SemDeDup containment stays exact under ANY assignment, only recall
+    moves (tested floor vs the exact fold). Ties: highest cosine, then
+    lowest cent_id (explicit tie clause — bucket traversal order is not
+    id order). Zero-norm vectors: ``try_divide`` makes every cosine
+    NULL, the fold never beats the init, cent_id comes back NULL —
+    identical to ``assign_nearest_cell``.
+
+    ``n_bits`` defaults to ~log2(k) − 1 (bucket population ~2, clamped
+    to [2, 16]) — MEASURED at sf0.01 (k = 16, 8 tables): bits=3 routes
+    85% of vectors to their exact-argmax cell and holds SemDeDup recall
+    at 0.434 vs the exact fold's 0.453, while bits=8 (pop 1/16) drops
+    to 0.66 agreement / 0.283 recall — oversized codes leave most
+    buckets empty, so near-dup pairs route to DIFFERENT sparse cells
+    (the non-monotone tables curve at fixed oversized bits is the
+    fallback masking this: fewer tables → more empty-bucket rows →
+    more exact full-fold fallbacks). Per-row cost at the default is
+    n_tables·(log2 k − 1) dim-dots + ~2·n_tables candidate dots:
+    constant-ish in k, so vs two-level's 2√k dots the crossover sits at
+    k ≈ 2·10³, and at k = 10⁵ SRP folds ~150 dots where two-level folds
+    632 and flat folds 10⁵.
+
+    ``c``: (id_col, __cv double-array); ``cents``: (cent_id, __mv).
+    Returns (id_col, __cv, cent_id)."""
+    import math
+
+    if n_bits is None:
+        # cents is a k-row driver-built frame (kmeans_centroids returns
+        # createDataFrame rows) — count() is metadata-cheap
+        k = cents.count()
+        n_bits = min(16, max(2, math.ceil(math.log2(max(2, k))) - 1))
+    planes = srp_hyperplanes(n_tables, n_bits, dim)
+    spark = c.sparkSession
+    pdf = spark.createDataFrame(
+        [
+            (t, [(1 << b, planes[(t, b)]) for b in range(n_bits)])
+            for t in range(n_tables)
+        ],
+        "tbl int, planes array<struct<bv: bigint, pv: array<double>>>",
+    )
+    planes_row = pdf.select(F.struct("tbl", "planes").alias("p")).agg(
+        F.sort_array(F.collect_list("p")).alias("__ptabs")
+    )
+
+    def code_of(vec, tab):
+        return F.aggregate(
+            tab["planes"],
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.when(dot(vec, p["pv"]) > 0, p["bv"]).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+
+    # centroid side (k rows — tiny): encode each centroid per table,
+    # group into per-table bucket ARRAYS of length 2^n_bits so the
+    # corpus-side lookup is element_at (O(1) array index, not a MapType
+    # linear scan). sort_array on (cent_id, ...) structs keeps bucket
+    # contents in cent_id order — deterministic traversal.
+    cstruct = F.struct(
+        F.col("cent_id"), F.col("__mv"), l2_norm(F.col("__mv")).alias("__mn")
+    )
+    coded = (
+        cents.join(F.broadcast(planes_row))
+        .select(
+            cstruct.alias("s"),
+            F.explode(
+                F.transform(
+                    F.col("__ptabs"),
+                    lambda t: F.struct(
+                        t["tbl"].alias("tbl"),
+                        code_of(F.col("__mv"), t).alias("code"),
+                    ),
+                )
+            ).alias("tc"),
+        )
+        .select(F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"), "s")
+    )
+    per_table = (
+        coded.groupBy("tbl", "code")
+        .agg(F.sort_array(F.collect_list("s")).alias("bucket"))
+        .groupBy("tbl")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("code"), F.col("bucket")))
+            ).alias("bmap")
+        )
+        .select(
+            "tbl",
+            # dense O(1)-indexable bucket array: slot i+1 = code i
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2**n_bits - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("bmap"), i.cast("long")),
+                    F.array().cast(
+                        "array<struct<cent_id: bigint, __mv: array<double>,"
+                        " __mn: double>>"
+                    ),
+                ),
+            ).alias("buckets"),
+        )
+    )
+    all_row = cents.select(cstruct.alias("s")).agg(
+        F.sort_array(F.collect_list("s")).alias("__all")
+    )
+    tabs_row = (
+        per_table.join(F.broadcast(planes_row))
+        .select(
+            F.struct(
+                F.col("tbl"),
+                # planes for THIS table (same tbl order in both frames)
+                F.element_at(F.col("__ptabs"), F.col("tbl") + 1)["planes"].alias(
+                    "planes"
+                ),
+                F.col("buckets"),
+            ).alias("t")
+        )
+        .agg(F.sort_array(F.collect_list("t")).alias("__tabs"))
+    )
+
+    with_norm = c.withColumn("__cn", l2_norm(F.col("__cv")))
+    init = F.struct(
+        F.lit(-2.0).alias("cs"), F.lit(None).cast("long").alias("cent_id")
+    )
+
+    def fold(acc, cent):
+        cs = F.try_divide(
+            dot(F.col("__cv"), cent["__mv"]), F.col("__cn") * cent["__mn"]
+        )
+        better = (cs > acc["cs"]) | (
+            (cs == acc["cs"]) & (cent["cent_id"] < acc["cent_id"])
+        )
+        return F.when(
+            better, F.struct(cs.alias("cs"), cent["cent_id"].alias("cent_id"))
+        ).otherwise(acc)
+
+    cands = F.flatten(
+        F.transform(
+            F.col("__tabs"),
+            lambda t: F.element_at(
+                t["buckets"],
+                code_of(F.col("__cv"), t).cast("int") + 1,
+            ),
+        )
+    )
+    routed = F.aggregate(cands, init, fold)["cent_id"]
+    full = F.aggregate(F.col("__all"), init, fold)["cent_id"]
+    # coalesce, NOT when(size(cands)>0, ...): HOFs get no CSE, so a size
+    # probe would evaluate `cands` (the whole encode) a second time per
+    # row. coalesce short-circuits — the full-k fallback fold runs only
+    # for rows whose routed cent_id is NULL (empty buckets, or zero-norm
+    # vectors where the fallback is NULL too and the extra fold is the
+    # degenerate-row tax).
+    return (
+        with_norm.join(F.broadcast(tabs_row))
+        .join(F.broadcast(all_row))
+        .select(
+            id_col,
+            "__cv",
+            F.coalesce(routed, full).alias("cent_id"),
+        )
+    )
+
+
 def semdedup_survivors(
     corpus: DataFrame,
     id_col: str = "vec_id",
