@@ -301,19 +301,23 @@ def kmeans_centroids_two_level(
     fit, so the result depends only on the drawn sample set.
 
     Measured range (SCALETEST_r11 + SCALETEST_r12, k = n/125,
-    local[32]): fit+assign holds near-linear through 16x (alpha 0.93,
-    k <= 256), then bends — per-octave growth 2^1.11 at 32x (k = 512)
-    and 2^1.29 at 64x (k = 1024, 68.8 s), converging on the O(n*sqrt(k))
-    = n^1.5 asymptote (2^1.5/octave) exactly as the shape predicts. So
-    the two-level hierarchy buys roughly two octaves of k past the flat
-    path's bend (flat alpha 1.66 already at 16x); past k ~ 10^3 the
-    sqrt(k)-wide coarse fold itself is the cost, and the next
-    escalation is either a THIRD level (O(n*3*k^(1/3)) fold work — the
-    same split applied to the coarse stage) or SRP-routed assignment
-    (hash each vector to a handful of candidate coarse cells via the
-    signed-random-projection index, fold only over those — drops the
-    per-row cost to O(bands + candidates), the ``srp_topk`` machinery
-    this module already ships).
+    local[32]): the first 64x sweep read per-octave growth bending to
+    2^1.29 — but that run's one-file inflation fixture put the whole
+    interpreted-HOF fold on ONE task; re-measured on a 32-way input
+    (SCALETEST_r12 ``semdedup_fit_assign_two_level_wide``) fit+assign
+    holds alpha 0.84 through 64x (k = 1024, 19.7 s vs the single-task
+    68.8 s) — at genuine parallelism the n^1.5 work term is still
+    amortized by idle width in this range, and the single-task octave
+    ratios were measuring saturation, not the asymptote. The shape IS
+    O(n*2*sqrt(k)) = n^1.5 eventually; when it bites, the next
+    escalation is a THIRD level (O(n*3*k^(1/3)) fold work — the same
+    split applied to the coarse stage). SRP-routed assignment
+    (``assign_nearest_cell_srp``) was implemented and MEASURED as the
+    alternative escalation and lost throughout this regime (alpha 1.59
+    vs 0.84 on identical fit/input — centroid code-bucket skew makes
+    its candidate volume grow with k; see its docstring for the
+    numbers and the bucket-capping condition under which it would
+    win).
 
     Returns ``(coarse, fine)``: coarse = (coarse_id, __mv); fine =
     (cent_id, coarse_id, __mv) with cent_id = coarse_id·k2 + sub_id,
@@ -520,11 +524,26 @@ def assign_nearest_cell_srp(
     buckets empty, so near-dup pairs route to DIFFERENT sparse cells
     (the non-monotone tables curve at fixed oversized bits is the
     fallback masking this: fewer tables → more empty-bucket rows →
-    more exact full-fold fallbacks). Per-row cost at the default is
-    n_tables·(log2 k − 1) dim-dots + ~2·n_tables candidate dots:
-    constant-ish in k, so vs two-level's 2√k dots the crossover sits at
-    k ≈ 2·10³, and at k = 10⁵ SRP folds ~150 dots where two-level folds
-    632 and flat folds 10⁵.
+    more exact full-fold fallbacks).
+
+    MEASURED VERDICT at scale (SCALETEST_r12, k = n/125 through 64× =
+    k 1024, same two-level fit and 32-way input for both strategies):
+    SRP routing LOSES to the two-level fold in this whole regime —
+    8.7/26.1/78.3 s (α 1.59) vs 6.2/11.0/19.7 s (α 0.84). The naive
+    cost model (encode is constant in k, ~2·n_tables candidates) breaks
+    on BUCKET SKEW: real centroids concentrate in code space (measured
+    at k = 1024, bits = 9: top bucket holds 59 centroids, Σm²/k = 9.4
+    expected candidates per table ≈ 75 candidate dots + 72 encode dots
+    vs the two-level fold's 64 total), and since the hot-bucket share
+    tracks the data distribution, candidate volume grows ~linearly in k
+    — the crossover never arrives. Keep ``assign_nearest_cell_two_level``
+    as the scale escalation; this operator stays as the DETERMINISTIC
+    routing primitive (no sampling — the one property the hierarchy
+    can't offer) and the base for a future bucket-CAPPED variant (cap
+    per-bucket centroid lists at B by centroid-to-bucket-centroid
+    cosine, restoring bounded candidates at some recall cost), which is
+    what would make SRP routing viable past the two-level fold's own
+    eventual n^1.5 wall.
 
     ``c``: (id_col, __cv double-array); ``cents``: (cent_id, __mv).
     Returns (id_col, __cv, cent_id)."""
@@ -623,6 +642,21 @@ def assign_nearest_cell_srp(
         )
         .agg(F.sort_array(F.collect_list("t")).alias("__tabs"))
     )
+
+    # The per-row encode is interpreted-HOF CPU (n_tables·n_bits dim-dots
+    # per vector): a low-partition input (one parquet file → one task)
+    # serializes it on a single core. Same file-metadata width guard as
+    # srp_codes — a no-op at real scale where inputs already arrive wide,
+    # and never paid when it buys nothing (measured here: the 64× curve
+    # probe ran the one-file fixture's encode on 1 of 32 cores without
+    # it).
+    sc_ctx = c.sparkSession.sparkContext
+    try:
+        n_files = len(c.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < sc_ctx.defaultParallelism:
+        c = c.repartition(sc_ctx.defaultParallelism)
 
     with_norm = c.withColumn("__cn", l2_norm(F.col("__cv")))
     init = F.struct(
