@@ -170,6 +170,15 @@ def kmeans_centroids(
         ),
         1,
     )
+    # zero-norm vectors have no direction, so they cannot train a
+    # spherical fit — and the normalize above would kill the fit on
+    # them (ANSI: DIVIDE_BY_ZERO; legacy: null components into
+    # array_to_vector). Excluded from the FIT ONLY; assignment still
+    # sees every row and returns cent_id NULL for them (the r12
+    # zero-norm contract shared by all three assignment paths). No-op
+    # filter on vector sets without zero rows — the registered
+    # queries' plans and results are unchanged.
+    corpus = corpus.filter(l2_norm(v) > 0)
     fit_src = corpus
     if fit_sample is not None:
         n = corpus_rows if corpus_rows is not None else corpus.count()
@@ -338,11 +347,14 @@ def kmeans_centroids_two_level(
     ).select(F.col("cent_id").alias("coarse_id"), "__mv")
 
     # seeded sample for the sub-fits, normalized once; content-hash row
-    # key makes the per-group fit order-independent
+    # key makes the per-group fit order-independent. Zero-norm vectors
+    # are excluded from the FIT sample for the same reason as the flat
+    # fit (no direction; the normalize would divide by zero) —
+    # assignment still sees them and returns cent_id NULL.
     target = points_per_centroid * k1 * k2
-    src = corpus
+    src = corpus.filter(l2_norm(as_double(F.col(vec_col))) > 0)
     if n > target:
-        src = corpus.sample(fraction=min(1.0, 1.1 * target / n), seed=seed)
+        src = src.sample(fraction=min(1.0, 1.1 * target / n), seed=seed)
     v = as_double(F.col(vec_col))
     nv = F.element_at(
         F.transform(

@@ -158,6 +158,36 @@ def test_srp_routed_assignment_zero_norm_and_tiny_cells(spark):
     assert got[3] in (0, 1)  # assigned SOMEWHERE — fallback guarantees
 
 
+def test_semdedup_kmeans_survives_zero_norm_corpus(spark):
+    """The k-means FIT normalizes vectors, so a corpus containing a
+    zero-norm vector used to kill the whole query (ANSI DIVIDE_BY_ZERO
+    in the normalize; legacy mode fed null components to
+    array_to_vector). Zero rows are now excluded from the FIT only —
+    both the flat and two-level paths must run end-to-end, keep every
+    row, give the zero vector cent_id NULL, and mark it a survivor."""
+    from pyspark.sql import functions as F
+
+    from featurestore_for_joycastle_java_spark.operators.similarity import (
+        semdedup_survivors,
+    )
+
+    rows = [(i, [float(i == j or j < 2) for j in range(8)]) for i in range(20)]
+    rows.append((99, [0.0] * 8))  # the zero-norm row
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for kwargs in (
+        {"n_centroids": 4, "centroids": "kmeans"},
+        {"centroids": "kmeans", "target_cell_size": 8, "two_level": True},
+    ):
+        sd = semdedup_survivors(e, "vec_id", "embedding", threshold=0.9, **kwargs)
+        got = {r["vec_id"]: r for r in sd.collect()}
+        assert len(got) == 21, kwargs  # every row kept, zero row included
+        assert got[99]["cent_id"] is None, kwargs
+        assert got[99]["survivor"] is True, kwargs
+        assert all(
+            r["cent_id"] is not None for i, r in got.items() if i != 99
+        ), kwargs
+
+
 def test_quota_pre_epoch_timestamps(spark, tmp_path):
     """ADVICE r11: the r = -1 'never reached' sentinel collided with a
     quota legitimately reached at epoch minus 1 microsecond (stores
