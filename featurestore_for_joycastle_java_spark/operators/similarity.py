@@ -491,6 +491,7 @@ def assign_nearest_cell_srp(
     n_tables: int = 8,
     n_bits: int | None = None,
     dim: int = 64,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """SRP-routed nearest-cell assignment — the documented escalation
     PAST the two-level hierarchy (SCALETEST_r12: the O(n·2√k) two-stage
@@ -538,24 +539,34 @@ def assign_nearest_cell_srp(
     fallback masking this: fewer tables → more empty-bucket rows →
     more exact full-fold fallbacks).
 
-    MEASURED VERDICT at scale (SCALETEST_r12, k = n/125 through 64× =
-    k 1024, same two-level fit and 32-way input for both strategies):
-    SRP routing LOSES to the two-level fold in this whole regime —
-    8.7/26.1/78.3 s (α 1.59) vs 6.2/11.0/19.7 s (α 0.84). The naive
-    cost model (encode is constant in k, ~2·n_tables candidates) breaks
-    on BUCKET SKEW: real centroids concentrate in code space (measured
-    at k = 1024, bits = 9: top bucket holds 59 centroids, Σm²/k = 9.4
-    expected candidates per table ≈ 75 candidate dots + 72 encode dots
-    vs the two-level fold's 64 total), and since the hot-bucket share
-    tracks the data distribution, candidate volume grows ~linearly in k
-    — the crossover never arrives. Keep ``assign_nearest_cell_two_level``
-    as the scale escalation; this operator stays as the DETERMINISTIC
-    routing primitive (no sampling — the one property the hierarchy
-    can't offer) and the base for a future bucket-CAPPED variant (cap
-    per-bucket centroid lists at B by centroid-to-bucket-centroid
-    cosine, restoring bounded candidates at some recall cost), which is
-    what would make SRP routing viable past the two-level fold's own
-    eventual n^1.5 wall.
+    MEASURED VERDICT at scale (SCALETEST_r12 — both hypotheses run to
+    ground, same two-level fit and 32-way input in every comparison):
+    SRP routing LOSES to the two-level fold at every measurable k.
+    (1) Uncapped, k = n/125 through 64× (k 1024): 8.7/26.1/78.3 s
+    (α 1.59) vs 6.2/11.0/19.7 s (α 0.84) — the naive cost model
+    (encode constant in k, ~2·n_tables candidates) breaks on BUCKET
+    SKEW: centroids concentrate in code space (k = 1024, bits = 9: top
+    bucket 59 centroids, Σm²/k = 9.4 expected candidates per table),
+    so candidate volume grows ~linearly in k. (2) The skew remedy —
+    ``bucket_cap`` (≤ B centroids per bucket, most-aligned-with-bucket-
+    mean, measured nearly free for routing quality: agreement 0.846 at
+    cap 4 vs 0.850 uncapped at fixture scale) — was then measured at
+    EXTREME k, 64×/128×/256× = k 1024/2048/4096 (embeddings-only
+    inflation): 51.7/122.4/395.3 s (α 1.47) vs the fold's
+    28.4/44.1/78.5 s (α 0.74) — still a 1.8–5.0× loss, growing. The
+    arithmetic-dot model predicts near-parity at k = 4096 (120 vs 128
+    dots/row); what it misses is that this engine evaluates HOFs
+    interpreted, and the SRP path pays per-row CANDIDATE
+    MATERIALIZATION (flatten copies ~B·n_tables structs each holding a
+    64-double vector) plus two broadcast lookups, while the two-level
+    fold streams two in-place array folds. On an engine with
+    codegen'd/vectorized HOFs the crossover may exist; on Spark's
+    interpreted higher-order functions it is beyond any measurable k.
+    Keep ``assign_nearest_cell_two_level`` as the scale escalation
+    (still α 0.74 at k = 4096, 512k vectors); this operator remains
+    the DETERMINISTIC routing primitive (no sampling — the one
+    property the hierarchy can't offer) for callers that need exact
+    cross-run replayability of the assignment itself.
 
     ``c``: (id_col, __cv double-array); ``cents``: (cent_id, __mv).
     Returns (id_col, __cv, cent_id)."""
@@ -613,10 +624,65 @@ def assign_nearest_cell_srp(
         )
         .select(F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"), "s")
     )
+    bucketed = coded.groupBy("tbl", "code").agg(
+        F.sort_array(F.collect_list("s")).alias("bucket")
+    )
+    if bucket_cap is not None:
+        # ``bucket_cap``: keep at most B centroids per bucket — the skew
+        # bound that restores O(n_tables·B) candidates per row when the
+        # centroid code distribution concentrates (the measured failure
+        # mode of the uncapped path, see the verdict below). Selection
+        # is deterministic and bucket-intrinsic: the B centroids most
+        # aligned with the bucket's mean unit direction (ties by
+        # cent_id) — a vector routed to this bucket is, by the routing
+        # itself, near that mean direction, so the retained centroids
+        # are the ones it would most plausibly pick. Computed once per
+        # bucket at build time over k-scale data, never per corpus row.
+        mean_dir = F.aggregate(
+            F.col("bucket"),
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, s: F.zip_with(
+                acc,
+                s["__mv"],
+                # zero-norm centroid → contributes nothing (try_divide
+                # NULL coalesced to 0) instead of poisoning the mean
+                lambda a, x: a
+                + F.coalesce(F.try_divide(x, s["__mn"]), F.lit(0.0)),
+            ),
+        )
+        scored = F.transform(
+            F.col("bucket"),
+            lambda s: F.struct(
+                # ascending sort key = NEGATED alignment (zero-norm
+                # centroids get +inf so they sort last, never capped IN)
+                F.coalesce(
+                    -F.try_divide(
+                        dot(s["__mv"], F.col("__m")), s["__mn"]
+                    ),
+                    F.lit(float("inf")),
+                ).alias("ns"),
+                s["cent_id"].alias("cent_id"),
+                s["__mv"].alias("__mv"),
+                s["__mn"].alias("__mn"),
+            ),
+        )
+        bucketed = (
+            bucketed.withColumn("__m", mean_dir)
+            .select(
+                "tbl",
+                "code",
+                F.transform(
+                    F.slice(F.sort_array(scored), 1, bucket_cap),
+                    lambda x: F.struct(
+                        x["cent_id"].alias("cent_id"),
+                        x["__mv"].alias("__mv"),
+                        x["__mn"].alias("__mn"),
+                    ),
+                ).alias("bucket"),
+            )
+        )
     per_table = (
-        coded.groupBy("tbl", "code")
-        .agg(F.sort_array(F.collect_list("s")).alias("bucket"))
-        .groupBy("tbl")
+        bucketed.groupBy("tbl")
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("code"), F.col("bucket")))
