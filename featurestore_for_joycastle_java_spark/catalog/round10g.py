@@ -66,20 +66,40 @@ def stream_quota_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="fs_quota_src_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     base_t = 1_700_000_000
-    parts = [
-        ev.filter(F.col("event_id") <= cut1),
-        ev.filter(
-            (F.col("event_id") > cut1) & (F.col("event_id") <= cut2)
-        ),
-        ev.filter(F.col("event_id") > cut2),
-    ]
-    for i, b in enumerate(parts):
+    # ONE partitioned pass builds all three batch files (r12 opt, guide
+    # §2.4: the previous three filter+coalesce(1) writes each re-scanned
+    # events single-threaded — 3 scans + 3 serial writes for one table).
+    # repartition(3, "__b") puts each batch id in exactly one task, so
+    # every __b=i directory holds exactly one parquet file; the files
+    # are then moved to the mtime-staged f0/f1/f2 layout the stream
+    # glob expects (partition-dir names would otherwise add a __b
+    # column under schema inference). Row order inside a file changes
+    # vs the coalesce(1) write, but the rate limiter sorts each batch
+    # group by (ts, event_id) in-worker, so admission is order-free.
+    # Measured (interleaved A/B, sf0.1, local[32]): 8.58 → 7.19 s.
+    stage = tempfile.mkdtemp(prefix="fs_quota_stage_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    b = (
+        F.when(F.col("event_id") <= cut1, 0)
+        .when(F.col("event_id") <= cut2, 1)
+        .otherwise(2)
+    )
+    (
+        ev.withColumn("__b", b)
+        .repartition(3, "__b")
+        .write.partitionBy("__b")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    for i in range(3):
         d = os.path.join(root, f"f{i}")
-        b.coalesce(1).write.parquet(d)
-        for fn in os.listdir(d):
-            os.utime(
-                os.path.join(d, fn), (base_t + i * 100, base_t + i * 100)
-            )
+        os.makedirs(d, exist_ok=True)
+        srcd = os.path.join(stage, f"__b={i}")
+        files = [fn for fn in os.listdir(srcd) if fn.endswith(".parquet")]
+        assert len(files) == 1, files
+        dst = os.path.join(d, files[0])
+        os.rename(os.path.join(srcd, files[0]), dst)
+        os.utime(dst, (base_t + i * 100, base_t + i * 100))
     stream = (
         spark.readStream.schema("event_id long, ts timestamp, user_id long")
         .option("maxFilesPerTrigger", "1")

