@@ -1347,39 +1347,30 @@ def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL(38,0) on Spark, HUGEINT on DuckDB) — the float version
     would be partitioning-dependent in the last ulps.
 
-    Scale shape: posexplode to (row, dim) pairs, one self-equi-join on
-    vec_id (co-partitioned, fans each row out to its own d(d+1)/2
-    products — never a cross-row pair), then ONE map-side-combinable
-    aggregate whose output is d(d+1)/2 = 2080 cells for d = 64,
-    independent of corpus size: per-partition partial Grams combine
-    exactly, which is precisely how a 1000-executor run wants it."""
+    Scale shape (r12 opt): per-task partial Grams via one NumPy int64
+    matmul per Arrow batch (``operators/gram.py::gram_cells`` — exact
+    Python-int accumulation across batches, guide §4.2), then ONE hash
+    aggregate over (#tasks × d(d+1)/2) partial cells — arithmetic
+    identical to the previous posexplode + self-equi-join form (which
+    pushed 20.5 M joined rows through the row pipeline at sf0.1), with
+    the per-partition partial combine done by vectorized native code.
+    Output stays d(d+1)/2 = 2080 cells for d = 64, corpus-size-
+    independent. Measured interleaved A/B at sf0.1: 2.04 → 0.57 s."""
+    from featurestore_for_joycastle_java_spark.operators.gram import (
+        gram_cells,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
-    x = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("i"),
-        F.floor(F.col("val").cast("double") * F.lit(1000000.0)).alias("v6"),
-    )
     n = e.agg(F.count(F.lit(1)).alias("n_vectors"))
-    a = x.select(
-        "vec_id", F.col("i").alias("i"), F.col("v6").alias("__va")
-    )
-    b = x.select(
-        F.col("vec_id").alias("__vid"),
-        F.col("i").alias("j"),
-        F.col("v6").alias("__vb"),
-    )
     return (
-        a.join(
-            b,
-            (F.col("vec_id") == F.col("__vid")) & (F.col("i") <= F.col("j")),
-        )
+        gram_cells(e, upper_only=True)
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("__g"))
         .crossJoin(F.broadcast(n))
-        .groupBy("i", "j", "n_vectors")
-        .agg(
-            F.sum((F.col("__va") * F.col("__vb")).cast("decimal(38,0)"))
-            .cast("bigint")
-            .alias("gram_micro2")
+        .select(
+            "i",
+            "j",
+            "n_vectors",
+            F.col("__g").cast("bigint").alias("gram_micro2"),
         )
     )

@@ -469,14 +469,20 @@ def quota_rate_limiter(
         )
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values([ts_col, id_col], kind="mergesort")
-        for ts_val in batch[ts_col]:
-            if a < quota:
-                a += 1
-                if a == quota:
-                    r = int(pd.Timestamp(ts_val).value // 1000)  # micros
-                    reached = True
-            else:
-                d += 1
+        # Closed form of the per-row loop (r12 opt, guide §4.2 — batch
+        # arithmetic instead of a Python row loop): the first
+        # (quota - a) sorted rows are admitted, the rest denied, and
+        # the quota is reached exactly at the (quota - a)th admitted
+        # row when this batch crosses it.
+        m = len(batch)
+        adm = min(m, quota - a) if a < quota else 0
+        d += m - adm
+        if adm and a + adm == quota:
+            r = int(
+                pd.Timestamp(batch[ts_col].iloc[adm - 1]).value // 1000
+            )  # micros
+            reached = True
+        a += adm
         state.update((a, d, r, reached))
         yield pd.DataFrame(
             {
