@@ -363,26 +363,6 @@ def simhash_near_pairs(
 # --- MinHash LSH (Catalyst-native) ------------------------------------------
 
 
-def _hof_min_rehashes(num_perm: int) -> list:
-    """num_perm per-row MinHash folds over an ``hs`` array column of base
-    hashes: ``array_min(transform(hs, h -> xxhash64(i, h)))`` aliased
-    m0..m{n-1}. The per-perm constant is bound through a closure FACTORY,
-    never a defaulted lambda parameter: ``lambda h, i=i: ...`` has two
-    parameters, which PySpark binds as transform's (element, index) form
-    — the captured constant silently becomes the ARRAY INDEX and every
-    permutation collapses to the same fold (caught by
-    tests/test_opt_r12.py::test_minhash_hof_signature_matches_explode_agg
-    at sf0.001: one lost pair)."""
-
-    def rehash(i: int):
-        return lambda h: F.xxhash64(F.lit(i), h)
-
-    return [
-        F.array_min(F.transform("hs", rehash(i))).alias(f"m{i}")
-        for i in range(num_perm)
-    ]
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -392,27 +372,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature (``num_perm`` longs), entirely in
     Catalyst: shingle → one base xxhash64 of the string, then ``num_perm``
-    cheap long-rehashes ``xxhash64(i, base)``, min-folded per doc.
+    cheap long-rehashes ``xxhash64(i, base)``, min-aggregated per doc.
 
-    r12 opt (guide §2.4 — remove the shuffle outright): the min-fold
-    runs per ROW with higher-order functions (``array_min(transform(
-    ...))``) instead of explode + groupBy(id), so signature building is
-    a stateless map with ZERO exchanges — the identical min over the
-    identical multiset of rehashes, so every signature value is
-    unchanged (pinned by tests/test_opt_r12.py vs the explode+agg
-    form). Docs whose shingle set is empty have no signature in either
-    form (explode dropped them; the HOF path filters them).
+    One explode + one groupBy(id) shuffle; the mins are map-side-combined,
+    so the shuffle carries ``num_perm`` longs per doc — not the shingles.
     Seedless (xxhash64 is deterministic) → identical output every run."""
     from featurestore_for_joycastle_java_spark.operators.text import shingles
 
-    hs = df.select(
-        F.col(id_col).alias("id"),
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
+        )
         # hash the string ONCE; permutations rehash the 8-byte long
-        F.transform(
-            shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
-        ).alias("hs"),
-    ).filter(F.size("hs") > 0)
-    return hs.select("id", *_hof_min_rehashes(num_perm))
+        .select("id", F.xxhash64("s").alias("h"))
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    return base.groupBy("id").agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -461,14 +440,14 @@ def minhash_lsh_pairs(
         .filter(F.size("sh") > 0)
         .cache()
     )
-    # r12 opt: per-row HOF min-fold (array_min over per-perm rehashes of
-    # the once-hashed shingles) instead of explode + groupBy(id) — the
-    # identical signature values with zero exchanges (guide §2.4;
-    # equality pinned in tests/test_opt_r12.py). Measured on the two
-    # registered consumers at sf0.1: dedup_minhash_lsh 2.89 → 2.61 s,
-    # dedup_pipeline_lsh 4.48 → 4.14 s (interleaved A/B).
-    hs = sh.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
-    sig = hs.select("id", *_hof_min_rehashes(num_perm))
+    base = sh.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("h")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    sig = base.groupBy("id").agg(*mins)
 
     bands = sig.select(
         "id",

@@ -100,42 +100,6 @@ def test_gram_cells_ragged_raises(spark):
         gram_cells(df).groupBy("i", "j").agg(F.sum("g")).collect()
 
 
-def test_minhash_hof_signature_matches_explode_agg(spark, sf_dir):
-    """The r12 per-row HOF min-fold must reproduce the explode +
-    groupBy(id) signature bit-for-bit (same base hash, same per-perm
-    rehash, same min over the same multiset)."""
-    from featurestore_for_joycastle_java_spark.operators.dedup import (
-        minhash_signatures,
-    )
-    from featurestore_for_joycastle_java_spark.operators.text import shingles
-    from featurestore_for_joycastle_java_spark.sources import load_table
-
-    docs = load_table(spark, sf_dir, "documents").limit(200)
-    num_perm = 16
-    got = {
-        r["id"]: tuple(r[f"m{i}"] for i in range(num_perm))
-        for r in minhash_signatures(
-            docs, "doc_id", "text", shingle_k=3, num_perm=num_perm
-        ).collect()
-    }
-    base = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(shingles(F.col("text"), 3)).alias("s"),
-    ).select("id", F.xxhash64("s").alias("h"))
-    want = {
-        r["id"]: tuple(r[f"m{i}"] for i in range(num_perm))
-        for r in base.groupBy("id")
-        .agg(
-            *[
-                F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
-                for i in range(num_perm)
-            ]
-        )
-        .collect()
-    }
-    assert got == want and len(got) > 0
-
-
 def test_quota_vectorized_update_crossing_cases(spark, tmp_path):
     """The r12 closed-form batch update must reproduce the per-row loop
     on every crossing shape: quota reached mid-batch, exactly at batch
