@@ -905,32 +905,40 @@ def semdedup_survivors_from_assigned(
     # one zip_with dot per pair instead of three array folds. The
     # expression stays dot/(na*nb) — the identical IEEE tree to
     # cosine(), so oracle parity is unaffected.
+    #
+    # Shape (r12 opt, guide §2.4): ONE right-outer self-join on
+    # (cent_id, a.id < b.id, rounded cosine >= threshold) + a groupBy —
+    # b survives iff it matched NO smaller-id neighbor. The earlier
+    # inner-join → DISTINCT → left-join-back form paid an extra exchange
+    # for the distinct AND recomputed the assignment fold a second time
+    # for the join-back side; this form computes `assigned` once (the
+    # self-join's exchange is reused across a/b), and the partial
+    # count aggregation collapses the pair fan-out map-side before the
+    # only other exchange. Measured interleaved A/B at sf0.1:
+    # 2.87 → 1.98 s on dedup_semdedup. Zero-norm rows (cent_id NULL)
+    # never match the null-rejecting equi-join, so the right outer keeps
+    # them as unmatched survivors — the same retention contract as
+    # before; the cosine `/` is only evaluated on candidate matches,
+    # where both norms are nonzero by construction.
     withn = assigned.withColumn("__cn", l2_norm(F.col("__cv")))
     a, b = withn.alias("a"), withn.alias("b")
-    # intra-cluster near-dup pairs; keep only the DROPPED side (higher id)
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cent_id") == F.col("b.cent_id"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .filter(
+    joined = a.join(
+        b,
+        (F.col("a.cent_id") == F.col("b.cent_id"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (
             F.round(
                 dot(F.col("a.__cv"), F.col("b.__cv"))
                 / (F.col("a.__cn") * F.col("b.__cn")),
                 6,
             )
             >= F.lit(threshold)
-        )
-        .select(F.col(f"b.{id_col}").alias(id_col))
-        .distinct()
-        .withColumn("__dup", F.lit(True))
+        ),
+        "right",
     )
-    return assigned.join(dropped, id_col, "left").select(
-        id_col,
-        "cent_id",
-        F.coalesce(~F.col("__dup"), F.lit(True)).alias("survivor"),
-    )
+    return joined.groupBy(
+        F.col(f"b.{id_col}").alias(id_col), F.col("b.cent_id").alias("cent_id")
+    ).agg((F.count(F.col(f"a.{id_col}")) == F.lit(0)).alias("survivor"))
 
 
 def ivf_topk(
