@@ -1354,26 +1354,50 @@ def pq_codebooks(
     ``dim/m``-dim subvectors and fit seeded k-means(``k``) in every
     subspace (Jégou et al. 2011, the faiss IVF-PQ workhorse). Returns
     ``(sub_id, code, __cb)``. ``m`` small fits over projected columns;
-    only m·k tiny centroid vectors come back to the driver."""
+    only m·k tiny centroid vectors come back to the driver.
+
+    The ``m`` subspace fits are INDEPENDENT jobs over disjoint column
+    slices, so (r12 opt, guide §2.6) they run from a small thread pool —
+    each fit is many short driver-blocking jobs (k-means|| init + Lloyd
+    rounds), and overlapping them back-fills the scheduling gaps and
+    per-job tails that serial fits leave idle. Each fit keeps its own
+    seed (``seed + s``) and its own input slice, so concurrency changes
+    nothing about what any fit computes. The unit-normalized corpus is
+    cached ONCE (guide §5: reused m times, recomputed otherwise — each
+    ML fit would re-scan the parquet and re-run the normalize fold),
+    materialized before the pool starts so the concurrent fits read a
+    built cache, and unpersisted before returning (the returned
+    codebook frame is a local relation, independent of the cache)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     if dim % m:
         raise ValueError("dim must be divisible by m")
     sub_d = dim // m
-    v = unit_vec(F.col(vec_col))
-    rows = []
-    for s in range(m):
-        feat = corpus.select(
-            array_to_vector(F.slice(v, s * sub_d + 1, sub_d)).alias("features")
-        )
-        model = KMeans(
-            k=k, seed=seed + s, maxIter=20, initMode="k-means||"
-        ).fit(feat)
-        rows += [
-            (s, c, [float(x) for x in ctr])
-            for c, ctr in enumerate(model.clusterCenters())
-        ]
+    normed = corpus.select(unit_vec(F.col(vec_col)).alias("__nv")).cache()
+    try:
+        normed.count()  # build the cache once, before the pool
+
+        def fit_one(s: int):
+            feat = normed.select(
+                array_to_vector(
+                    F.slice(F.col("__nv"), s * sub_d + 1, sub_d)
+                ).alias("features")
+            )
+            model = KMeans(
+                k=k, seed=seed + s, maxIter=20, initMode="k-means||"
+            ).fit(feat)
+            return [
+                (s, c, [float(x) for x in ctr])
+                for c, ctr in enumerate(model.clusterCenters())
+            ]
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            rows = [r for per_sub in pool.map(fit_one, range(m)) for r in per_sub]
+    finally:
+        normed.unpersist()
     return corpus.sparkSession.createDataFrame(
         rows, "sub_id int, code int, __cb array<double>"
     )
