@@ -234,25 +234,43 @@ def eval_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonic-association complement to ``eval_feature_corr``'s Pearson.
 
     Scale shape: the oracle's ``RANK() OVER (ORDER BY ...)`` is a
-    single-task global window; the engine instead takes two passes of
-    the range-bucketed ``global_row_number`` (every heavy window is
-    hash-partitioned by bucket) and converts row numbers to average
-    ranks per VALUE group (AVG of consecutive integers — exact), then
-    joins the per-value rank back: a 50-row broadcast for quantity, one
-    hash join for price. Centering uses the closed form mean rank
-    (n+1)/2 (sum of average ranks is always n(n+1)/2), so no float mean
-    enters the sums; every sum term is an exact multiple of 0.25."""
+    single-task global window; the engine never ranks rows at all
+    (r12 opt, guide §2.3 — shuffle keys, not rows): the average rank
+    of a tie group (value v, count c, S rows strictly smaller) is the
+    closed form S + (c+1)/2, so per-VALUE groupBy counts (map-side
+    combined) + a prefix sum over the DISTINCT values replace the two
+    full-corpus range-bucketed ``global_row_number`` passes the r7
+    version ran (each of those shuffled every row through a bucketed
+    rank window; measured interleaved A/B at sf0.1: 3.56 → 2.84 s).
+    Quantity has <= 50 distinct values — a broadcast and a tiny global
+    window (the ``dense_rank_low_card`` pattern); price is
+    high-cardinality, so its running count goes through the
+    range-bucketed ``grouped_prefix_sum`` over the distinct-value
+    frame. Exactness is unchanged: S and c are integers, so
+    S + (c+1)/2 is the same exactly-representable multiple of 0.5
+    that AVG(row_number) produced. Centering uses the closed form mean
+    rank (n+1)/2 (sum of average ranks is always n(n+1)/2), so no
+    float mean enters the sums; every sum term is an exact multiple
+    of 0.25."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("q"),
         F.col("l_extendedprice").alias("p"),
-        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
     )
     nn = li.agg(F.count(F.lit(1)).alias("n"))
 
-    rq = global_row_number(li, "q", ["k"], out_col="rn_q")
-    aq = rq.groupBy("q").agg(F.avg("rn_q").alias("rq"))  # <= 50 rows
-    rp = global_row_number(li, "p", ["k"], out_col="rn_p")
-    ap = rp.groupBy("p").agg(F.avg("rn_p").alias("rp"))
+    cq = li.groupBy("q").agg(F.count(F.lit(1)).alias("_c"))  # <= 50 rows
+    w_q = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    aq = cq.select(
+        "q",
+        (
+            F.coalesce(F.sum("_c").over(w_q), F.lit(0))
+            + (F.col("_c") + 1) / 2.0
+        ).alias("rq"),
+    )
+    cp = li.groupBy("p").agg(F.count(F.lit(1)).alias("_c"))
+    ap = grouped_prefix_sum(
+        cp.withColumn("_g", F.lit(1)), ["_g"], "p", "_c", out_col="_run"
+    ).select("p", (F.col("_run") - (F.col("_c") - 1) / 2.0).alias("rp"))
 
     joined = (
         li.join(F.broadcast(aq), "q")

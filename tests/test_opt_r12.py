@@ -147,3 +147,50 @@ def test_quota_vectorized_update_crossing_cases(spark, tmp_path):
     }
     assert got["under"]["n_allowed"] == 2
     assert got["under"]["quota_reached_ts"] is None
+
+
+def test_spearman_closed_form_avg_rank_identity(spark):
+    """The r12 eval_spearman_corr rewrite replaces AVG(row_number) per
+    tie group with the closed form S + (c+1)/2 (S = rows strictly
+    smaller, c = group size). Pin the identity bit-for-bit on a
+    tie-heavy frame, through BOTH engine shapes (the tiny-window
+    low-cardinality path and the bucketed grouped_prefix_sum path)."""
+    from pyspark.sql import Window
+
+    from featurestore_for_joycastle_java_spark.operators.ranks import (
+        global_row_number,
+        grouped_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate([5.0, 1.0, 3.0, 3.0, 1.0, 5.0, 5.0, 2.0])],
+        "val double, k int",
+    )
+    ranked = global_row_number(df, "val", ["k"], out_col="rn")
+    want = {
+        r["val"]: r["avg_rn"]
+        for r in ranked.groupBy("val").agg(F.avg("rn").alias("avg_rn")).collect()
+    }
+
+    counts = df.groupBy("val").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+    low_card = {
+        r["val"]: r["ar"]
+        for r in counts.select(
+            "val",
+            (
+                F.coalesce(F.sum("_c").over(w), F.lit(0))
+                + (F.col("_c") + 1) / 2.0
+            ).alias("ar"),
+        ).collect()
+    }
+    bucketed = {
+        r["val"]: r["ar"]
+        for r in grouped_prefix_sum(
+            counts.withColumn("_g", F.lit(1)), ["_g"], "val", "_c", out_col="_run"
+        )
+        .select("val", (F.col("_run") - (F.col("_c") - 1) / 2.0).alias("ar"))
+        .collect()
+    }
+    assert low_card == want
+    assert bucketed == want
