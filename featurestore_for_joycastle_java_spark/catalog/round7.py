@@ -2672,8 +2672,20 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = merged.collect()[0]
     total = est["n_rows"]
-    r50 = orders.filter(F.col("o_totalprice") <= est["p50"]).count() / total
-    r90 = orders.filter(F.col("o_totalprice") <= est["p90"]).count() / total
+    # ONE validation scan for both quantiles (r12 opt, guide §2.4 —
+    # the two filter().count() passes re-read orders once per quantile
+    # for two independent conditional counts the same aggregate
+    # computes together; counts identical by construction)
+    ranks = orders.agg(
+        F.sum((F.col("o_totalprice") <= est["p50"]).cast("long")).alias(
+            "n50"
+        ),
+        F.sum((F.col("o_totalprice") <= est["p90"]).cast("long")).alias(
+            "n90"
+        ),
+    ).collect()[0]
+    r50 = ranks["n50"] / total
+    r90 = ranks["n90"] / total
     return spark.createDataFrame(
         [(total, abs(r50 - 0.5) <= 0.03, abs(r90 - 0.9) <= 0.03)],
         "n_rows long, rank_p50_ok boolean, rank_p90_ok boolean",
