@@ -361,6 +361,23 @@ def main() -> None:
                 flag["runs"] = runs
                 regressions[n] = flag
 
+    # Top-10 medians (r13, VERDICT r12 ask #2): the 10 slowest queries
+    # define the printed one-line summary AND most of PERF's per-query
+    # comparisons, yet each was a single shot — one hypervisor-steal
+    # burst during any of them defined the round (both r12 driver runs
+    # landed in 13-19% steal windows and read as regressions on
+    # untouched code). Every top-10 query now gets TWO more runs and
+    # records the median; the raw runs stay in rerun_medians so the
+    # single-shot numbers remain committed evidence. Queries already
+    # median-ed by the regression gate are not re-run.
+    for n, _ in sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[
+        :10
+    ]:
+        if n not in reruns:
+            runs = [timings[n], run_once(n), run_once(n)]
+            reruns[n] = runs
+            timings[n] = statistics.median(runs)
+
     # Cross-round drift (VERDICT r4): the per-round gate compares only
     # against HEAD, so a sub-gate slowdown each round ratchets invisibly
     # (stream_stream_join 2.70 -> 4.28 s over two rounds, each step under
@@ -438,15 +455,26 @@ def main() -> None:
     skip_sf_dir = os.environ.get(
         "SPARK_GRAFT_SKIP_SF_DIR", "/root/testdata/sf0.01"
     )
+    # r13 (VERDICT r12 asks #2/#8): a single cold shot per probe breathed
+    # with host-steal bursts (the r12 PQ-fit claim was unconfirmable from
+    # the committed single shots — one landed at 38.6 s mid-burst).
+    # Median-of-3 per probe; all raw runs stay in the artifact
+    # (skipped_probe_runs), so run 1 keeps the old cold-shot semantics
+    # (first-touch init included) and the median is the committed number.
     skipped_probes: dict[str, float] = {}
+    skipped_probe_runs: dict[str, list[float]] = {}
     if os.path.isdir(skip_sf_dir):
         for name in sorted(BENCH_SKIP):
-            t0 = time.monotonic()
-            QUERIES[name](spark, skip_sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            skipped_probes[name] = round(time.monotonic() - t0, 3)
-            spark.catalog.clearCache()
+            runs = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                QUERIES[name](spark, skip_sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.monotonic() - t0, 3))
+                spark.catalog.clearCache()
+            skipped_probe_runs[name] = runs
+            skipped_probes[name] = statistics.median(runs)
 
     # Full per-query map goes to a file; the one printed line stays compact
     # (the driver captures a bounded amount of stdout — r1's 108-entry line
@@ -459,7 +487,11 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(names),
         "skipped": sorted(BENCH_SKIP),
-        "skipped_probes": {"sf_dir": skip_sf_dir, "sec": skipped_probes},
+        "skipped_probes": {
+            "sf_dir": skip_sf_dir,
+            "sec": skipped_probes,
+            "runs": skipped_probe_runs,
+        },
         "regressions_vs_prior": regressions,
         "drift_vs_oldest": drift_vs_oldest,
         # 0 means the gate had NO committed same-sf baseline (inert run) —

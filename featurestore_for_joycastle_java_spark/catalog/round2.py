@@ -188,7 +188,7 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips the boolean and fails the value hash. ``sim_ivf_topk`` keeps
     the fixed-centroid variant whose index replays exactly in SQL."""
     from featurestore_for_joycastle_java_spark.operators.similarity import (
-        brute_force_topk,
+        brute_force_topk_arrow,
         ivf_topk,
     )
 
@@ -199,7 +199,9 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_topk(
         e, q, k=5, n_centroids=16, n_probe=4, centroids="kmeans"
     ).select("query_id", "vec_id")
-    brute = brute_force_topk(e, q, k=5).select("query_id", "vec_id")
+    # r13: vectorized ground-truth stage (bit-identical ranking, see
+    # operators.similarity.brute_force_topk_arrow)
+    brute = brute_force_topk_arrow(e, q, k=5).select("query_id", "vec_id")
     hits = ivf.join(brute, ["query_id", "vec_id"]).agg(
         F.count(F.lit(1)).alias("n_hits")
     )

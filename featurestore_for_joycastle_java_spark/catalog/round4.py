@@ -111,7 +111,8 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     lsh = S.lsh_topk(e, q, k=5).select("query_id", "vec_id")
-    brute = S.brute_force_topk(e, q, k=5).select("query_id", "vec_id")
+    # r13: vectorized ground-truth stage (bit-identical ranking)
+    brute = S.brute_force_topk_arrow(e, q, k=5).select("query_id", "vec_id")
     hits = lsh.join(brute, ["query_id", "vec_id"]).agg(
         F.count(F.lit(1)).alias("n_hits")
     )
@@ -1178,12 +1179,13 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     from featurestore_for_joycastle_java_spark.operators.similarity import (
-        brute_force_topk,
+        brute_force_topk_arrow,
         pq_topk,
     )
 
     pq = pq_topk(e, q, k=5, m=16, shortlist=100).select("query_id", "vec_id")
-    brute = brute_force_topk(e, q, k=5).select("query_id", "vec_id")
+    # r13: vectorized ground-truth stage (bit-identical ranking)
+    brute = brute_force_topk_arrow(e, q, k=5).select("query_id", "vec_id")
     hits = pq.join(brute, ["query_id", "vec_id"]).agg(
         F.count(F.lit(1)).alias("n_hits")
     )

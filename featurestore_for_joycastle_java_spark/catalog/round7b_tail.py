@@ -236,7 +236,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.58-0.62, n_probe=8 0.80-0.82: the probe count is the recall/cost
     dial, exactly as in faiss)."""
     from featurestore_for_joycastle_java_spark.operators.similarity import (
-        brute_force_topk,
+        brute_force_topk_arrow,
         ivfpq_topk,
     )
 
@@ -247,7 +247,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ivfpq_topk(
         e, q, k=5, n_centroids=16, n_probe=6, m=16, shortlist=100
     ).select("query_id", "vec_id")
-    brute = brute_force_topk(e, q, k=5).select("query_id", "vec_id")
+    # r13: vectorized ground-truth stage (bit-identical ranking)
+    brute = brute_force_topk_arrow(e, q, k=5).select("query_id", "vec_id")
     hits = ann.join(brute, ["query_id", "vec_id"]).agg(
         F.count(F.lit(1)).alias("n_hits")
     )
@@ -371,7 +372,7 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve is MONOTONE non-decreasing in n_probe (more cells probed can
     only add candidates; a violation means probe routing is broken)."""
     from featurestore_for_joycastle_java_spark.operators.similarity import (
-        brute_force_topk,
+        brute_force_topk_arrow,
         ivf_topk,
     )
 
@@ -379,7 +380,8 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 50 == 1).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    brute = brute_force_topk(e, q, k=5).select("query_id", "vec_id")
+    # r13: vectorized ground-truth stage (bit-identical ranking)
+    brute = brute_force_topk_arrow(e, q, k=5).select("query_id", "vec_id")
     nq = q.count()
     floors = {2: 0.30, 4: 0.45, 8: 0.65}
     recalls = {}
@@ -457,19 +459,31 @@ def sim_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`ivfpq_topk`) — the vote and accuracy stages are unchanged."""
     from featurestore_for_joycastle_java_spark.operators.similarity import (
         as_double,
-        cosine,
+        dot,
+        l2_norm,
     )
 
+    # r13 (guide §2.4 / the cosine_pairs precedent): norms are bound ONCE
+    # per row BEFORE the n² theta join, so each pair costs one zip_with
+    # dot instead of three interpreted array folds (cosine() recomputes
+    # both norms per pair — measured 2.6x on the pair sweep when
+    # cosine_pairs made the same change). The per-pair expression stays
+    # dot/(na*nb), the identical IEEE tree, so the 6dp-rounded neighbor
+    # ranking — and the exact-ppm oracle hash — are unchanged.
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("__n", l2_norm(F.col("v")))
     a = e.select(
-        F.col("vec_id"), F.col("label").alias("true_label"), F.col("v")
+        F.col("vec_id"),
+        F.col("label").alias("true_label"),
+        F.col("v"),
+        F.col("__n").alias("__na"),
     )
     b = e.select(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("nbr_label"),
         F.col("v").alias("bv"),
+        F.col("__n").alias("__nb"),
     )
     p = (
         a.join(b, F.col("vec_id") != F.col("b_id"))
@@ -477,7 +491,11 @@ def sim_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "true_label",
             "nbr_label",
-            F.round(cosine(F.col("v"), F.col("bv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("v"), F.col("bv"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos"),
             "b_id",
         )
     )

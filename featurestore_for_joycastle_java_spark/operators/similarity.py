@@ -66,6 +66,144 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine with the scoring pass vectorized — the
+    ground-truth stage of the recall harnesses (r13, VERDICT r12 ask #1,
+    guide §4.2): the |queries|·|corpus| HOF cosine folds become one
+    NumPy pass per Arrow batch against the collected query matrix; the
+    6dp round and the per-query (cos desc, id) window top-k stay in
+    Spark, identical to :func:`brute_force_topk`.
+
+    Bit-identity: per pair the kernel replays ``dot(q, c) / (l2(q) *
+    l2(c))`` as the identical IEEE float64 sequence — dims accumulate in
+    a left-to-right fold (a dim-loop over row-vectorized ops, NOT
+    ``np.dot``, whose pairwise summation reassociates), norms first, the
+    q·c denominator product in HOF argument order — so every emitted
+    double equals the HOF fold's and the rounded ranking is the same
+    (pinned in tests/test_opt_r13.py).
+
+    EAGER: ``queries`` is collected at construction (it is the bounded
+    harness query batch — 10..n/50 rows in every caller; the lazy
+    benched surface stays :func:`brute_force_topk`). NULL query or
+    corpus vectors score null, as the fold does; NULL vector *elements*
+    and ragged dims are refused loudly (the ``gram_cells`` contract)."""
+    q_rows = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
+    ).collect()
+    qids = [r[0] for r in q_rows]
+    qvecs = [r[1] for r in q_rows]
+    dims = {len(v) for v in qvecs if v is not None}
+    if len(dims) > 1:
+        raise ValueError(
+            f"brute_force_topk_arrow requires uniform query dims; saw {sorted(dims)}"
+        )
+    d = dims.pop() if dims else None
+    qid_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def _score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        nq = len(qids)
+        qid_arr = pa.array(qids)
+        qmask = np.array([v is not None for v in qvecs], dtype=bool)
+        if d is not None and qmask.any():
+            qm = np.asarray(
+                [v for v in qvecs if v is not None], dtype=np.float64
+            )
+            # l2_norm replay: sqrt of the left fold of x*x
+            qn_acc = np.zeros(qm.shape[0])
+            for j in range(d):
+                qn_acc = qn_acc + qm[:, j] * qm[:, j]
+            qn = np.sqrt(qn_acc)
+        for batch in batches:
+            ids, col = batch.column(0), batch.column(1)
+            n = len(col)
+            if n == 0 or nq == 0:
+                continue
+            if isinstance(col, pa.ChunkedArray):  # defensive
+                col = col.combine_chunks()
+            valid = np.ones(n, dtype=bool)
+            if col.null_count:
+                valid = ~col.is_null().to_numpy(zero_copy_only=False)
+            if col.values.null_count:
+                raise ValueError(
+                    "brute_force_topk_arrow: NULL vector elements are "
+                    "outside the exact-replay contract"
+                )
+            offs = col.offsets.to_numpy()
+            lens = np.diff(offs)
+            if valid.any() and d is not None and (lens[valid] != d).any():
+                raise ValueError(
+                    "brute_force_topk_arrow requires corpus dims == "
+                    f"query dims ({d}); saw "
+                    f"{sorted(set(lens[valid].tolist()))[:5]}"
+                )
+            # cos matrix (n, nq), None where either side is null
+            cos = np.full((n, nq), np.nan)
+            null_mask = np.zeros((n, nq), dtype=bool)
+            null_mask[~valid, :] = True
+            null_mask[:, ~qmask] = True
+            nv = int(valid.sum())
+            if nv and qmask.any() and d is not None:
+                flat = col.values.to_numpy(zero_copy_only=False)
+                flat = flat[offs[0] : offs[-1]]
+                starts = (offs[:-1] - offs[0])[valid]
+                take = starts[:, None] + np.arange(d)[None, :]
+                x = flat[take].astype(np.float64)
+                # dot replay: left fold over dims of q_j * c_j
+                dots = np.zeros((nv, qm.shape[0]))
+                cn_acc = np.zeros(nv)
+                for j in range(d):
+                    dots = dots + x[:, j, None] * qm[None, :, j]
+                    cn_acc = cn_acc + x[:, j] * x[:, j]
+                cn = np.sqrt(cn_acc)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    # cosine replay: dot / (qn * cn) — query norm is the
+                    # left factor of the denominator, as in cosine()
+                    c_block = dots / (qn[None, :] * cn[:, None])
+                block = np.full((nv, nq), np.nan)
+                block[:, qmask] = c_block
+                cos[valid, :] = block
+            rep = np.repeat(np.arange(n), nq)
+            til = np.tile(np.arange(nq), n)
+            cos_flat = pa.array(
+                cos.reshape(-1), type=pa.float64(), mask=null_mask.reshape(-1)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    qid_arr.take(pa.array(til)),
+                    ids.take(pa.array(rep)),
+                    cos_flat,
+                ],
+                names=[query_id_col, id_col, "__cos"],
+            )
+
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        _score,
+        schema=f"{query_id_col} {qid_type}, {id_col} {id_type}, __cos double",
+    )
+    scored = scored.select(
+        query_id_col, id_col, F.round(F.col("__cos"), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -900,7 +1038,15 @@ def semdedup_survivors_from_assigned(
     curves) — can run it without re-fitting/re-assigning. ``assigned``
     is (id_col, __cv double-array, cent_id), i.e. exactly what
     ``assign_nearest_cell`` returns; semantics identical to the tail of
-    ``semdedup_survivors``."""
+    ``semdedup_survivors``.
+
+    PRECONDITION (ADVICE r12): ``id_col`` must be unique in ``assigned``
+    — assign_nearest_cell emits exactly one row per input vector, and
+    the survivor aggregate below groups by (id, cent_id), so duplicate
+    ids would silently collapse to one output row (and a duplicate pair
+    inside one cluster would count as its own smaller-id neighbor).
+    Callers feeding anything other than an assign_nearest_cell* output
+    must deduplicate ids first."""
     # norms bound ONCE per row (O(n) folds); the pair verify then costs
     # one zip_with dot per pair instead of three array folds. The
     # expression stays dot/(na*nb) — the identical IEEE tree to
@@ -1357,19 +1503,27 @@ def pq_codebooks(
     only m·k tiny centroid vectors come back to the driver.
 
     The ``m`` subspace fits are INDEPENDENT jobs over disjoint column
-    slices, so (r12 opt, guide §2.6) they run from a small thread pool —
-    each fit is many short driver-blocking jobs (k-means|| init + Lloyd
+    slices, so (r12 opt, guide §2.6) they run from a thread pool — each
+    fit is many short driver-blocking jobs (k-means|| init + Lloyd
     rounds), and overlapping them back-fills the scheduling gaps and
-    per-job tails that serial fits leave idle. Each fit keeps its own
-    seed (``seed + s``) and its own input slice, so concurrency changes
-    nothing about what any fit computes. The unit-normalized corpus is
-    cached ONCE (guide §5: reused m times, recomputed otherwise — each
-    ML fit would re-scan the parquet and re-run the normalize fold),
-    materialized before the pool starts so the concurrent fits read a
-    built cache, and unpersisted before returning (the returned
-    codebook frame is a local relation, independent of the cache)."""
+    per-job tails that serial fits leave idle. Pool width = ``m`` capped
+    at 16 (r13: width 4 → 16 measured 6.4 → 3.9 s on the m=16 fit —
+    the fits are driver-latency-bound, so wider overlap keeps paying
+    until every fit is in flight). Each fit keeps its own seed
+    (``seed + s``) and its own input slice, so concurrency changes
+    nothing about what any fit computes. Worker threads are wrapped in
+    ``pyspark.inheritable_thread_target`` so the caller's job group /
+    scheduler-pool local properties propagate under pinned-thread mode
+    (ADVICE r12: cancellation of the k-means jobs must not escape the
+    caller's job group). The unit-normalized corpus is cached ONCE
+    (guide §5: reused m times, recomputed otherwise — each ML fit would
+    re-scan the parquet and re-run the normalize fold), materialized
+    before the pool starts so the concurrent fits read a built cache,
+    and unpersisted before returning (the returned codebook frame is a
+    local relation, independent of the cache)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -1394,8 +1548,11 @@ def pq_codebooks(
                 for c, ctr in enumerate(model.clusterCenters())
             ]
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            rows = [r for per_sub in pool.map(fit_one, range(m)) for r in per_sub]
+        fit_target = inheritable_thread_target(corpus.sparkSession)(fit_one)
+        with ThreadPoolExecutor(max_workers=min(m, 16)) as pool:
+            rows = [
+                r for per_sub in pool.map(fit_target, range(m)) for r in per_sub
+            ]
     finally:
         normed.unpersist()
     return corpus.sparkSession.createDataFrame(
@@ -1441,41 +1598,105 @@ def pq_encode(
     codebook entry (squared-euclidean argmin, first-min-in-code-order
     ties). Output ``(id, codes array<int>)`` — dim·4 bytes shrink to m
     small ints (~32× at 64-dim float/m=8), which is what lets a 100 TB
-    embedding corpus live in memory for ADC scanning. Zero shuffle: one
-    broadcast row of codebooks, per-row HOF folds."""
+    embedding corpus live in memory for ADC scanning. Zero shuffle: the
+    m·k codebook entries ride in the task closure, one NumPy pass per
+    Arrow batch (r13, guide §4.2: the per-row HOF form paid m·k
+    interpreted subspace folds per vector — 1 024 fold steps/row at
+    m=16/k=16 — for math NumPy does in a handful of vectorized ops; the
+    argmin replays the fold bit-exactly, see the kernel comments).
+
+    ``codebooks`` is collected at construction — it is m·k tiny centroid
+    rows (a local relation in every catalog path: ``pq_codebooks`` ends
+    in ``createDataFrame``), never corpus-sized. Codes are ints, so
+    "bit-identical" here is exact equality: the normalize → subspace
+    sq-dist → strict-less argmin sequence below performs the identical
+    IEEE float64 ops in the identical order as the previous HOF fold
+    (verified by tests/test_opt_r13.py against the fold form)."""
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
     sub_d = dim // m
-    v = corpus.select(F.col(id_col), unit_vec(F.col(vec_col)).alias("__v"))
-    init = F.struct(
-        F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("code")
-    )
+    # entries per subspace in code order — the fold iterated
+    # sort_array(struct(code, __cb)), i.e. ascending code
+    rows = codebooks.select("sub_id", "code", "__cb").collect()
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(r["sub_id"], []).append((r["code"], list(r["__cb"])))
+    books = [
+        [cb for _, cb in sorted(by_sub.get(s, []))] for s in range(m)
+    ]
+    codes_per_sub = [len(b) for b in books]
+    id_type = dict(corpus.dtypes)[id_col]
 
-    def best_code(sub):
-        subvec = F.slice(F.col("__v"), sub["sub_id"] * sub_d + 1, sub_d)
+    def _encode(batches):
+        import numpy as np
+        import pyarrow as pa
 
-        def step(acc, e):
-            # bind the distance ONCE via the single-element-transform
-            # trick — Catalyst does no CSE across HOF lambdas, so an
-            # inline when(d < acc.d, struct(d, ...)) evaluates the whole
-            # subspace fold twice per entry (measured pattern, see
-            # operators/text.py)
-            cand = F.struct(
-                _sq_dist(subvec, e["__cb"]).alias("d"),
-                e["code"].alias("code"),
-            )
-            return F.element_at(
-                F.transform(
-                    F.array(cand),
-                    lambda c: F.when(c["d"] < acc["d"], c).otherwise(acc),
-                ),
-                1,
-            )
+        # m arrays of (k, sub_d) float64 centroids, code order
+        cents = [np.asarray(b, dtype=np.float64) for b in books]
+        for batch in batches:
+            ids, col = batch.column(0), batch.column(1)
+            if len(col) == 0:
+                continue
+            if isinstance(col, pa.ChunkedArray):  # defensive
+                col = col.combine_chunks()
+            valid = np.ones(len(col), dtype=bool)
+            if col.null_count:
+                valid = ~col.is_null().to_numpy(zero_copy_only=False)
+            if col.values.null_count:
+                raise ValueError(
+                    "pq_encode kernel: NULL vector elements are outside "
+                    "the exact-replay contract (the HOF fold's null "
+                    "propagation has no vectorized equivalent)"
+                )
+            offs = col.offsets.to_numpy()
+            lens = np.diff(offs)
+            if (lens[valid] != dim).any():
+                raise ValueError(
+                    f"pq_encode kernel requires uniform {dim}-dim "
+                    f"vectors; saw lengths "
+                    f"{sorted(set(lens[valid].tolist()))[:5]}"
+                )
+            out = np.full((len(col), m), -1, dtype=np.int32)
+            nv = int(valid.sum())
+            if nv:
+                flat = col.values.to_numpy(zero_copy_only=False)
+                flat = flat[offs[0] : offs[-1]]
+                # rebuild the dense (nv, dim) matrix of the non-null rows
+                starts = (offs[:-1] - offs[0])[valid]
+                take = starts[:, None] + np.arange(dim)[None, :]
+                x = flat[take].astype(np.float64)
+                # unit_vec replay: norm = sqrt(left fold of x*x), then
+                # per-element x / norm — the identical IEEE sequence
+                acc = np.zeros(nv)
+                for j in range(dim):
+                    acc = acc + x[:, j] * x[:, j]
+                xn = x / np.sqrt(acc)[:, None]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    for s in range(m):
+                        off = s * sub_d
+                        best_d = np.full(nv, np.inf)
+                        best_c = np.full(nv, -1, dtype=np.int32)
+                        for c in range(codes_per_sub[s]):
+                            e = cents[s][c]
+                            d = np.zeros(nv)
+                            # _sq_dist replay: left fold of (x-y)^2
+                            for j in range(sub_d):
+                                t = xn[:, off + j] - e[j]
+                                d = d + t * t
+                            # fold keeps acc unless cand.d < acc.d —
+                            # strict less, first-min ties, NaN never
+                            # wins (NaN < x is False), matching when()
+                            upd = d < best_d
+                            best_d[upd] = d[upd]
+                            best_c[upd] = c
+                        out[valid, s] = best_c
+            codes_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(out.reshape(-1), type=pa.int32()), m
+            ).cast(pa.list_(pa.int32()))
+            yield pa.RecordBatch.from_arrays([ids, codes_arr], names=[id_col, "codes"])
 
-        return F.aggregate(sub["entries"], init, step)["code"]
-
-    codes = F.transform(F.col("__books"), best_code)
-    return (
-        v.join(F.broadcast(_pq_books_row(codebooks)))
-        .select(id_col, codes.alias("codes"))
+    return corpus.select(id_col, vec_col).mapInArrow(
+        _encode, schema=f"{id_col} {id_type}, codes array<int>"
     )
 
 

@@ -123,8 +123,51 @@ class _SyntheticReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition):
-        for i in range(partition.start, partition.end):
-            yield synth_row(i)
+        """Arrow-batch reads (r13, guide §4.3): yielding pyarrow
+        RecordBatches instead of per-row tuples skips the per-row
+        pickle/unpickle on the worker boundary — the documented right
+        shape for a bulk connector (Spark 4 Python Data Source "Arrow
+        Batch Support"). The arithmetic is the exact integer rule of
+        ``synth_row``: uint64 products wrap mod 2^64, and since 2^32
+        divides 2^64, ``(i*MULT) mod 2^64 mod 2^32`` equals the
+        unbounded ``(i*MULT) mod 2^32`` — bit-identical rows for ANY
+        row id, not just ids below the int64 envelope. value is an
+        integer < 10000 divided by 100.0 in float64, the same IEEE op
+        as Python's ``/ 100.0``."""
+        import numpy as np
+        import pyarrow as pa
+
+        types_np = np.array(_TYPES, dtype=object)
+        step = 1 << 20  # bound per-batch memory on huge partitions
+        for lo in range(partition.start, partition.end, step):
+            hi = min(lo + step, partition.end)
+            i = np.arange(lo, hi, dtype=np.uint64)
+            h = (i * np.uint64(MULT)) % np.uint64(1 << 32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(i.astype(np.int64), type=pa.int64()),
+                    pa.array(
+                        (h % np.uint64(150)).astype(np.int64),
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        types_np[
+                            ((h >> np.uint64(8)) % np.uint64(5)).astype(
+                                np.int64
+                            )
+                        ],
+                        type=pa.string(),
+                    ),
+                    pa.array(
+                        (
+                            (h >> np.uint64(16)) % np.uint64(10000)
+                        ).astype(np.float64)
+                        / 100.0,
+                        type=pa.float64(),
+                    ),
+                ],
+                names=["event_id", "user_id", "event_type", "value"],
+            )
 
 
 class SyntheticEventsDataSource(DataSource):
