@@ -341,10 +341,12 @@ def graph_closeness_multi_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = cosupply_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # r13: session-width hash partitioning (scale-adaptive), not a
+    # hard-coded 32 — see graph_bfs_hops.
     direct = (
         e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .repartition(32, "src")
+        .repartition(F.col("src"))
         .localCheckpoint(eager=True)
     )
     nodes = direct.select(F.col("src").alias("node")).distinct()
@@ -360,17 +362,20 @@ def graph_closeness_multi_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop = 0
     while hop < _CLOSENESS_MAX_HOPS:
         hop += 1
+        # r13: lazy checkpoint materialized by the frontier count (one
+        # job per round, not two) and a plain union over the persisted
+        # per-round RDDs — the graph_bfs_hops discipline.
         nxt = (
             frontier.join(direct, frontier.node == direct.src)
             .select("root", F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("root", "node"), ["root", "node"], "left_anti")
             .select("root", "node", F.lit(hop).cast("bigint").alias("h"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     agg = visited.groupBy("root").agg(
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),

@@ -2840,10 +2840,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = cosupply_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # r13: hash-partition at the session shuffle width (scale-adaptive),
+    # not a hard-coded 32 — the width the loop's joins then reuse.
     direct = (
         e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .repartition(32, "src")
+        .repartition(F.col("src"))
         .localCheckpoint(eager=True)
     )
     src = e.agg(F.min("u")).collect()[0][0]
@@ -2853,17 +2855,23 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop = 0
     while hop < _BFS_MAX_HOPS:
         hop += 1
+        # r13 (guide §2.4): the frontier count IS the materializing
+        # action of a LAZY checkpoint (the CC-loop discipline) — one job
+        # per round instead of eager-checkpoint + count; and the visited
+        # set stays a plain union of already-persisted per-round RDDs
+        # (depth = eccentricity, single-digit here) instead of paying a
+        # third per-round copy job.
         nxt = (
             frontier.join(direct, frontier.node == direct.src)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("hops"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.orderBy("node")
 

@@ -169,7 +169,14 @@ def kcore_edges(
     e = edges.localCheckpoint(eager=True)
     rounds = 0
     while True:
-        deg = degrees(e)
+        # r13 (guide §2.4): one degree computation per round, not three.
+        # The kill-count action materializes the lazily-checkpointed
+        # degree frame; the two alive-side broadcast builds then scan the
+        # persisted (node-sized) RDD instead of each re-running the
+        # degree aggregate. The old tail's extra e.isEmpty() action is
+        # gone too — a fully-peeled frame terminates through the next
+        # round's n_kill == 0 over empty degrees, identical result.
+        deg = degrees(e).localCheckpoint(eager=False)
         alive = deg.filter(F.col("d") >= k).select("x")
         n_kill = deg.filter(F.col("d") < k).count()
         if n_kill == 0:
@@ -190,6 +197,4 @@ def kcore_edges(
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        if e.isEmpty():
-            break
     return e

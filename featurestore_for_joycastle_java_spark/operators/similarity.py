@@ -1258,53 +1258,92 @@ def srp_codes(
     table, where bit b of ``code`` is sign(v · r[t][b]) for the
     deterministic hyperplane r.
 
-    The hyperplanes travel as ONE broadcast row holding a per-table
-    array of (tbl, planes[(bv, pv)…]) structs, NOT as plan-literal
-    arrays: the r2
-    literal-unrolled form embedded n_tables·n_bits·dim literals plus an
-    unrolled fold per code bit into the plan, and Catalyst+Janino spent
-    ~20s compiling it at 16×6×64 (measured: 25s total at sf0.1, vs ~2s
-    this shape). The encode itself is a stateless per-row HOF fold over
-    the broadcast array — ZERO shuffle (an earlier join+groupBy variant
-    shuffled n_tables combined rows per vector; at 10⁹ vectors that's a
-    10¹⁰-row exchange bought for nothing). Same one-broadcast-row pattern
-    as ivf_topk's centroid assignment."""
+    Shape history: the r2 literal-unrolled fold spent ~20 s in
+    Catalyst/Janino at 16×6×64; r4 moved the planes into one broadcast
+    row folded by a nested HOF (zero shuffle, small plan); r13 replaces
+    the interpreted fold (n_tables·n_bits·dim ops per row, never
+    codegen'd) with a NumPy pass per Arrow batch — the planes are a pure
+    md5 spec, so they live in the task closure, the encode stays
+    stateless, per-row, ZERO shuffle, and every dot replays the fold's
+    IEEE sequence exactly (see the kernel comments; code equality with
+    the fold form is pinned in tests/test_opt_r13.py). NULL vectors and
+    wrong dims fail fast, as the guarded HOF form did — a silent
+    mis-dim would hash everything to code 0 and quadratic-join one
+    mega-bucket."""
     planes = srp_hyperplanes(n_tables, n_bits, dim)
-    # Grouped per table — (tbl, [(bv, pv) in bit order]) — so the encode
-    # is ONE nested HOF (transform over tables → fold over that table's
-    # planes) with a single dot-product expression in the whole tree.
-    # The r4-initial flat layout (96 structs, per-table filter + fold,
-    # every dot inlined) built an expression tree Catalyst/Janino spent
-    # ~3 s compiling per fresh plan; this shape does the identical
-    # arithmetic (same bit order, same long adds) from a tree a fraction
-    # of the size. Runtime op count is unchanged — compile cost is what
-    # falls.
-    pdf = df.sparkSession.createDataFrame(
-        [
-            (t, [(1 << b, planes[(t, b)]) for b in range(n_bits)])
-            for t in range(n_tables)
-        ],
-        "tbl int, planes array<struct<bv: bigint, pv: array<double>>>",
-    )
-    planes_row = pdf.select(F.struct("tbl", "planes").alias("p")).agg(
-        F.sort_array(F.collect_list("p")).alias("__tables")
-    )
+    # r13 (guide §4.2): the encode was a nested HOF fold — n_tables ·
+    # n_bits interpreted dot folds of ``dim`` ops per row (4 096 ops/row
+    # at 8×8×64), never entering whole-stage codegen. The hyperplanes
+    # are a PURE md5 spec (no data dependence), so they ride in the task
+    # closure and one NumPy pass per Arrow batch computes every code:
+    # per plane the dot is the identical left-to-right float64 fold
+    # (a dim-loop over row-vectorized ops — NOT np.dot, which
+    # reassociates), ±1.0 products are exact sign flips, the > 0 sign
+    # and the power-of-two bit sums are exact integers — so every code
+    # equals the fold's and the DuckDB full-index replay is unaffected
+    # (pinned in tests/test_opt_r13.py). The r4 lesson stands in the new
+    # shape: nothing is plan-literal, so Catalyst/Janino compile cost
+    # does not grow with n_tables·n_bits·dim.
+    plane_mat = [
+        planes[(t, b)] for t in range(n_tables) for b in range(n_bits)
+    ]
+    id_type = dict(df.dtypes)[id_col]
 
-    # guard the dim contract EXECUTOR-SIDE (no driver action): zip_with
-    # pads the shorter array with nulls, so a silent dim mismatch would
-    # make every dot NULL, every bit 0, and every vector hash to code 0 —
-    # a full-quadratic candidate join with no error. Fail fast instead.
-    vec = F.col(vec_col)
-    checked = F.when(F.size(vec) == dim, as_double(vec)).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"srp_codes: expected {dim}-dim vectors, got length "),
-                F.size(vec).cast("string"),
-            )
+    def _encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        pm = np.asarray(plane_mat, dtype=np.float64)  # (T·B, dim)
+        bitvals = np.asarray(
+            [1 << b for b in range(n_bits)], dtype=np.int64
         )
-    )
+        for batch in batches:
+            ids, col = batch.column(0), batch.column(1)
+            n = len(col)
+            if n == 0:
+                continue
+            if isinstance(col, pa.ChunkedArray):  # defensive
+                col = col.combine_chunks()
+            # dim contract, executor-side (fail fast — the HOF form
+            # raised here too): a NULL vector or a wrong length would
+            # otherwise hash to code 0 and quadratic-join a mega-bucket
+            if col.null_count:
+                raise ValueError(
+                    f"srp_codes: expected {dim}-dim vectors, got NULL"
+                )
+            offs = col.offsets.to_numpy()
+            lens = np.diff(offs)
+            if (lens != dim).any():
+                bad = int(lens[lens != dim][0])
+                raise ValueError(
+                    f"srp_codes: expected {dim}-dim vectors, got length {bad}"
+                )
+            flat = col.values.to_numpy(zero_copy_only=False)
+            x = flat[offs[0] : offs[-1]].astype(np.float64).reshape(-1, dim)
+            # dot replay: left fold over dims, all T·B planes at once
+            acc = np.zeros((n, pm.shape[0]))
+            for j in range(dim):
+                acc = acc + x[:, j, None] * pm[None, :, j]
+            bits = (acc > 0).reshape(n, n_tables, n_bits)
+            codes = (bits * bitvals[None, None, :]).sum(
+                axis=2, dtype=np.int64
+            )
+            rep = np.repeat(np.arange(n), n_tables)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(rep)),
+                    pa.array(
+                        np.tile(
+                            np.arange(n_tables, dtype=np.int32), n
+                        ),
+                        type=pa.int32(),
+                    ),
+                    pa.array(codes.reshape(-1), type=pa.int64()),
+                ],
+                names=[id_col, "tbl", "code"],
+            )
 
-    src = df.select(F.col(id_col), checked.alias("__v"))
+    src = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
     # Encode throughput is CPU-bound: higher-order functions never enter
     # whole-stage codegen, so each row pays n_tables·n_bits·dim interpreted
     # ops. A low-partition input (one parquet file → one task) serializes
@@ -1326,24 +1365,8 @@ def srp_codes(
 
     # per table: fold its planes in bit order, adding the bit value when
     # sign(v·r) is positive — each dot is evaluated exactly once
-    codes_arr = F.transform(
-        F.col("__tables"),
-        lambda t: F.struct(
-            t["tbl"].alias("tbl"),
-            F.aggregate(
-                t["planes"],
-                F.lit(0).cast("long"),
-                lambda acc, p: acc
-                + F.when(dot(F.col("__v"), p["pv"]) > 0, p["bv"]).otherwise(
-                    F.lit(0).cast("long")
-                ),
-            ).alias("code"),
-        ),
-    )
-    return (
-        src.join(F.broadcast(planes_row))
-        .select(id_col, F.explode(codes_arr).alias("__tc"))
-        .select(id_col, "__tc.tbl", "__tc.code")
+    return src.mapInArrow(
+        _encode, schema=f"{id_col} {id_type}, tbl int, code bigint"
     )
 
 

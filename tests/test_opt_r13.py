@@ -120,6 +120,75 @@ def test_brute_topk_arrow_null_rows_score_null(spark, emb):
     assert a == b
 
 
+def _srp_codes_hof(df, id_col, vec_col, n_tables=8, n_bits=8, dim=64):
+    """The pre-r13 HOF-fold srp_codes, kept verbatim as the reference."""
+    planes = S.srp_hyperplanes(n_tables, n_bits, dim)
+    pdf = df.sparkSession.createDataFrame(
+        [
+            (t, [(1 << b, planes[(t, b)]) for b in range(n_bits)])
+            for t in range(n_tables)
+        ],
+        "tbl int, planes array<struct<bv: bigint, pv: array<double>>>",
+    )
+    planes_row = pdf.select(F.struct("tbl", "planes").alias("p")).agg(
+        F.sort_array(F.collect_list("p")).alias("__tables")
+    )
+    vec = F.col(vec_col)
+    checked = F.when(F.size(vec) == dim, S.as_double(vec)).otherwise(
+        F.raise_error(F.lit("bad dim"))
+    )
+    src = df.select(F.col(id_col), checked.alias("__v"))
+    codes_arr = F.transform(
+        F.col("__tables"),
+        lambda t: F.struct(
+            t["tbl"].alias("tbl"),
+            F.aggregate(
+                t["planes"],
+                F.lit(0).cast("long"),
+                lambda acc, p: acc
+                + F.when(S.dot(F.col("__v"), p["pv"]) > 0, p["bv"]).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ).alias("code"),
+        ),
+    )
+    return (
+        src.join(F.broadcast(planes_row))
+        .select(id_col, F.explode(codes_arr).alias("__tc"))
+        .select(id_col, "__tc.tbl", "__tc.code")
+    )
+
+
+def test_srp_codes_kernel_matches_hof_fold(spark, emb):
+    old = sorted(map(tuple, _srp_codes_hof(emb, "vec_id", "embedding").collect()))
+    new = sorted(
+        map(tuple, S.srp_codes(emb, "vec_id", "embedding").collect())
+    )
+    assert old == new
+
+
+def test_srp_codes_kernel_multi_partition(spark, emb):
+    old = sorted(map(tuple, _srp_codes_hof(emb, "vec_id", "embedding").collect()))
+    new = sorted(
+        map(
+            tuple,
+            S.srp_codes(emb.repartition(8), "vec_id", "embedding").collect(),
+        )
+    )
+    assert old == new
+
+
+def test_srp_codes_kernel_refuses_bad_dim(spark, emb):
+    ragged = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 11 == 1, F.slice("embedding", 1, 8))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    with pytest.raises(Exception, match="srp_codes"):
+        S.srp_codes(ragged, "vec_id", "embedding").collect()
+
+
 def test_brute_topk_arrow_multi_partition(spark, emb):
     # partial batches across partitions must not change any score
     e8 = emb.repartition(8)
